@@ -1,0 +1,203 @@
+"""Neighborhood primitives, TPU-first.
+
+The reference does per-point kd-tree radius searches (PCL kd-trees everywhere,
+e.g. features/features_short_shot.cpp:85-123).  On TPU the speed-of-light
+formulation is *dense masked reductions*: pairwise squared distances come from
+one matmul on the MXU, and radius-weighted moments (counts, means, covariance)
+are accumulated with further matmuls -- no gathers, no dynamic shapes.
+
+For per-neighbor histogram kernels (SHOT et al.) we additionally provide a
+fixed-capacity top-k neighbor gather, so the histogram stage works on a
+[K, M] block instead of [K, N].
+
+All functions take explicit validity masks and are jit-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sqdist(queries: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Squared euclidean distances [Q, N] via the (q^2 + p^2 - 2 q.p) matmul
+    identity (MXU-friendly).  Clamped at 0 against rounding.
+
+    Uses HIGHEST matmul precision: the TPU default (bf16 passes) rounds inputs
+    to ~3 decimal digits, which corrupts nearest-neighbor ordering and radius
+    gates; the fp32-accurate 6-pass mode keeps geometry exact."""
+    q2 = jnp.sum(queries * queries, axis=1)[:, None]
+    p2 = jnp.sum(points * points, axis=1)[None, :]
+    cross = jnp.matmul(queries, points.T, precision=jax.lax.Precision.HIGHEST)
+    return jnp.maximum(q2 + p2 - 2.0 * cross, 0.0)
+
+
+class RadiusMoments(NamedTuple):
+    """Weighted neighborhood moments for a chunk of queries."""
+    count: jnp.ndarray    # [Q] number of in-radius valid neighbors
+    wsum: jnp.ndarray     # [Q] sum of weights
+    mean: jnp.ndarray     # [Q, 3] weighted neighbor mean
+    cov: jnp.ndarray      # [Q, 3, 3] weighted covariance about the query/mean
+
+
+def radius_covariance(
+    queries: jnp.ndarray,        # [Q, 3]
+    points: jnp.ndarray,         # [N, 3]
+    mask: jnp.ndarray,           # [N]
+    radius: float,
+    weighting: str = "uniform",  # "uniform" (PCL normals) | "shot" (R - d)
+    center: str = "mean",        # covariance about neighbor "mean" or "query"
+) -> RadiusMoments:
+    """Radius-limited weighted covariance, computed without materializing
+    [Q, N, 3] difference tensors:
+
+      cov = S2 - c s1^T - s1 c^T + S0 c c^T   (c = chosen center)
+
+    with S0 = sum w, s1 = sum w x, S2 = sum w x x^T -- each an MXU matmul.
+
+    * PCL NormalEstimation uses uniform weights about the neighbor mean.
+    * PCL SHOT LRF uses weights (R - d) about the query point
+      (pcl::SHOTLocalReferenceFrameEstimation::getLocalRF).
+    """
+    # shift to the cloud centroid first: covariance is shift-invariant and the
+    # moment identity below cancels catastrophically for far-from-origin data
+    m = mask.astype(points.dtype)
+    shift = jnp.sum(points * m[:, None], axis=0) / jnp.maximum(m.sum(), 1.0)
+    points = points - shift
+    queries = queries - shift
+
+    d2 = pairwise_sqdist(queries, points)
+    in_r = (d2 <= radius * radius) & mask[None, :]
+    if weighting == "uniform":
+        w = in_r.astype(points.dtype)
+    elif weighting == "shot":
+        d = jnp.sqrt(d2)
+        w = jnp.where(in_r, radius - d, 0.0).astype(points.dtype)
+    else:
+        raise ValueError(f"unknown weighting {weighting}")
+
+    hi = jax.lax.Precision.HIGHEST
+    count = jnp.sum(in_r, axis=1)
+    s0 = jnp.sum(w, axis=1)                                   # [Q]
+    s1 = jnp.matmul(w, points, precision=hi)                  # [Q, 3]
+    xx = (points[:, :, None] * points[:, None, :]).reshape(-1, 9)  # [N, 9]
+    s2 = jnp.matmul(w, xx, precision=hi).reshape(-1, 3, 3)    # [Q, 3, 3]
+
+    s0_safe = jnp.maximum(s0, 1e-30)
+    if center == "mean":
+        c = s1 / s0_safe[:, None]
+    elif center == "query":
+        c = queries
+    else:
+        raise ValueError(f"unknown center {center}")
+
+    cov = (
+        s2
+        - c[:, :, None] * s1[:, None, :]
+        - s1[:, :, None] * c[:, None, :]
+        + s0[:, None, None] * c[:, :, None] * c[:, None, :]
+    )
+    cov = cov / s0_safe[:, None, None]
+    mean = s1 / s0_safe[:, None] + shift  # undo the conditioning shift
+    return RadiusMoments(count=count, wsum=s0, mean=mean, cov=cov)
+
+
+class NeighborBlock(NamedTuple):
+    """Fixed-capacity neighbor gather result."""
+    idx: jnp.ndarray    # [Q, M] neighbor indices into points (0 where invalid)
+    dist: jnp.ndarray   # [Q, M] euclidean distances (inf where invalid)
+    valid: jnp.ndarray  # [Q, M] bool
+
+
+def gather_radius_neighbors(
+    queries: jnp.ndarray,   # [Q, 3]
+    points: jnp.ndarray,    # [N, 3]
+    mask: jnp.ndarray,      # [N]
+    radius: float,
+    capacity: int,
+    exclude_zero_dist: bool = False,
+) -> NeighborBlock:
+    """Gather up to `capacity` nearest in-radius neighbors per query, sorted by
+    ascending distance (the order PCL radiusSearch returns).  If more than
+    `capacity` neighbors fall inside the radius, the farthest are dropped --
+    size the capacity so this never matters for parity workloads."""
+    d2 = pairwise_sqdist(queries, points)
+    in_r = (d2 <= radius * radius) & mask[None, :]
+    neg = jnp.where(in_r, -d2, -jnp.inf)
+    cap = min(capacity, points.shape[0])
+    top_negd2, idx = jax.lax.top_k(neg, cap)  # descending neg -> ascending d2
+    valid = jnp.isfinite(top_negd2)
+    # Recompute exact distances on the gathered block via direct differences:
+    # the matmul identity leaves ~eps*|p|^2 absolute error in d2, which would
+    # break the reference's exact zero-distance self-exclusion
+    # (e.g. features_short_shot.cpp:127 tests squared dist > 1e-15).
+    diff = points[idx] - queries[:, None, :]
+    d2_exact = jnp.sum(diff * diff, axis=-1)
+    valid = valid & (d2_exact <= radius * radius)
+    if exclude_zero_dist:
+        valid = valid & (d2_exact > 1e-15)
+    dist = jnp.where(valid, jnp.sqrt(d2_exact), jnp.inf)
+    idx = jnp.where(valid, idx, 0)
+    return NeighborBlock(idx=idx, dist=dist, valid=valid)
+
+
+def knn(
+    queries: jnp.ndarray,   # [Q, D]
+    database: jnp.ndarray,  # [C, D]
+    db_mask: jnp.ndarray,   # [C]
+    k: int,
+    metric: str = "l2",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact brute-force k-NN over descriptor space on the MXU.
+
+    Replaces FLANN kd-tree indices (utils/flann_helper.cpp:21-80) -- exact by
+    construction, superseding the reference's FLANNExactMatch switch.
+
+    metric "l2" returns *squared* L2 (flann::L2 semantics) and "chisq" returns
+    flann::ChiSquareDistance: sum (a-b)^2 / (a+b) over dims with a+b > 0.
+
+    Returns (distances [Q, k], indices [Q, k]); masked database entries get
+    +inf distance.
+    """
+    if metric == "l2":
+        d = pairwise_sqdist(queries, database)
+    elif metric == "chisq":
+        d = chi_square_distance_matrix(queries, database)
+    else:
+        raise ValueError(f"unknown metric {metric}")
+    d = jnp.where(db_mask[None, :], d, jnp.inf)
+    neg_d, idx = jax.lax.top_k(-d, k)
+    return -neg_d, idx
+
+
+def chi_square_distance_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """flann::ChiSquareDistance matrix: d(x,y) = sum_i (x_i-y_i)^2/(x_i+y_i),
+    terms with x_i+y_i <= 0 skipped.  O(Q*C*D) on the VPU; dimension-chunked
+    to bound memory."""
+    q, c = a.shape[0], b.shape[0]
+    # chunk over feature dim to keep [Q, C, chunk] small
+    dim = a.shape[1]
+    chunk = max(1, min(dim, max(1, (1 << 22) // max(q * c, 1))))
+    out = jnp.zeros((q, c), a.dtype)
+    for start in range(0, dim, chunk):
+        asub = a[:, start:start + chunk]
+        bsub = b[:, start:start + chunk]
+        s = asub[:, None, :] + bsub[None, :, :]
+        diff = asub[:, None, :] - bsub[None, :, :]
+        out = out + jnp.sum(jnp.where(s > 0, diff * diff / jnp.where(s > 0, s, 1.0), 0.0), axis=-1)
+    return out
+
+
+def descriptor_distance(a: jnp.ndarray, b: jnp.ndarray, metric: str) -> jnp.ndarray:
+    """Pairwise-free distance between two equal-shaped descriptor batches
+    ([..., D] x [..., D] -> [...]).  Same metric semantics as :func:`knn`."""
+    if metric == "l2":
+        diff = a - b
+        return jnp.sum(diff * diff, axis=-1)
+    elif metric == "chisq":
+        s = a + b
+        diff = a - b
+        return jnp.sum(jnp.where(s > 0, diff * diff / jnp.where(s > 0, s, 1.0), 0.0), axis=-1)
+    raise ValueError(f"unknown metric {metric}")

@@ -1,0 +1,86 @@
+"""Normal estimation with eigenvalues + consistent orientation, batched.
+
+Reference behavior (implicit_shape_model.cpp:940-1037):
+  * PCA normals: smallest eigenvector of the *uniform* covariance of in-radius
+    neighbors about their mean (PCL NormalEstimation); curvature =
+    lambda_0 / (lambda_0 + lambda_1 + lambda_2).  The reference's patched
+    estimator (third_party/pcl_normal_3d_omp_with_eigenvalues) additionally
+    exposes the three eigenvalues for keypoint-quality culling.
+  * ConsistentNormalsMethod 0: flip towards the viewpoint (origin).
+  * ConsistentNormalsMethod 1: center the cloud, flip towards origin, invert
+    -- i.e. orient away from the centroid (implicit_shape_model.cpp:987-1014).
+  * ConsistentNormalsMethod 2: normal = inverted z-axis of the SHOT LRF at
+    every point with NormalRadius; PCA curvature is kept; points with invalid
+    LRFs fall back to the PCA normal (utils/normal_orientation.cpp:48-110).
+
+All dense, masked, jit-friendly; O(N^2) pairwise work is chunked by callers.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .lrf import shot_lrf
+from .neighbors import radius_covariance
+
+
+class NormalsResult(NamedTuple):
+    normals: jnp.ndarray      # [N, 3]
+    curvature: jnp.ndarray    # [N]
+    eigenvalues: jnp.ndarray  # [N, 3] ascending (lambda0 <= lambda1 <= lambda2)
+    valid: jnp.ndarray        # [N] finite-normal flag (NaN-normal analogue)
+
+
+def pca_normals(
+    points: jnp.ndarray,   # [N, 3]
+    mask: jnp.ndarray,     # [N]
+    radius: float,
+    min_neighbors: int = 3,
+) -> NormalsResult:
+    mom = radius_covariance(points, points, mask, radius,
+                            weighting="uniform", center="mean")
+    vals, vecs = jnp.linalg.eigh(mom.cov)
+    normals = vecs[:, :, 0]  # smallest eigenvalue
+    total = jnp.sum(vals, axis=1)
+    curvature = jnp.where(total > 0, vals[:, 0] / jnp.maximum(total, 1e-30), 0.0)
+    valid = mask & (mom.count >= min_neighbors)
+    return NormalsResult(normals=normals, curvature=curvature,
+                         eigenvalues=vals, valid=valid)
+
+
+def orient_towards_viewpoint(points, normals, viewpoint=(0.0, 0.0, 0.0)):
+    vp = jnp.asarray(viewpoint, points.dtype)
+    flip = jnp.sum((vp[None, :] - points) * normals, axis=1) < 0
+    return jnp.where(flip[:, None], -normals, normals)
+
+
+def orient_away_from_centroid(points, normals, mask):
+    m = mask.astype(points.dtype)
+    centroid = jnp.sum(points * m[:, None], axis=0) / jnp.maximum(m.sum(), 1.0)
+    flip = jnp.sum((points - centroid) * normals, axis=1) < 0
+    return jnp.where(flip[:, None], -normals, normals)
+
+
+def compute_normals(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    radius: float,
+    method: int = 2,
+) -> NormalsResult:
+    """Full normal pipeline matching ConsistentNormalsMethod 0/1/2."""
+    pca = pca_normals(points, mask, radius)
+    if method == 0:
+        normals = orient_towards_viewpoint(points, pca.normals)
+    elif method == 1:
+        normals = orient_away_from_centroid(points, pca.normals, mask)
+    elif method == 2:
+        lrf = shot_lrf(points, mask, points, mask, radius)
+        z = lrf.frames[:, 2, :]
+        normals = jnp.where(lrf.valid[:, None], -z, pca.normals)
+    else:
+        normals = pca.normals
+    return NormalsResult(normals=normals, curvature=pca.curvature,
+                         eigenvalues=pca.eigenvalues, valid=pca.valid)

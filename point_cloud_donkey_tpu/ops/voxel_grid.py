@@ -1,0 +1,75 @@
+"""Voxel-grid downsampling as a sort + segment-sum (TPU-native, static shapes).
+
+Reference: PCL VoxelGrid centroids used both for keypoint detection
+(keypoints/keypoints_voxel_grid.cpp:30-46) and optional preprocessing
+(implicit_shape_model.cpp:800-809).  PCL semantics: voxel index =
+floor(p / leaf) - floor(min / leaf) per axis; output = mean of the points in
+each occupied voxel, ordered by linearized voxel index.
+
+TPU scheme: quantize -> sort by voxel key -> segment boundaries -> cumsum
+segment ids -> segment_sum means.  Everything is fixed shape; the number of
+occupied voxels is dynamic only through the validity mask of the padded
+output (capacity = number of input points, or an explicit cap).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class VoxelGridResult(NamedTuple):
+    centroids: jnp.ndarray  # [K, F] per-voxel means of the input features
+    mask: jnp.ndarray       # [K] validity
+
+
+def voxel_grid(
+    points: jnp.ndarray,          # [N, 3]
+    mask: jnp.ndarray,            # [N]
+    leaf_size: float,
+    features: Optional[jnp.ndarray] = None,  # [N, F] extra per-point data to average
+    capacity: Optional[int] = None,
+) -> VoxelGridResult:
+    """Masked voxel-grid centroid downsampling.
+
+    Returns per-voxel means of ``concat([points, features])`` (PCL averages
+    all point fields).  Output rows are ordered by linearized voxel key like
+    PCL's map iteration; padded rows have mask=False.
+    """
+    n = points.shape[0]
+    cap = capacity or n
+
+    big = jnp.asarray(jnp.inf, points.dtype)
+    mn = jnp.floor(jnp.min(jnp.where(mask[:, None], points, big), axis=0) / leaf_size)
+    ijk = (jnp.floor(points / leaf_size) - mn[None, :]).astype(jnp.int32)
+    # invalid points get max coords so they sort to the end
+    max_c = jnp.iinfo(jnp.int32).max
+    ijk = jnp.where(mask[:, None], ijk, max_c)
+
+    # lexicographic sort on (i, j, k) -- overflow-free composite key
+    order = jnp.lexsort((ijk[:, 2], ijk[:, 1], ijk[:, 0]))
+    sorted_ijk = ijk[order]
+    payload = points if features is None else jnp.concatenate(
+        [points, features], axis=1)
+    sorted_payload = payload[order]
+    sorted_valid = mask[order]
+
+    is_new = jnp.concatenate([
+        jnp.array([True]),
+        jnp.any(sorted_ijk[1:] != sorted_ijk[:-1], axis=1),
+    ]) & sorted_valid
+    seg_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # [-1 .. K-1]
+    seg_id = jnp.where(sorted_valid, seg_id, cap)       # dump invalid past cap
+
+    sums = jax.ops.segment_sum(
+        jnp.where(sorted_valid[:, None], sorted_payload, 0.0),
+        seg_id, num_segments=cap + 1)[:cap]
+    counts = jax.ops.segment_sum(
+        sorted_valid.astype(points.dtype), seg_id, num_segments=cap + 1)[:cap]
+
+    out_mask = counts > 0
+    centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+    centroids = jnp.where(out_mask[:, None], centroids, 0.0)
+    return VoxelGridResult(centroids=centroids, mask=out_mask)

@@ -1,0 +1,279 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from point_cloud_donkey_tpu.ops import geometry as geo
+from point_cloud_donkey_tpu.ops.voxel_grid import voxel_grid
+from point_cloud_donkey_tpu.ops.normals import compute_normals, pca_normals
+from point_cloud_donkey_tpu.ops.lrf import shot_lrf
+from point_cloud_donkey_tpu.ops.neighbors import (
+    gather_radius_neighbors, knn, pairwise_sqdist, descriptor_distance)
+from point_cloud_donkey_tpu.ops.shot import shot_descriptor
+from point_cloud_donkey_tpu.ops.short_shot import short_shot_descriptor, resolve_bins
+
+
+def sphere_cloud(rng, n=2000, radius=1.0):
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return (v * radius).astype(np.float32)
+
+
+def random_rotation(rng):
+    q = rng.normal(size=4).astype(np.float32)
+    q /= np.linalg.norm(q)
+    return np.asarray(geo.quat_to_matrix(jnp.asarray(q)))
+
+
+# ---------------------------------------------------------------------------
+# voxel grid
+# ---------------------------------------------------------------------------
+
+def numpy_voxel_grid(pts, leaf):
+    mn = np.floor(pts.min(0) / leaf)
+    ijk = (np.floor(pts / leaf) - mn).astype(np.int64)
+    keys = {}
+    for p, c in zip(pts, map(tuple, ijk)):
+        keys.setdefault(c, []).append(p)
+    return {c: np.mean(v, axis=0) for c, v in keys.items()}
+
+
+def test_voxel_grid_matches_numpy(rng):
+    pts = rng.uniform(-1, 1, size=(500, 3)).astype(np.float32)
+    mask = np.ones(500, bool)
+    res = voxel_grid(jnp.asarray(pts), jnp.asarray(mask), 0.25)
+    got = np.asarray(res.centroids)[np.asarray(res.mask)]
+    want = numpy_voxel_grid(pts, 0.25)
+    assert len(got) == len(want)
+    want_sorted = np.array(sorted(map(tuple, want.values())))
+    got_sorted = np.array(sorted(map(tuple, got)))
+    np.testing.assert_allclose(got_sorted, want_sorted, rtol=1e-4, atol=1e-5)
+
+
+def test_voxel_grid_mask(rng):
+    pts = rng.uniform(-1, 1, size=(100, 3)).astype(np.float32)
+    pts[50:] = 50.0
+    mask = np.arange(100) < 50
+    res = voxel_grid(jnp.asarray(pts), jnp.asarray(mask), 0.5)
+    got = np.asarray(res.centroids)[np.asarray(res.mask)]
+    assert np.all(np.abs(got) < 2.0)
+    want = numpy_voxel_grid(pts[:50], 0.5)
+    assert len(got) == len(want)
+
+
+# ---------------------------------------------------------------------------
+# neighbors / knn
+# ---------------------------------------------------------------------------
+
+def test_gather_radius_neighbors(rng):
+    pts = rng.uniform(-1, 1, size=(300, 3)).astype(np.float32)
+    q = pts[:10]
+    mask = np.ones(300, bool)
+    nbr = gather_radius_neighbors(jnp.asarray(q), jnp.asarray(pts),
+                                  jnp.asarray(mask), 0.5, capacity=300)
+    d_full = np.sqrt(((q[:, None] - pts[None]) ** 2).sum(-1))
+    for i in range(10):
+        want = np.sort(d_full[i][d_full[i] <= 0.5])
+        got = np.asarray(nbr.dist[i])[np.asarray(nbr.valid[i])]
+        np.testing.assert_allclose(np.sort(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_knn_l2_matches_bruteforce(rng):
+    db = rng.uniform(0, 1, size=(50, 16)).astype(np.float32)
+    q = rng.uniform(0, 1, size=(7, 16)).astype(np.float32)
+    mask = np.ones(50, bool)
+    d, idx = knn(jnp.asarray(q), jnp.asarray(db), jnp.asarray(mask), k=3, metric="l2")
+    full = ((q[:, None] - db[None]) ** 2).sum(-1)
+    want_idx = np.argsort(full, axis=1)[:, :3]
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+    np.testing.assert_allclose(np.asarray(d), np.sort(full, axis=1)[:, :3],
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_knn_chisq_semantics(rng):
+    a = rng.uniform(0, 1, size=(4, 8)).astype(np.float32)
+    b = rng.uniform(0, 1, size=(5, 8)).astype(np.float32)
+    d, idx = knn(jnp.asarray(a), jnp.asarray(b), jnp.asarray(np.ones(5, bool)),
+                 k=1, metric="chisq")
+    # manual flann::ChiSquareDistance
+    s = a[:, None] + b[None]
+    diff = a[:, None] - b[None]
+    full = np.where(s > 0, diff ** 2 / np.where(s > 0, s, 1), 0).sum(-1)
+    np.testing.assert_allclose(np.asarray(d[:, 0]), full.min(1), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(idx[:, 0]), full.argmin(1))
+
+
+def test_descriptor_distance_matches_knn(rng):
+    a = rng.uniform(0, 1, size=(6, 8)).astype(np.float32)
+    b = rng.uniform(0, 1, size=(6, 8)).astype(np.float32)
+    for metric in ("l2", "chisq"):
+        d = descriptor_distance(jnp.asarray(a), jnp.asarray(b), metric)
+        for i in range(6):
+            dd, _ = knn(jnp.asarray(a[i:i+1]), jnp.asarray(b[i:i+1]),
+                        jnp.asarray(np.ones(1, bool)), k=1, metric=metric)
+            np.testing.assert_allclose(float(d[i]), float(dd[0, 0]), rtol=1e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# normals
+# ---------------------------------------------------------------------------
+
+def test_plane_normals(rng):
+    xy = rng.uniform(-1, 1, size=(800, 2)).astype(np.float32)
+    pts = np.concatenate([xy, np.zeros((800, 1), np.float32)], axis=1)
+    mask = np.ones(800, bool)
+    res = pca_normals(jnp.asarray(pts), jnp.asarray(mask), radius=0.3)
+    n = np.asarray(res.normals)
+    # all normals should be +-z
+    np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-3)
+    assert np.all(np.asarray(res.curvature) < 1e-4)
+
+
+def test_sphere_normals_oriented_away(rng):
+    pts = sphere_cloud(rng, 2000)
+    mask = np.ones(len(pts), bool)
+    res = compute_normals(jnp.asarray(pts), jnp.asarray(mask), radius=0.4, method=1)
+    n = np.asarray(res.normals)
+    # away from centroid == radially outward for a centered sphere
+    cos = (n * pts).sum(1) / np.linalg.norm(pts, axis=1)
+    assert np.mean(cos > 0.9) > 0.98
+
+
+def test_sphere_normals_method2_consistency(rng):
+    pts = sphere_cloud(rng, 1500)
+    mask = np.ones(len(pts), bool)
+    res = compute_normals(jnp.asarray(pts), jnp.asarray(mask), radius=0.4, method=2)
+    n = np.asarray(res.normals)
+    radial = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    cos = np.abs((n * radial).sum(1))
+    # LRF z-axis should align with the surface normal direction
+    assert np.mean(cos > 0.9) > 0.95
+
+
+# ---------------------------------------------------------------------------
+# LRF
+# ---------------------------------------------------------------------------
+
+def test_lrf_orthonormal(rng):
+    pts = rng.uniform(-1, 1, size=(1000, 3)).astype(np.float32)
+    mask = np.ones(1000, bool)
+    kp = pts[:20]
+    res = shot_lrf(jnp.asarray(kp), jnp.asarray(np.ones(20, bool)),
+                   jnp.asarray(pts), jnp.asarray(mask), radius=0.7)
+    F = np.asarray(res.frames)
+    assert np.asarray(res.valid).all()
+    for f in F:
+        np.testing.assert_allclose(f @ f.T, np.eye(3), atol=1e-4)
+        # right-handed: y = z cross x
+        np.testing.assert_allclose(np.cross(f[2], f[0]), f[1], atol=1e-4)
+
+
+def test_lrf_rotation_covariance(rng):
+    """Rotating the cloud must rotate the LRF axes accordingly."""
+    pts = rng.uniform(-1, 1, size=(1500, 3)).astype(np.float32)
+    mask = np.ones(len(pts), bool)
+    kp = pts[:10]
+    R = random_rotation(rng).astype(np.float32)
+    res1 = shot_lrf(jnp.asarray(kp), jnp.asarray(np.ones(10, bool)),
+                    jnp.asarray(pts), jnp.asarray(mask), radius=0.6)
+    res2 = shot_lrf(jnp.asarray(kp @ R.T), jnp.asarray(np.ones(10, bool)),
+                    jnp.asarray(pts @ R.T), jnp.asarray(mask), radius=0.6)
+    F1, F2 = np.asarray(res1.frames), np.asarray(res2.frames)
+    np.testing.assert_allclose(F2, F1 @ R.T, rtol=1e-2, atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# SHOT descriptor
+# ---------------------------------------------------------------------------
+
+def full_shot(pts, normals, kp, radius, rng_n=None):
+    mask = np.ones(len(pts), bool)
+    kmask = np.ones(len(kp), bool)
+    lrf = shot_lrf(jnp.asarray(kp), jnp.asarray(kmask),
+                   jnp.asarray(pts), jnp.asarray(mask), radius)
+    nbr = gather_radius_neighbors(jnp.asarray(kp), jnp.asarray(pts),
+                                  jnp.asarray(mask), radius, capacity=len(pts))
+    return shot_descriptor(jnp.asarray(kp), lrf.frames, lrf.valid,
+                           jnp.asarray(pts), jnp.asarray(normals), nbr, radius)
+
+
+def test_shot_basic_properties(rng):
+    pts = sphere_cloud(rng, 1200)
+    normals = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    kp = pts[:16]
+    res = full_shot(pts, normals, kp, radius=0.8)
+    D = np.asarray(res.descriptors)
+    assert D.shape == (16, 352)
+    assert np.asarray(res.valid).all()
+    np.testing.assert_allclose(np.linalg.norm(D, axis=1), 1.0, atol=1e-4)
+    assert np.all(D >= -1e-6)
+
+
+def test_shot_rotation_invariance(rng):
+    """SHOT must be (near-)invariant to rigid rotation of the cloud."""
+    pts = rng.uniform(-1, 1, size=(1500, 3)).astype(np.float32)
+    pts[:, 2] *= 0.3  # break symmetry
+    normals_res = compute_normals(jnp.asarray(pts), jnp.asarray(np.ones(len(pts), bool)),
+                                  radius=0.4, method=1)
+    normals = np.asarray(normals_res.normals)
+    kp = pts[:8]
+    R = random_rotation(rng).astype(np.float32)
+
+    res1 = full_shot(pts, normals, kp, radius=0.7)
+    res2 = full_shot(pts @ R.T, normals @ R.T, kp @ R.T, radius=0.7)
+    D1, D2 = np.asarray(res1.descriptors), np.asarray(res2.descriptors)
+    err = np.linalg.norm(D1 - D2, axis=1)
+    assert np.median(err) < 0.05, f"median rotation error {np.median(err)}"
+
+
+def test_shot_invalid_when_too_few_neighbors(rng):
+    pts = rng.uniform(-1, 1, size=(50, 3)).astype(np.float32)
+    normals = np.tile([0, 0, 1.0], (50, 1)).astype(np.float32)
+    kp = np.array([[100.0, 100.0, 100.0]], np.float32)  # isolated
+    res = full_shot(np.concatenate([pts, kp]), np.concatenate([normals, [[0, 0, 1]]]).astype(np.float32),
+                    kp, radius=0.3)
+    assert not bool(res.valid[0])
+
+
+# ---------------------------------------------------------------------------
+# SHORT_SHOT
+# ---------------------------------------------------------------------------
+
+def test_resolve_bins():
+    assert resolve_bins(32, "auto", 0, 0, 0) == (32, 2, 2, 8)
+    assert resolve_bins(64, "auto", 0, 0, 0) == (64, 2, 4, 8)
+    assert resolve_bins(100, "auto", 0, 0, 0) == (32, 2, 2, 8)  # fallback
+    assert resolve_bins(0, "manual", 3, 2, 4) == (24, 3, 2, 4)
+
+
+def test_short_shot_properties(rng):
+    pts = rng.uniform(-1, 1, size=(1000, 3)).astype(np.float32)
+    mask = np.ones(len(pts), bool)
+    kp = pts[:10]
+    kmask = np.ones(10, bool)
+    lrf = shot_lrf(jnp.asarray(kp), jnp.asarray(kmask), jnp.asarray(pts),
+                   jnp.asarray(mask), 0.5)
+    nbr = gather_radius_neighbors(jnp.asarray(kp), jnp.asarray(pts),
+                                  jnp.asarray(mask), 0.5, capacity=len(pts))
+    res = short_shot_descriptor(jnp.asarray(kp), lrf.frames, lrf.valid,
+                                jnp.asarray(pts), nbr, 0.5)
+    D = np.asarray(res.descriptors)
+    assert D.shape == (10, 32)
+    np.testing.assert_allclose(np.linalg.norm(D, axis=1), 1.0, atol=1e-4)
+
+
+def test_short_shot_weight_conservation(rng):
+    """Each neighbor contributes total weight 1.5 * 3 / ... : primary weights
+    (w_r + w_t + w_p) plus secondaries sum to 3.0 per point when all
+    interpolation targets exist; just check unnormalized sum is sensible by
+    using one point in a known bin."""
+    pts = np.array([[0.0, 0, 0], [0.2, 0.1, 0.05]], np.float32)
+    kp = pts[:1]
+    frames = jnp.asarray(np.eye(3, dtype=np.float32)[None])
+    nbr = gather_radius_neighbors(jnp.asarray(kp), jnp.asarray(pts),
+                                  jnp.asarray(np.ones(2, bool)), 0.5, capacity=2)
+    res = short_shot_descriptor(jnp.asarray(kp), frames,
+                                jnp.asarray(np.ones(1, bool)),
+                                jnp.asarray(pts), nbr, 0.5)
+    D = np.asarray(res.descriptors[0])
+    assert np.isclose(np.linalg.norm(D), 1.0, atol=1e-5)
+    assert (D > 0).sum() >= 1
