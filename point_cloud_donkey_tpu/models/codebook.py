@@ -1,0 +1,428 @@
+"""Codebook: training-time activation + vote learning, and jit-compiled
+detection-time vote casting.
+
+Reference: codebook/codebook.cpp and codebook/codeword_distribution.cpp.
+
+Training (host-orchestrated, heavy kernels in JAX):
+  * Per class, activate every feature against the codeword set with the
+    activation strategy (KNN k-NN over descriptors, codebook.cpp:109-164)
+    and record a vote per (codeword, feature): vote vector = (bbox center -
+    keypoint) rotated INTO the feature's LRF; bbox quat composed with the
+    conjugated frame quat (codeword_distribution.cpp:37-71).
+  * Class sigma: variance of distances between up-to-sqrt(F) class features
+    and their activated codewords (codebook.cpp:94-193; stored as variance).
+  * KNN k=1 cleanup: keep only codewords with exactly one vote
+    ("redundancy-free" pruning, codebook.cpp:201-224).
+  * Center weights: per vote, median over activating features of
+    exp(-dist^2/sigma^2), sigma=0.5, dist = |keypoint + rotateBack(vote) -
+    model_center| (codeword_distribution.cpp:171-243).
+  * Statistical class weights in 9 steps (codebook.cpp:226-365):
+    term1[c] = 1/#codewords voting for class c; term2[w] = 1/#votes of w;
+    term3[c] (per codeword) = share of votes normalized across classes.
+
+Serving state is a set of fixed-shape padded arrays ([C, MV] votes per
+codeword); cast_votes is one jit program: exact kNN matmul + masked weight
+computation + rotate-back, emitting a flat static-capacity vote tensor.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import geometry as geo
+from ..ops.neighbors import knn, descriptor_distance
+from .types import FeatureSet
+
+
+class TrainedCodebook(NamedTuple):
+    """Serving-form codebook arrays (the .ismd-equivalent payload)."""
+    codewords: np.ndarray        # [C, D] descriptor data
+    cw_mask: np.ndarray          # [C]
+    cw_weight: np.ndarray        # [C] codeword weight (uniform 1.0 in reference)
+    cw_position: np.ndarray      # [C, 3] feature position (RANSAC filtering)
+    votes: np.ndarray            # [C, MV, 3] vote vectors (in LRF coords)
+    vote_mask: np.ndarray        # [C, MV]
+    vote_class: np.ndarray       # [C, MV] int32
+    vote_instance: np.ndarray    # [C, MV] int32
+    vote_weight: np.ndarray      # [C, MV] learned center weight (median gauss)
+    class_weight: np.ndarray     # [C, MV] statistical weight for the vote's class
+    bbox_size: np.ndarray        # [C, MV, 3]
+    bbox_quat: np.ndarray        # [C, MV, 4] (already composed with conj(frame))
+    class_sigma: np.ndarray      # [num_classes] variance of feature<->codeword dists
+
+    @property
+    def num_codewords(self) -> int:
+        return int(self.cw_mask.sum())
+
+
+@dataclass
+class CodebookParams:
+    """Codebook + ActivationStrategy parameters
+    (codebook.cpp:32-41, activation_strategy*.h)."""
+    use_class_weight: bool = False
+    use_vote_weight: bool = False
+    use_matching_weight: bool = False
+    use_codeword_weight: bool = False
+    activation_type: str = "KNN"
+    knn_k: int = 1
+    use_distance_ratio: bool = False
+    distance_ratio_threshold: float = 0.8
+    threshold: float = 0.5  # ActivationStrategyThreshold distance
+
+
+# ---------------------------------------------------------------------------
+# training
+# ---------------------------------------------------------------------------
+
+def _gauss_dist(sigma_sqr: np.ndarray, dist: np.ndarray) -> np.ndarray:
+    """gaussDist (codeword_distribution.cpp:23-26): normal pdf with the class
+    *variance* passed straight in as sigma^2."""
+    return (1.0 / np.sqrt(2.0 * np.pi * sigma_sqr)) * np.exp(
+        -(dist ** 2) / (2.0 * sigma_sqr))
+
+
+def activate_knn_batch(descriptors: np.ndarray, codewords: np.ndarray,
+                       k: int, metric: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact k-NN activation for a feature batch (replaces FLANN index
+    queries in activation_strategy_knn.h:42-126)."""
+    c = codewords.shape[0]
+    if c <= k:
+        idx = np.tile(np.arange(c), (descriptors.shape[0], 1))
+        d = np.zeros_like(idx, np.float32)
+        return d, idx
+    dists, idx = knn(jnp.asarray(descriptors), jnp.asarray(codewords),
+                     jnp.ones(c, bool), k=k, metric=metric)
+    return np.asarray(dists), np.asarray(idx)
+
+
+def train_codebook(
+    features_per_model: List[FeatureSet],      # compacted per training model
+    class_per_model: List[int],
+    instance_per_model: List[int],
+    boxes_per_model: List[geo.BoundingBox],    # numpy-backed BoundingBox
+    codeword_data: np.ndarray,                 # [C, D] cluster centers
+    codeword_positions: np.ndarray,            # [C, 3] feature position per codeword
+    params: CodebookParams,
+    metric: str,
+) -> TrainedCodebook:
+    num_models = len(features_per_model)
+    assert num_models == len(class_per_model) == len(boxes_per_model)
+    C = codeword_data.shape[0]
+
+    # --- step 1: activation + vote recording, grouped per class ------------
+    votes_by_cw: Dict[int, list] = {}
+    class_sigmas: Dict[int, float] = {}
+
+    classes = sorted(set(class_per_model))
+    for class_id in classes:
+        model_idx = [i for i, c in enumerate(class_per_model) if c == class_id]
+        num_features = sum(int(features_per_model[i].mask.sum()) for i in model_idx)
+        max_elements = int(math.isqrt(max(num_features, 0)))
+
+        sample_feature_descs: List[np.ndarray] = []
+        sample_cw_descs: List[np.ndarray] = []
+        n_feat_acc = 0
+        n_cw_acc = 0
+
+        for mi in model_idx:
+            fs = features_per_model[mi]
+            box = boxes_per_model[mi]
+            instance_id = instance_per_model[mi]
+            n = fs.descriptors.shape[0]
+            if n == 0:
+                continue
+            dists, idx = activate_knn_batch(fs.descriptors, codeword_data,
+                                            params.knn_k, metric)
+            center = np.asarray(box.position, np.float32)
+            box_quat = np.asarray(box.quat, np.float32)
+            frame_quats = np.stack([
+                np.asarray(geo.matrix_to_quat(jnp.asarray(f))) for f in fs.frames
+            ]) if n else np.zeros((0, 4), np.float32)
+
+            for j in range(n):
+                vote_world = center - fs.positions[j]
+                vote_local = fs.frames[j] @ vote_world
+                # bbox rotated into the feature frame: q_box * conj(q_frame)
+                new_quat = np.asarray(geo.quat_multiply(
+                    jnp.asarray(box_quat),
+                    geo.quat_conjugate(jnp.asarray(frame_quats[j]))))
+                for kk in range(idx.shape[1]):
+                    cw = int(idx[j, kk])
+                    votes_by_cw.setdefault(cw, []).append(dict(
+                        vote=vote_local.astype(np.float32),
+                        class_id=class_id,
+                        instance_id=instance_id,
+                        position=fs.positions[j].astype(np.float32),
+                        frame=fs.frames[j].astype(np.float32),
+                        model_center=center,
+                        bbox_size=np.asarray(box.size, np.float32),
+                        bbox_quat=new_quat.astype(np.float32),
+                    ))
+
+            # accumulate capped samples for the class sigma
+            if n_feat_acc < max_elements:
+                sample_feature_descs.append(np.asarray(fs.descriptors))
+                n_feat_acc += n
+            if n_cw_acc < max_elements:
+                sample_cw_descs.append(codeword_data[idx.reshape(-1)])
+                n_cw_acc += idx.size
+
+        # --- class sigma (variance) over sampled feature x codeword pairs --
+        if sample_feature_descs and sample_cw_descs:
+            fd = np.concatenate(sample_feature_descs, axis=0)
+            cd = np.concatenate(sample_cw_descs, axis=0)
+            d = _all_pairs_distance(fd, cd, metric)
+            num = d.size
+            mean = d.sum() / num
+            var = float(((d - mean) ** 2).sum() / max(num - 1, 1))
+            class_sigmas[class_id] = var
+        else:
+            class_sigmas[class_id] = 1.0
+
+    # --- KNN k=1 / INN cleanup: keep single-vote codewords only ------------
+    clean_up = (params.activation_type == "KNN" and params.knn_k == 1) or \
+               params.activation_type == "INN"
+    if clean_up:
+        votes_by_cw = {cw: v for cw, v in votes_by_cw.items() if len(v) == 1}
+
+    # --- center weights (median gaussians) per codeword --------------------
+    for cw, votes in votes_by_cw.items():
+        _compute_center_weights(votes)
+
+    # --- statistical class weights (9 steps) -------------------------------
+    class_weights_by_cw = _statistical_class_weights(votes_by_cw)
+
+    # --- pack to serving arrays --------------------------------------------
+    used = sorted(votes_by_cw.keys())
+    c_used = len(used)
+    mv = max((len(votes_by_cw[cw]) for cw in used), default=1)
+    D = codeword_data.shape[1]
+    num_classes = (max(classes) + 1) if classes else 1
+
+    out = TrainedCodebook(
+        codewords=np.zeros((max(c_used, 1), D), np.float32),
+        cw_mask=np.zeros(max(c_used, 1), bool),
+        cw_weight=np.ones(max(c_used, 1), np.float32),
+        cw_position=np.zeros((max(c_used, 1), 3), np.float32),
+        votes=np.zeros((max(c_used, 1), mv, 3), np.float32),
+        vote_mask=np.zeros((max(c_used, 1), mv), bool),
+        vote_class=np.zeros((max(c_used, 1), mv), np.int32),
+        vote_instance=np.zeros((max(c_used, 1), mv), np.int32),
+        vote_weight=np.zeros((max(c_used, 1), mv), np.float32),
+        class_weight=np.ones((max(c_used, 1), mv), np.float32),
+        bbox_size=np.zeros((max(c_used, 1), mv, 3), np.float32),
+        bbox_quat=np.zeros((max(c_used, 1), mv, 4), np.float32),
+        class_sigma=np.ones(num_classes, np.float32),
+    )
+    for cid, var in class_sigmas.items():
+        out.class_sigma[cid] = var
+
+    for row, cw in enumerate(used):
+        votes = votes_by_cw[cw]
+        out.codewords[row] = codeword_data[cw]
+        out.cw_mask[row] = True
+        out.cw_position[row] = codeword_positions[cw]
+        cw_class_weights = class_weights_by_cw.get(cw, {})
+        for vi, v in enumerate(votes):
+            out.votes[row, vi] = v["vote"]
+            out.vote_mask[row, vi] = True
+            out.vote_class[row, vi] = v["class_id"]
+            out.vote_instance[row, vi] = v["instance_id"]
+            out.vote_weight[row, vi] = v["weight"]
+            out.class_weight[row, vi] = cw_class_weights.get(v["class_id"], 1.0)
+            out.bbox_size[row, vi] = v["bbox_size"]
+            out.bbox_quat[row, vi] = v["bbox_quat"]
+    return out
+
+
+def _all_pairs_distance(a: np.ndarray, b: np.ndarray, metric: str) -> np.ndarray:
+    from ..ops.neighbors import pairwise_sqdist, chi_square_distance_matrix
+    if metric == "l2":
+        return np.asarray(pairwise_sqdist(jnp.asarray(a), jnp.asarray(b)))
+    return np.asarray(chi_square_distance_matrix(jnp.asarray(a), jnp.asarray(b)))
+
+
+def _compute_center_weights(votes: List[dict]) -> None:
+    """CodewordDistribution::computeWeights (codeword_distribution.cpp:171-243):
+    weight of vote i = median over all activating features j of
+    exp(-|center_ij - model_center_i|^2 / 0.5^2) where center_ij = keypoint_j +
+    rotateBack(vote_i, frame_j)."""
+    sigma = 0.5
+    n = len(votes)
+    vote_vecs = np.stack([v["vote"] for v in votes])           # [n, 3]
+    positions = np.stack([v["position"] for v in votes])       # [n, 3]
+    frames = np.stack([v["frame"] for v in votes])             # [n, 3, 3]
+    centers = np.stack([v["model_center"] for v in votes])     # [n, 3]
+    # world center of vote i through feature j: pos_j + frames_j^T @ vote_i
+    back = np.einsum("jba,ia->ijb", frames, vote_vecs)         # [i, j, 3]
+    world = positions[None, :, :] + back
+    dist = np.linalg.norm(world - centers[:, None, :], axis=2)  # [i, j]
+    weights = np.exp(-(dist ** 2) / (sigma ** 2))
+    medians = np.median(weights, axis=1)
+    # numpy median matches the reference's even/odd midpoint rule
+    for i, v in enumerate(votes):
+        v["weight"] = float(medians[i])
+
+
+def _statistical_class_weights(votes_by_cw: Dict[int, list]) -> Dict[int, Dict[int, float]]:
+    """The 9-step statistical weight computation (codebook.cpp:226-365).
+    Returns {codeword: {class_id: weight}} with weight = term1 * term2 * term3."""
+    # votes per (class, codeword)
+    nvotes_cls_cw: Dict[int, Dict[int, int]] = {}
+    for cw, votes in votes_by_cw.items():
+        for v in votes:
+            c = v["class_id"]
+            nvotes_cls_cw.setdefault(c, {}).setdefault(cw, 0)
+            nvotes_cls_cw[c][cw] += 1
+
+    # number of features a class was learned from = total votes with that class
+    nfeat_cls = {c: sum(m.values()) for c, m in nvotes_cls_cw.items()}
+
+    # sum over classes of (votes in codeword / features of class)
+    sum_cw: Dict[int, float] = {}
+    for c, per_cw in nvotes_cls_cw.items():
+        nf = float(nfeat_cls[c])
+        for cw, nv in per_cw.items():
+            sum_cw[cw] = sum_cw.get(cw, 0.0) + nv / nf
+
+    # term1: 1 / #codewords voting for class
+    ncw_cls: Dict[int, int] = {c: len(per_cw) for c, per_cw in nvotes_cls_cw.items()}
+    term1 = {c: 1.0 / n for c, n in ncw_cls.items()}
+
+    # term2: 1 / #votes of codeword; term3 per (class) in reference is written
+    # into a per-class map while iterating codewords (codebook.cpp:327-341) --
+    # we keep per-(codeword, class) semantics which is what the final product
+    # uses per distribution entry.
+    out: Dict[int, Dict[int, float]] = {}
+    # NOTE: the reference's m_term3 is a per-class map overwritten per
+    # codeword during step 8 and read in step 9 in a separate loop over the
+    # same ordered map, so the value actually used for a codeword's class is
+    # the LAST codeword's term3 for that class (a reference quirk).  We
+    # implement the per-codeword value (the evident intent); with default
+    # configs UseClassWeight=false so this path is off anyway.
+    for cw, votes in votes_by_cw.items():
+        t2 = 1.0 / len(votes)
+        per_class: Dict[int, float] = {}
+        for c in {v["class_id"] for v in votes}:
+            nv = nvotes_cls_cw[c][cw]
+            t3 = (nv / float(nfeat_cls[c])) / sum_cw[cw]
+            per_class[c] = term1[c] * t2 * t3
+        out[cw] = per_class
+    return out
+
+
+# ---------------------------------------------------------------------------
+# detection: cast votes (jit)
+# ---------------------------------------------------------------------------
+
+class CastVotes(NamedTuple):
+    """Flat static-capacity vote tensor for the voting stage.
+    Leading axis = F * k * MV."""
+    position: jnp.ndarray    # [T, 3] voted object center
+    weight: jnp.ndarray      # [T]
+    class_id: jnp.ndarray    # [T]
+    instance_id: jnp.ndarray  # [T]
+    keypoint: jnp.ndarray    # [T, 3] scene keypoint that cast the vote
+    keypoint_training: jnp.ndarray  # [T, 3] codeword's training feature position
+    bbox_size: jnp.ndarray   # [T, 3]
+    bbox_quat: jnp.ndarray   # [T, 4]
+    valid: jnp.ndarray       # [T]
+
+
+def cast_votes(
+    cb: TrainedCodebook,         # arrays may be np or jnp (weak-type ok)
+    descriptors: jnp.ndarray,    # [F, D]
+    positions: jnp.ndarray,      # [F, 3]
+    frames: jnp.ndarray,         # [F, 3, 3]
+    f_mask: jnp.ndarray,         # [F]
+    params: CodebookParams,
+    metric: str,
+) -> CastVotes:
+    """Codebook::castVotes (codebook.cpp:403-555) +
+    CodewordDistribution::castVotes (codeword_distribution.cpp:73-167) as one
+    static-shape program."""
+    k = params.knn_k
+    search_k = k + 1 if (params.use_distance_ratio and k == 1) else k
+    cw = jnp.asarray(cb.codewords)
+    dists, idx = knn(descriptors, cw, jnp.asarray(cb.cw_mask),
+                     k=min(search_k, cw.shape[0]), metric=metric)
+
+    keep = jnp.ones((descriptors.shape[0], k), bool)
+    if params.use_distance_ratio and k == 1 and dists.shape[1] >= 2:
+        ratio_bad = dists[:, 0] / jnp.maximum(dists[:, 1], 1e-30) \
+            > params.distance_ratio_threshold
+        keep = (~ratio_bad)[:, None]
+    dists = dists[:, :k]
+    idx = idx[:, :k]
+    keep = keep & f_mask[:, None]
+
+    # NOTE (parity): the reference dedups (codeword, feature) pairs via the
+    # featureIndices map (codebook.cpp:529-536); k-NN never returns duplicate
+    # indices for one feature, and distinct features voting through the same
+    # codeword are all kept there too, so behavior matches.
+
+    # gather per-activation vote blocks: [F, k, MV, ...]
+    votes = jnp.asarray(cb.votes)[idx]            # [F, k, MV, 3]
+    v_mask = jnp.asarray(cb.vote_mask)[idx]       # [F, k, MV]
+    v_class = jnp.asarray(cb.vote_class)[idx]
+    v_inst = jnp.asarray(cb.vote_instance)[idx]
+    v_weight = jnp.asarray(cb.vote_weight)[idx]
+    v_clsw = jnp.asarray(cb.class_weight)[idx]
+    b_size = jnp.asarray(cb.bbox_size)[idx]
+    b_quat = jnp.asarray(cb.bbox_quat)[idx]
+    cw_w = jnp.asarray(cb.cw_weight)[idx]         # [F, k]
+    cw_pos = jnp.asarray(cb.cw_position)[idx]     # [F, k, 3]
+
+    sigma = jnp.asarray(cb.class_sigma)[v_class]  # [F, k, MV] (variance)
+    dist = dists[:, :, None]                      # [F, k, 1]
+
+    matching_w = (1.0 / jnp.sqrt(2.0 * jnp.pi * sigma)) * jnp.exp(
+        -(dist ** 2) / (2.0 * sigma))
+
+    weight = jnp.ones_like(sigma)
+    if params.use_class_weight:
+        weight = weight * v_clsw
+    if params.use_vote_weight:
+        weight = weight * v_weight
+    if params.use_matching_weight:
+        weight = weight * matching_w
+    if params.use_codeword_weight:
+        weight = weight * cw_w[:, :, None]
+
+    # the 2-sigma gate (codeword_distribution.cpp:131-135) and epsilon cut
+    gate = jnp.abs(dist) <= 2.0 * sigma
+    eps = jnp.finfo(jnp.float32).eps
+    valid = v_mask & keep[:, :, None] & gate & (weight >= eps)
+
+    # vote position: keypoint + rotateBack(vote, scene frame)
+    back = jnp.einsum("fji,fkmj->fkmi", frames, votes)   # frames^T @ vote
+    center = positions[:, None, None, :] + back
+
+    # bbox quat composed back with the scene frame quat
+    frame_quat = jax.vmap(geo.matrix_to_quat)(frames)    # [F, 4]
+    out_quat = geo.quat_multiply(b_quat, frame_quat[:, None, None, :])
+
+    F = descriptors.shape[0]
+    MV = votes.shape[2]
+    T = F * k * MV
+
+    def flat(x):
+        return x.reshape((T,) + x.shape[3:])
+
+    return CastVotes(
+        position=flat(center),
+        weight=flat(weight),
+        class_id=flat(v_class),
+        instance_id=flat(v_inst),
+        keypoint=flat(jnp.broadcast_to(positions[:, None, None, :], (F, k, MV, 3))),
+        keypoint_training=flat(jnp.broadcast_to(cw_pos[:, :, None, :], (F, k, MV, 3))),
+        bbox_size=flat(b_size),
+        bbox_quat=flat(out_quat),
+        valid=flat(valid),
+    )

@@ -1,0 +1,290 @@
+"""Feature extraction pipeline: normals -> keypoints -> LRFs -> descriptors.
+
+Mirrors ImplicitShapeModel::computeFeatures (implicit_shape_model.cpp:733-927)
++ Features::operator() (features/features.cpp:40-116):
+  * normals are skipped when the cloud has them or the descriptor doesn't
+    need them (SHORT_SHOT family, implicit_shape_model.cpp:852-867);
+  * keypoints from the configured detector;
+  * LRFs at keypoints; keypoints with invalid LRFs are discarded
+    (features.cpp:64-81);
+  * local descriptors at keypoints; global descriptors over the whole cloud
+    with radius = cloud radius (features_short_shot_global.cpp:45).
+
+TPU structure: each stage is a jitted static-shape program cached per
+(bucket sizes, descriptor config); the host only compacts/pads between
+stages.  Descriptor types are a registry keyed by the reference's `Type`
+strings (features/features_factory.h:48-110).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, replace
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import geometry as geo
+from ..ops.lrf import shot_lrf
+from ..ops.neighbors import gather_radius_neighbors
+from ..ops.normals import compute_normals
+from ..ops.shot import shot_descriptor
+from ..ops.short_shot import short_shot_descriptor, resolve_bins
+from ..ops.voxel_grid import voxel_grid
+from ..utils.config import ComponentConfig
+from .types import FeatureSet, make_feature_set
+
+
+def bucket_size(n: int, minimum: int = 256) -> int:
+    """Round up to the next power of two (bounded below) so jit programs are
+    reused across clouds of similar size."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """Static descriptor configuration (hashable: keys jit caches)."""
+    type: str = "SHOT"
+    radius: float = 0.1
+    ref_frame_radius: float = 0.2
+    ref_frame_type: str = "SHOT"
+    # SHORT_SHOT extras (features_short_shot.cpp:23-31)
+    short_shot_dims: int = 32
+    short_shot_bin_type: str = "auto"
+    short_shot_r_bins: int = 2
+    short_shot_e_bins: int = 2
+    short_shot_a_bins: int = 8
+    short_shot_log_radius: bool = False
+    short_shot_min_radius: float = 0.0
+    use_min_radius: bool = False
+    # TPU capacity knobs (not part of the reference schema)
+    neighbor_capacity: int = 2048
+
+    @classmethod
+    def from_config(cls, cfg: ComponentConfig) -> "FeatureConfig":
+        return cls(
+            type=cfg.type or "SHOT",
+            radius=cfg.get("Radius", 0.1),
+            ref_frame_radius=cfg.get("ReferenceFrameRadius", 0.2),
+            ref_frame_type=cfg.get("ReferenceFrameType", "SHOT"),
+            short_shot_dims=cfg.get("ShortShotDims", 32),
+            short_shot_bin_type=cfg.get("ShortShotBinType", "auto"),
+            short_shot_r_bins=cfg.get("ShortShotRBins", 2),
+            short_shot_e_bins=cfg.get("ShortShotEBins", 2),
+            short_shot_a_bins=cfg.get("ShortShotABins", 8),
+            short_shot_log_radius=cfg.get("ShortShotLogRadius", False),
+            short_shot_min_radius=cfg.get("ShortShotMinRadius", 0.0),
+            use_min_radius=cfg.get("UseMinRadius", False),
+            neighbor_capacity=cfg.get("TpuNeighborCapacity", 2048),
+        )
+
+    def needs_normals(self) -> bool:
+        return self.type not in ("SHORT_SHOT", "SHORT_CSHOT", "SHORT_SHOT_PCL",
+                                 "Dummy")
+
+    def descriptor_dim(self) -> int:
+        if self.type in ("SHOT", "SHOT_GLOBAL"):
+            return 352
+        if self.type in ("CSHOT", "CSHOT_GLOBAL"):
+            return 1344
+        if self.type in ("SHORT_SHOT", "SHORT_SHOT_GLOBAL"):
+            dims, _, _, _ = resolve_bins(
+                self.short_shot_dims, self.short_shot_bin_type,
+                self.short_shot_r_bins, self.short_shot_e_bins,
+                self.short_shot_a_bins)
+            return dims
+        if self.type == "Dummy":
+            return 1
+        raise ValueError(f"unsupported descriptor type {self.type!r}")
+
+
+# ---------------------------------------------------------------------------
+# jitted stages (cached per static config)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _normals_stage(n: int, radius: float, method: int):
+    @jax.jit
+    def run(points, mask):
+        return compute_normals(points, mask, radius, method)
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _keypoint_stage(n: int, leaf: float, capacity: int):
+    @jax.jit
+    def run(points, mask):
+        return voxel_grid(points, mask, leaf, capacity=capacity)
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _descriptor_stage(n: int, k: int, fcfg: FeatureConfig):
+    min_radius = 0.0
+    if fcfg.type.startswith("SHORT_SHOT"):
+        if fcfg.use_min_radius:
+            min_radius = fcfg.radius * fcfg.short_shot_min_radius
+        elif fcfg.short_shot_log_radius:
+            min_radius = fcfg.radius * 0.1
+        _, rb, eb, ab = resolve_bins(
+            fcfg.short_shot_dims, fcfg.short_shot_bin_type,
+            fcfg.short_shot_r_bins, fcfg.short_shot_e_bins, fcfg.short_shot_a_bins)
+
+    cap = min(fcfg.neighbor_capacity, n)
+
+    @jax.jit
+    def run(keypoints, kp_mask, points, mask, normals, radius, frame_radius):
+        lrf = shot_lrf(keypoints, kp_mask, points, mask, frame_radius)
+        nbr = gather_radius_neighbors(keypoints, points, mask, radius, cap)
+        if fcfg.type in ("SHOT", "SHOT_GLOBAL"):
+            res = shot_descriptor(keypoints, lrf.frames, lrf.valid,
+                                  points, normals, nbr, radius)
+        elif fcfg.type in ("SHORT_SHOT", "SHORT_SHOT_GLOBAL"):
+            res = short_shot_descriptor(keypoints, lrf.frames, lrf.valid,
+                                        points, nbr, radius,
+                                        rb, eb, ab, min_radius,
+                                        fcfg.short_shot_log_radius)
+        else:
+            raise ValueError(f"unsupported descriptor type {fcfg.type!r}")
+        return res.descriptors, res.valid, lrf.frames, lrf.valid
+    return run
+
+
+# ---------------------------------------------------------------------------
+# host orchestration
+# ---------------------------------------------------------------------------
+
+def pad_cloud(xyz: np.ndarray, bucket: Optional[int] = None
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    n = len(xyz)
+    b = bucket or bucket_size(n)
+    pts = np.zeros((b, 3), np.float32)
+    pts[:n] = xyz
+    # park padding far away so it can never enter a radius window even
+    # unmasked (defense in depth; all ops are mask-aware anyway)
+    pts[n:] = 1e9
+    mask = np.zeros(b, bool)
+    mask[:n] = True
+    return pts, mask
+
+
+def extract_local_features(
+    xyz: np.ndarray,                    # [N, 3] clean points (no NaN)
+    normals: Optional[np.ndarray],      # [N, 3] or None -> computed
+    fcfg: FeatureConfig,
+    keypoint_cfg: ComponentConfig,
+    normal_radius: float,
+    consistent_normals_method: int,
+) -> FeatureSet:
+    """Local feature pipeline for one cloud.  Returns a compacted FeatureSet."""
+    pts, mask = pad_cloud(xyz)
+    n = pts.shape[0]
+    pts_j, mask_j = jnp.asarray(pts), jnp.asarray(mask)
+
+    # normals
+    if fcfg.needs_normals():
+        if normals is not None and len(normals) == len(xyz):
+            nrm = np.zeros((n, 3), np.float32)
+            nrm[:len(xyz)] = normals
+            nrm_j = jnp.asarray(nrm)
+        else:
+            nres = _normals_stage(n, float(normal_radius),
+                                  int(consistent_normals_method))(pts_j, mask_j)
+            nrm_j = nres.normals
+    else:
+        nrm_j = jnp.zeros((n, 3), jnp.float32)
+
+    # keypoints
+    kp_type = keypoint_cfg.type or "VoxelGrid"
+    if kp_type in ("VoxelGrid", "VoxelGridCulling"):
+        leaf = keypoint_cfg.get("LeafSize", 0.1)
+        kres = _keypoint_stage(n, float(leaf), n)(pts_j, mask_j)
+    else:
+        raise ValueError(f"unsupported keypoint type {kp_type!r}")
+
+    kp_all = np.asarray(kres.centroids)
+    kp_m = np.asarray(kres.mask)
+    kp = kp_all[kp_m]
+    k_bucket = bucket_size(len(kp), minimum=64)
+    kp_pad = np.zeros((k_bucket, 3), np.float32)
+    kp_pad[:len(kp)] = kp
+    kp_pad[len(kp):] = 1e9
+    kp_mask = np.zeros(k_bucket, bool)
+    kp_mask[:len(kp)] = True
+
+    desc, d_valid, frames, f_valid = _descriptor_stage(n, k_bucket, fcfg)(
+        jnp.asarray(kp_pad), jnp.asarray(kp_mask), pts_j, mask_j, nrm_j,
+        jnp.asarray(fcfg.radius, jnp.float32),
+        jnp.asarray(fcfg.ref_frame_radius, jnp.float32))
+
+    desc = np.asarray(desc)
+    d_valid = np.asarray(d_valid)
+    frames = np.asarray(frames)
+
+    # NaN-descriptor removal (removeNaNFeatures, implicit_shape_model.cpp:1276-1308)
+    finite = np.all(np.isfinite(desc), axis=1)
+    keep = d_valid & finite & kp_mask
+
+    centroid = xyz.mean(axis=0)
+    center_dist = np.linalg.norm(kp_pad - centroid, axis=1)
+
+    fs = make_feature_set(desc, kp_pad, frames, keep, center_dist)
+    return fs.compact()
+
+
+def extract_global_features(
+    xyz: np.ndarray,
+    normals: Optional[np.ndarray],
+    fcfg: FeatureConfig,
+    normal_radius: float,
+    consistent_normals_method: int,
+) -> FeatureSet:
+    """Global descriptor over the whole cloud.  The *_GLOBAL descriptors are
+    the local descriptor computed at the centroid with radius = cloud radius
+    (features_short_shot_global.cpp:45, features.cpp *_global variants)."""
+    if fcfg.type == "Dummy":
+        return make_feature_set(
+            np.zeros((0, 1), np.float32), np.zeros((0, 3), np.float32),
+            np.zeros((0, 3, 3), np.float32), np.zeros(0, bool))
+
+    pts, mask = pad_cloud(xyz)
+    n = pts.shape[0]
+    pts_j, mask_j = jnp.asarray(pts), jnp.asarray(mask)
+
+    centroid = xyz.mean(axis=0).astype(np.float32)
+    radius = float(np.linalg.norm(xyz - centroid, axis=1).max())
+
+    if fcfg.needs_normals():
+        if normals is not None and len(normals) == len(xyz):
+            nrm = np.zeros((n, 3), np.float32)
+            nrm[:len(xyz)] = normals
+            nrm_j = jnp.asarray(nrm)
+        else:
+            nres = _normals_stage(n, float(normal_radius),
+                                  int(consistent_normals_method))(pts_j, mask_j)
+            nrm_j = nres.normals
+    else:
+        nrm_j = jnp.zeros((n, 3), jnp.float32)
+
+    kp = np.full((64, 3), 1e9, np.float32)
+    kp[0] = centroid
+    kp_mask = np.zeros(64, bool)
+    kp_mask[0] = True
+
+    # radius is dynamic (cloud radius) -> passed as a traced scalar
+    desc, d_valid, frames, f_valid = _descriptor_stage(n, 64, fcfg)(
+        jnp.asarray(kp), jnp.asarray(kp_mask), pts_j, mask_j, nrm_j,
+        jnp.asarray(radius, jnp.float32),
+        jnp.asarray(fcfg.ref_frame_radius, jnp.float32))
+
+    desc = np.asarray(desc)[:1]
+    valid = np.asarray(d_valid)[:1] & np.all(np.isfinite(desc), axis=1)
+    fs = make_feature_set(
+        desc, kp[:1], np.asarray(frames)[:1], valid,
+        np.zeros(1, np.float32), np.full(1, radius, np.float32))
+    return fs.compact()

@@ -1,0 +1,334 @@
+"""ImplicitShapeModel orchestrator: end-to-end train / detect.
+
+Reference: src/implicit_shape_model/implicit_shape_model.{h,cpp}.
+
+train() (implicit_shape_model.cpp:252-500): per model -> load -> bbox
+(MVBB/AABB) -> features + global features -> label injection -> [SVM] ->
+forward boxes/radii + global features to voting -> feature ranking ->
+clustering -> codewords -> FLANN index -> codebook activation.
+
+detect() (implicit_shape_model.cpp:583-712): NaN filter -> normals check ->
+features -> codebook castVotes -> Voting::findMaxima -> maxima.
+
+Model persistence: the reference writes a JSON `.ism` + binary `.ismd`
+(boost archive) (utils/json_object.cpp:41-95); here the trained state is the
+same `.ism` JSON plus an `.ismd.npz` numpy archive.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import geometry as geo
+from ..utils.config import ComponentConfig, IsmConfig
+from ..utils.io import PointCloud, load_cloud
+from .codebook import (CastVotes, CodebookParams, TrainedCodebook, cast_votes,
+                       train_codebook)
+from .features import (FeatureConfig, extract_global_features,
+                       extract_local_features)
+from .types import FeatureSet, make_feature_set
+from .voting import (VotingMaximum, VotingParams, filter_maxima, find_maxima,
+                     normalize_weights, select_maxima)
+
+
+def _voting_params(cfg: ComponentConfig) -> VotingParams:
+    return VotingParams(
+        min_threshold=cfg.get("MinThreshold", 0.0),
+        min_votes_threshold=cfg.get("MinVotesThreshold", 1),
+        best_k=cfg.get("BestK", -1),
+        average_rotation=cfg.get("AverageRotation", False),
+        radius_type=cfg.get("BinOrBandwidthType", "Config"),
+        radius_factor=cfg.get("BinOrBandwidthFactor", 1.0),
+        max_filter_type=cfg.get("MaxFilterType", "None"),
+        single_object_max_type=cfg.get("SingleObjectMaxType", "Default"),
+        single_object_mode=cfg.get("SingleObjectMode", False),
+        bandwidth=cfg.get("Bandwidth", 0.2),
+        threshold=cfg.get("Threshold", 1e-3),
+        max_iter=cfg.get("MaxIter", 1000),
+        kernel=cfg.get("Kernel", "Gaussian"),
+        maxima_suppression=cfg.get("MaximaSuppression", "Average"),
+        use_global_features=cfg.get("UseGlobalFeatures", False),
+        global_feature_method=cfg.get("GlobalFeaturesStrategy", "KNN"),
+        k_global_features=cfg.get("GlobalFeaturesK", 1),
+        merge_function=cfg.get("GlobalFeatureInfluenceType", 3),
+        min_svm_score=cfg.get("GlobalParamMinSvmScore", 0.70),
+        rate_limit=cfg.get("GlobalParamRateLimit", 0.60),
+        weight_factor=cfg.get("GlobalParamWeightFactor", 1.5),
+        global_min_points=cfg.get("GlobalFeatureMinPoints", 500),
+        use_ransac=cfg.get("RansacVoteFiltering", False),
+        ransac_refine=cfg.get("RansacRefineModel", False),
+        ransac_inlier_threshold=cfg.get("RansacInlierThreshold", 0.1),
+        ransac_inlier_threshold_type=cfg.get("RansacInlierThresholdType", "Fixed"),
+    )
+
+
+def _codebook_params(cfg: ComponentConfig) -> CodebookParams:
+    act = cfg.child("ActivationStrategy")
+    return CodebookParams(
+        use_class_weight=cfg.get("UseClassWeight", False),
+        use_vote_weight=cfg.get("UseVoteWeight", False),
+        use_matching_weight=cfg.get("UseMatchingWeight", False),
+        use_codeword_weight=cfg.get("UseCodewordWeight", False),
+        activation_type=act.type or "KNN",
+        knn_k=act.get("K", 1),
+        use_distance_ratio=act.get("UseDistanceRatio", False),
+        distance_ratio_threshold=act.get("DistanceRatioThreshold", 0.8),
+        threshold=act.get("Threshold", 0.5),
+    )
+
+
+@dataclass
+class TrainedState:
+    codebook: TrainedCodebook
+    dims_map: Dict[int, Tuple[float, float]]       # class -> (radius, bbox median)
+    variance_map: Dict[int, Tuple[float, float]]
+    instance_to_class: Dict[int, int] = field(default_factory=dict)
+    # global features from training, for the verification classifier
+    global_descriptors: Optional[np.ndarray] = None  # [G, Dg]
+    global_classes: Optional[np.ndarray] = None      # [G]
+    global_instances: Optional[np.ndarray] = None    # [G]
+    global_radii: Optional[np.ndarray] = None        # [G]
+
+
+class ImplicitShapeModel:
+    """The orchestrator.  Construct, read a config, add training models,
+    train() or detect()."""
+
+    def __init__(self, config: Optional[IsmConfig] = None):
+        self.config = config or IsmConfig.from_json({"ObjectConfig": {}})
+        self.state: Optional[TrainedState] = None
+        self._training: List[Tuple[str, int, int]] = []  # (file, class, inst)
+        self.processing_times: Dict[str, float] = {
+            k: 0.0 for k in ("complete", "features", "keypoints", "normals",
+                             "flann", "voting", "maxima")}
+        self._cast_cache = {}
+
+    # -- config-derived accessors -------------------------------------------
+    @property
+    def root(self) -> ComponentConfig:
+        return self.config.root
+
+    @property
+    def metric(self) -> str:
+        dist = self.root.get("DistanceType", "Euclidean")
+        return "chisq" if dist == "ChiSquared" else "l2"
+
+    def _feature_cfg(self) -> FeatureConfig:
+        return FeatureConfig.from_config(self.config.child("Features"))
+
+    def _global_feature_cfg(self) -> FeatureConfig:
+        return FeatureConfig.from_config(self.config.child("GlobalFeatures"))
+
+    # -- training ------------------------------------------------------------
+    def add_training_model(self, filename: str, class_id: int, instance_id: int):
+        self._training.append((filename, class_id, instance_id))
+
+    def train(self) -> None:
+        fcfg = self._feature_cfg()
+        gcfg = self._global_feature_cfg()
+        kp_cfg = self.config.child("Keypoints")
+        normal_radius = self.root.get("NormalRadius", 0.05)
+        cn_method = self.root.get("ConsistentNormalsMethod", 2)
+        bb_type = self.root.get("BoundingBoxType", "MVBB")
+
+        features_per_model: List[FeatureSet] = []
+        class_per_model: List[int] = []
+        instance_per_model: List[int] = []
+        boxes_per_model: List[geo.BoundingBox] = []
+        radii_per_model: List[float] = []
+        global_feats: List[Tuple[FeatureSet, int, int]] = []
+
+        for filename, class_id, instance_id in self._training:
+            cloud = load_cloud(filename).remove_nan()
+            xyz = cloud.xyz
+            normals = cloud.normals if cloud.has_normals() else None
+
+            pts_j = jnp.asarray(xyz)
+            m_j = jnp.ones(len(xyz), bool)
+            if bb_type == "MVBB":
+                box = geo.compute_mvbb(pts_j, m_j)
+            else:
+                box = geo.compute_aabb(pts_j, m_j)
+            box = geo.BoundingBox(np.asarray(box.position), np.asarray(box.size),
+                                  np.asarray(box.quat))
+            radius = float(geo.cloud_radius(pts_j, m_j))
+
+            fs = extract_local_features(xyz, normals, fcfg, kp_cfg,
+                                        normal_radius, cn_method)
+            features_per_model.append(fs)
+            class_per_model.append(class_id)
+            instance_per_model.append(instance_id)
+            boxes_per_model.append(box)
+            radii_per_model.append(radius)
+
+            gfs = extract_global_features(xyz, normals, gcfg,
+                                          normal_radius, cn_method)
+            global_feats.append((gfs, class_id, instance_id))
+
+        # feature ranking: Uniform keeps everything (ranking_uniform.h:19-22)
+        # TODO: NaiveBayes/Incremental/KnnActivation/Strangeness/Similarity
+
+        # clustering: None -> every feature is a codeword
+        # (clustering_none.cpp:37-44); cluster centers ordered class-by-class
+        clustering_type = self.config.child("Clustering").type or "None"
+        if clustering_type != "None":
+            raise NotImplementedError(
+                f"clustering type {clustering_type!r} lands in a later stage")
+        order = sorted(range(len(features_per_model)),
+                       key=lambda i: class_per_model[i])
+        all_desc = np.concatenate(
+            [features_per_model[i].descriptors for i in order], axis=0)
+        all_pos = np.concatenate(
+            [features_per_model[i].positions for i in order], axis=0)
+
+        cb_params = _codebook_params(self.config.child("Codebook"))
+        codebook = train_codebook(
+            [features_per_model[i] for i in order],
+            [class_per_model[i] for i in order],
+            [instance_per_model[i] for i in order],
+            [boxes_per_model[i] for i in order],
+            all_desc, all_pos, cb_params, self.metric)
+
+        # forwardBoxesAndRadii (voting.cpp:497-551): per-class mean object
+        # radius and mean median-bbox-dimension (+ variances)
+        dims_map: Dict[int, Tuple[float, float]] = {}
+        var_map: Dict[int, Tuple[float, float]] = {}
+        for cid in sorted(set(class_per_model)):
+            idxs = [i for i, c in enumerate(class_per_model) if c == cid]
+            meds, rads = [], []
+            for i in idxs:
+                size = np.asarray(boxes_per_model[i].size)
+                meds.append(float(np.median(size)))
+                rads.append(radii_per_model[i])
+            meds, rads = np.array(meds), np.array(rads)
+            dims_map[cid] = (float(rads.mean()), float(meds.mean()))
+            var_map[cid] = (float((rads ** 2).mean() - rads.mean() ** 2),
+                            float((meds ** 2).mean() - meds.mean() ** 2))
+
+        g_desc, g_cls, g_inst, g_rad = [], [], [], []
+        for gfs, cid, iid in global_feats:
+            if gfs.descriptors.shape[0]:
+                g_desc.append(gfs.descriptors)
+                g_cls.extend([cid] * gfs.descriptors.shape[0])
+                g_inst.extend([iid] * gfs.descriptors.shape[0])
+                g_rad.extend(gfs.global_radius.tolist())
+
+        self.state = TrainedState(
+            codebook=codebook,
+            dims_map=dims_map,
+            variance_map=var_map,
+            global_descriptors=np.concatenate(g_desc, 0) if g_desc else None,
+            global_classes=np.array(g_cls, np.int32) if g_desc else None,
+            global_instances=np.array(g_inst, np.int32) if g_desc else None,
+            global_radii=np.array(g_rad, np.float32) if g_desc else None,
+        )
+
+    # -- detection -----------------------------------------------------------
+    def detect_file(self, filename: str) -> Tuple[List[VotingMaximum], Dict[str, float]]:
+        cloud = load_cloud(filename).remove_nan()
+        normals = cloud.normals if cloud.has_normals() else None
+        return self.detect(cloud.xyz, normals)
+
+    def detect(self, xyz: np.ndarray, normals: Optional[np.ndarray] = None
+               ) -> Tuple[List[VotingMaximum], Dict[str, float]]:
+        assert self.state is not None, "not trained / loaded"
+        t0 = time.perf_counter()
+        fcfg = self._feature_cfg()
+        kp_cfg = self.config.child("Keypoints")
+        vparams = _voting_params(self.config.child("Voting"))
+        cb_params = _codebook_params(self.config.child("Codebook"))
+
+        t_feat = time.perf_counter()
+        fs = extract_local_features(
+            xyz, normals, fcfg, kp_cfg,
+            self.root.get("NormalRadius", 0.05),
+            self.root.get("ConsistentNormalsMethod", 2))
+        self.processing_times["features"] += time.perf_counter() - t_feat
+
+        t_vote = time.perf_counter()
+        votes = cast_votes(
+            self.state.codebook,
+            jnp.asarray(fs.descriptors), jnp.asarray(fs.positions),
+            jnp.asarray(fs.frames), jnp.asarray(fs.mask),
+            cb_params, self.metric)
+        votes = jax.tree_util.tree_map(np.asarray, votes)
+        self.processing_times["voting"] += time.perf_counter() - t_vote
+
+        t_max = time.perf_counter()
+        pts_pad = xyz.astype(np.float32)
+        mask = np.ones(len(xyz), bool)
+        maxima = find_maxima(votes, pts_pad, mask, vparams, self.state.dims_map)
+
+        # TODO: global-feature verification hooks in here (classifier stage)
+
+        if not vparams.single_object_mode:
+            maxima = filter_maxima(maxima, vparams, self.state.dims_map)
+
+        maxima = sorted(maxima, key=lambda m: -m.weight)
+        normalize_weights(maxima)
+        maxima = select_maxima(maxima, vparams)
+        self.processing_times["maxima"] += time.perf_counter() - t_max
+        self.processing_times["complete"] += time.perf_counter() - t0
+        return maxima, dict(self.processing_times)
+
+    # -- persistence ----------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Write `<path>` (.ism JSON config) + `<path>d.npz` (trained data),
+        mirroring the reference's file pairing (utils/json_object.cpp:41-95)."""
+        self.config.save(path)
+        if self.state is None:
+            return
+        cb = self.state.codebook
+        arrays = {f"cb_{k}": v for k, v in cb._asdict().items()}
+        arrays["dims_keys"] = np.array(sorted(self.state.dims_map.keys()), np.int32)
+        arrays["dims_vals"] = np.array(
+            [self.state.dims_map[k] for k in sorted(self.state.dims_map.keys())],
+            np.float32)
+        arrays["var_vals"] = np.array(
+            [self.state.variance_map[k] for k in sorted(self.state.variance_map.keys())],
+            np.float32)
+        if self.state.instance_to_class:
+            items = sorted(self.state.instance_to_class.items())
+            arrays["inst2cls"] = np.array(items, np.int32)
+        if self.state.global_descriptors is not None:
+            arrays["glob_desc"] = self.state.global_descriptors
+            arrays["glob_cls"] = self.state.global_classes
+            arrays["glob_inst"] = self.state.global_instances
+            arrays["glob_rad"] = self.state.global_radii
+        np.savez_compressed(path + "d.npz", **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "ImplicitShapeModel":
+        ism = cls(IsmConfig.load(path))
+        import os
+        data_path = path + "d.npz"
+        if os.path.exists(data_path):
+            z = np.load(data_path, allow_pickle=False)
+            cb = TrainedCodebook(**{
+                k[3:]: z[k] for k in z.files if k.startswith("cb_")})
+            dims_keys = z["dims_keys"]
+            dims_vals = z["dims_vals"]
+            var_vals = z["var_vals"]
+            state = TrainedState(
+                codebook=cb,
+                dims_map={int(k): (float(v[0]), float(v[1]))
+                          for k, v in zip(dims_keys, dims_vals)},
+                variance_map={int(k): (float(v[0]), float(v[1]))
+                              for k, v in zip(dims_keys, var_vals)},
+            )
+            if "inst2cls" in z.files:
+                state.instance_to_class = {int(a): int(b) for a, b in z["inst2cls"]}
+            if "glob_desc" in z.files:
+                state.global_descriptors = z["glob_desc"]
+                state.global_classes = z["glob_cls"]
+                state.global_instances = z["glob_inst"]
+                state.global_radii = z["glob_rad"]
+            ism.state = state
+        return ism

@@ -1,0 +1,372 @@
+"""Voting: vote-space maxima search and hypothesis assembly.
+
+Reference: voting/voting.cpp (driver), voting/voting_mean_shift.cpp (continuous
+space), voting/maxima_handler.cpp (post-processing).
+
+Flow per class (Voting::findMaxima, voting.cpp:79-328):
+  1. iFindMaxima (mean-shift): seeds -> converge -> densities -> average ->
+     suppress -> per-maximum density with sequential vote reweighting.
+  2. Optional RANSAC vote filtering (not in the default configs; host-side).
+  3. Per maximum: instance-id weight accumulation, bbox weighted average,
+     optional quaternion averaging, weight = cluster density.
+  4. Cross-class maxima filtering (None/Simple/Merge), weight normalization,
+     min-threshold (negative = relative to best), best-k cut.
+
+Single-object mode (voting_mean_shift.cpp:76-156): with max type DEFAULT the
+full mean-shift still runs; with BANDWIDTH / MODEL_RADIUS / VOTING_SPACE the
+single maximum is the cloud centroid and only the density bandwidth changes.
+
+The class loop is host-side (few dozen classes); each class's heavy kernels
+(seeding, mean-shift, densities) are jit programs from ops/mean_shift.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import geometry as geo
+from ..ops import mean_shift as ms
+from .codebook import CastVotes
+
+
+@dataclass
+class VotingParams:
+    """Voting parameters (voting/voting.cpp:28-50 + voting_mean_shift.cpp:22-26)."""
+    min_threshold: float = 0.0
+    min_votes_threshold: int = 1
+    best_k: int = -1
+    average_rotation: bool = False
+    radius_type: str = "Config"        # BinOrBandwidthType
+    radius_factor: float = 1.0
+    max_filter_type: str = "None"
+    single_object_max_type: str = "Default"
+    single_object_mode: bool = False
+    bandwidth: float = 0.2
+    threshold: float = 1e-3
+    max_iter: int = 1000
+    kernel: str = "Gaussian"
+    maxima_suppression: str = "Average"
+    # global feature verification (wired in a later stage)
+    use_global_features: bool = False
+    global_feature_method: str = "KNN"
+    k_global_features: int = 1
+    merge_function: int = 3
+    min_svm_score: float = 0.70
+    rate_limit: float = 0.60
+    weight_factor: float = 1.5
+    global_min_points: int = 500
+    # ransac vote filtering
+    use_ransac: bool = False
+    ransac_refine: bool = False
+    ransac_inlier_threshold: float = 0.1
+    ransac_inlier_threshold_type: str = "Fixed"
+    # capacities (TPU static shapes)
+    seed_capacity: int = 1024
+    max_maxima: int = 64
+
+
+@dataclass
+class VotingMaximum:
+    """One detection hypothesis (voting/voting_maximum.h:51-88)."""
+    class_id: int = 0
+    instance_id: int = 0
+    position: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    weight: float = 0.0
+    instance_weight: float = 0.0
+    bb_size: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    bb_quat: np.ndarray = field(default_factory=lambda: np.array([1, 0, 0, 0], np.float32))
+    num_votes: int = 0
+    vote_indices: Optional[np.ndarray] = None  # indices into the class vote list
+    # global-classifier hypothesis (classifier stage)
+    glob_class_id: int = -1
+    glob_class_weight: float = 0.0
+    glob_instance_id: int = -1
+    glob_instance_weight: float = 0.0
+
+
+def get_search_dist(class_id: int, params: VotingParams,
+                    dims_map: Dict[int, Tuple[float, float]]) -> float:
+    """MaximaHandler::getSearchDistForClass (maxima_handler.cpp:509-521)."""
+    rt = params.radius_type
+    if rt in ("Config", "Fixed"):
+        return params.bandwidth
+    if rt in ("FirstDim", "ObjectRadius"):
+        return dims_map[class_id][0] * params.radius_factor
+    if rt in ("SecondDim", "BoundingBoxMedian"):
+        return dims_map[class_id][1] * params.radius_factor
+    return params.bandwidth
+
+
+def _class_mean_shift(
+    positions: np.ndarray,   # [V, 3] votes of this class
+    weights: np.ndarray,     # [V]
+    bandwidth: float,
+    params: VotingParams,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Mean-shift + averaging + suppression for one class's votes.  Returns
+    (maxima positions [M', 3] in descending-density order, densities)."""
+    v = jnp.asarray(positions)
+    w = jnp.asarray(weights)
+    valid = jnp.ones(v.shape[0], bool)
+    bw = jnp.asarray(bandwidth, jnp.float32)
+
+    seed_cap = min(params.seed_capacity, v.shape[0])
+    seeds, _, seed_mask = ms.create_seeds(v, w, valid, ms.seeds_range(bw), seed_cap)
+    centers, alive = ms.mean_shift(seeds, seed_mask, v, w, valid, bw,
+                                   params.threshold, params.max_iter, params.kernel)
+    dens = ms.estimate_density(centers, v, w, valid, bw, params.kernel)
+
+    if params.maxima_suppression == "Average":
+        centers2, owner_mask = ms.average_neighbor_maxima(centers, alive, dens, bw)
+        dens2 = ms.estimate_density(centers2, v, w, valid, bw, params.kernel)
+        keep = ms.suppress_neighbor_maxima(centers2, owner_mask, dens2, bw)
+        centers_np = np.asarray(centers2)
+        dens_np = np.asarray(dens2)
+    else:  # "Suppress"
+        keep = ms.suppress_neighbor_maxima(centers, alive, dens, bw)
+        centers_np = np.asarray(centers)
+        dens_np = np.asarray(dens)
+
+    keep_np = np.asarray(keep)
+    kept_pos = centers_np[keep_np]
+    kept_dens = dens_np[keep_np]
+    # suppression emits maxima in descending-density order; the later
+    # sequential reweighting is order-dependent (voting_mean_shift.cpp:158-176)
+    order = np.argsort(-kept_dens, kind="stable")
+    return kept_pos[order], kept_dens[order]
+
+
+def find_maxima(
+    votes: CastVotes,            # flat cast votes (np or jnp arrays)
+    cloud_points: np.ndarray,    # [N, 3] scene points (without NaN normals)
+    cloud_mask: np.ndarray,      # [N]
+    params: VotingParams,
+    dims_map: Dict[int, Tuple[float, float]],
+) -> List[VotingMaximum]:
+    """Voting::findMaxima minus global-feature verification (wired by the
+    orchestrator after this call)."""
+    valid = np.asarray(votes.valid)
+    if not valid.any():
+        return []
+
+    pos = np.asarray(votes.position)[valid]
+    weight = np.asarray(votes.weight)[valid]
+    cls = np.asarray(votes.class_id)[valid]
+    inst = np.asarray(votes.instance_id)[valid]
+    bsize = np.asarray(votes.bbox_size)[valid]
+    bquat = np.asarray(votes.bbox_quat)[valid]
+
+    maxima: List[VotingMaximum] = []
+
+    for class_id in sorted(set(cls.tolist())):
+        sel = cls == class_id
+        v_pos, v_w = pos[sel], weight[sel]
+        v_inst, v_bs, v_bq = inst[sel], bsize[sel], bquat[sel]
+
+        bandwidth = get_search_dist(class_id, params, dims_map)
+
+        single = params.single_object_mode
+        max_type = params.single_object_max_type
+        if (not single) or (single and max_type in ("None", "Default")):
+            m_pos, _ = _class_mean_shift(v_pos, v_w, bandwidth, params)
+        else:
+            # single object mode with special max type: centroid query
+            m = cloud_mask.astype(np.float32)
+            centroid = (cloud_points * m[:, None]).sum(0) / max(m.sum(), 1.0)
+            if max_type == "ModelRadiusVotes":
+                d = np.linalg.norm(cloud_points - centroid, axis=1)
+                bandwidth = float(np.max(np.where(cloud_mask, d, 0.0)))
+            elif max_type == "VotingSpaceVotes":
+                bandwidth = float(np.linalg.norm(v_pos - centroid, axis=1).max()) \
+                    if len(v_pos) else bandwidth
+            # BandwidthVotes keeps the class search dist
+            m_pos = centroid[None, :].astype(np.float32)
+
+        if len(m_pos) == 0:
+            continue
+
+        # sequential density + vote reweighting over maxima
+        dens, final_w, membership = ms.density_and_reweight(
+            jnp.asarray(m_pos), jnp.ones(len(m_pos), bool),
+            jnp.asarray(v_pos), jnp.asarray(v_w),
+            jnp.ones(len(v_pos), bool), jnp.asarray(bandwidth, jnp.float32),
+            params.kernel)
+        dens = np.asarray(dens)
+        final_w = np.asarray(final_w)
+        membership = np.asarray(membership)
+
+        for mi in range(len(m_pos)):
+            members = membership[mi]
+            n_votes = int(members.sum())
+            if n_votes < max(params.min_votes_threshold, 1):
+                continue
+            w_members = final_w[members]
+            inst_members = v_inst[members]
+
+            # instance weights
+            inst_w: Dict[int, float] = {}
+            for iid, wv in zip(inst_members.tolist(), w_members.tolist()):
+                inst_w[iid] = inst_w.get(iid, 0.0) + wv
+            best_inst = max(inst_w, key=inst_w.get)
+
+            max_weight = float(w_members.sum())
+            bb = (v_bs[members] * w_members[:, None]).sum(0) / max(max_weight, 1e-30)
+
+            m_out = VotingMaximum(
+                class_id=int(class_id),
+                instance_id=int(best_inst),
+                position=m_pos[mi].astype(np.float32),
+                weight=max_weight,
+                instance_weight=float(inst_w[best_inst]),
+                bb_size=bb.astype(np.float32),
+                num_votes=n_votes,
+                vote_indices=np.nonzero(members)[0],
+            )
+            m_out.glob_class_id = int(class_id)
+            m_out.glob_instance_id = int(best_inst)
+            m_out.glob_class_weight = max_weight
+            m_out.glob_instance_weight = float(inst_w[best_inst])
+            if params.average_rotation:
+                q = geo.quat_weighted_average(
+                    jnp.asarray(v_bq[members]),
+                    jnp.asarray(w_members / max(max_weight, 1e-30)))
+                m_out.bb_quat = np.asarray(q, np.float32)
+            maxima.append(m_out)
+
+    return maxima
+
+
+# ---------------------------------------------------------------------------
+# cross-class maxima filtering + final selection (maxima_handler.cpp:272-507)
+# ---------------------------------------------------------------------------
+
+def filter_maxima(maxima: List[VotingMaximum], params: VotingParams,
+                  dims_map: Dict[int, Tuple[float, float]]) -> List[VotingMaximum]:
+    ft = params.max_filter_type
+    if ft == "None" or not maxima:
+        return maxima
+    if ft == "Simple":
+        return _suppress_maxima2(maxima, params.bandwidth)
+    if ft == "Merge":
+        return _merge_and_filter(maxima, params, dims_map)
+    return maxima
+
+
+def _suppress_maxima2(maxima: List[VotingMaximum], radius: float) -> List[VotingMaximum]:
+    """suppressNeighborMaxima2 (maxima_handler.cpp:228-269): greedy weight-
+    ordered cross-class NMS."""
+    out = []
+    alive = np.ones(len(maxima), bool)
+    weights = np.array([m.weight for m in maxima])
+    positions = np.stack([m.position for m in maxima])
+    while alive.any():
+        i = int(np.argmax(np.where(alive, weights, -np.inf)))
+        out.append(maxima[i])
+        d = np.linalg.norm(positions - positions[i], axis=1)
+        alive &= ~(d < radius)
+    return out
+
+
+def _merge_and_filter(maxima: List[VotingMaximum], params: VotingParams,
+                      dims_map: Dict[int, Tuple[float, float]]) -> List[VotingMaximum]:
+    """mergeAndFilterMaxima(merge=True) (maxima_handler.cpp:298-383)."""
+    dirty = [False] * len(maxima)
+    filtered: List[VotingMaximum] = []
+    for i, mi in enumerate(maxima):
+        if dirty[i]:
+            continue
+        search_dist = get_search_dist(mi.class_id, params, dims_map)
+        close = []
+        for j in range(i + 1, len(maxima)):
+            if dirty[j]:
+                continue
+            mj = maxima[j]
+            dist = float(np.linalg.norm(mj.position - mi.position))
+            other_dist = get_search_dist(mj.class_id, params, dims_map)
+            if dist < search_dist and other_dist <= search_dist:
+                close.append(mj)
+                dirty[j] = True
+        if close:
+            close.append(mi)
+            by_class: Dict[int, List[VotingMaximum]] = {}
+            for m in close:
+                by_class.setdefault(m.class_id, []).append(m)
+            merged = [merge_maxima(group) for group in by_class.values()]
+            best = max(merged, key=lambda m: m.weight)
+            filtered.append(best)
+        else:
+            filtered.append(mi)
+    return filtered
+
+
+def merge_maxima(max_list: List[VotingMaximum]) -> VotingMaximum:
+    """mergeMaxima (maxima_handler.cpp:386-440): running weight-fused
+    position/bbox/quat + accumulated instance weights."""
+    result = VotingMaximum()
+    inst_w: Dict[int, float] = {}
+    glob_hyps = []
+    for m in max_list:
+        tot = result.weight + m.weight
+        result.position = (result.position * result.weight + m.position * m.weight) / max(tot, 1e-30)
+        result.bb_size = (result.bb_size * result.weight + m.bb_size * m.weight) / max(tot, 1e-30)
+        q = geo.quat_weighted_average(
+            jnp.asarray(np.stack([result.bb_quat, m.bb_quat])),
+            jnp.asarray(np.array([result.weight, m.weight], np.float32)))
+        result.bb_quat = np.asarray(q, np.float32)
+        result.class_id = m.class_id
+        result.weight = tot
+        result.num_votes += m.num_votes
+        inst_w[m.instance_id] = inst_w.get(m.instance_id, 0.0) + m.instance_weight
+        best = max(inst_w, key=inst_w.get)
+        result.instance_id = best
+        result.instance_weight = inst_w[best]
+        glob_hyps.append((m.glob_class_id, m.glob_class_weight,
+                          m.glob_instance_id, m.glob_instance_weight))
+    # merge global hypotheses (maxima_handler.cpp:442-507)
+    cls_w: Dict[int, float] = {}
+    for c, wv, _, _ in glob_hyps:
+        cls_w[c] = cls_w.get(c, 0.0) + wv
+    best_c = max(cls_w, key=cls_w.get)
+    iw: Dict[int, float] = {}
+    for c, _, iid, iwv in glob_hyps:
+        if c == best_c:
+            iw[iid] = iw.get(iid, 0.0) + iwv
+    result.glob_class_id = best_c
+    result.glob_class_weight = cls_w[best_c]
+    if iw:
+        best_i = max(iw, key=iw.get)
+        result.glob_instance_id = best_i
+        result.glob_instance_weight = iw[best_i]
+    return result
+
+
+def normalize_weights(maxima: List[VotingMaximum]) -> None:
+    """Turn weights into probabilities (voting.cpp:441-462)."""
+    s = sum(m.weight for m in maxima)
+    si = sum(m.instance_weight for m in maxima)
+    sg = sum(m.glob_class_weight for m in maxima)
+    sgi = sum(m.glob_instance_weight for m in maxima)
+    for m in maxima:
+        m.weight = m.weight / s if s != 0 else 0.0
+        m.instance_weight = m.instance_weight / si if si != 0 else 0.0
+        m.glob_class_weight = m.glob_class_weight / sg if sg != 0 else 0.0
+        m.glob_instance_weight = m.glob_instance_weight / sgi if sgi != 0 else 0.0
+
+
+def select_maxima(maxima: List[VotingMaximum], params: VotingParams) -> List[VotingMaximum]:
+    """Sort, threshold (negative = relative to best), best-k
+    (voting.cpp:272, 297-323)."""
+    maxima = sorted(maxima, key=lambda m: -m.weight)
+    thresh = params.min_threshold
+    if thresh < 0:
+        best = maxima[0].weight if maxima else 0.0
+        thresh = -thresh * best
+    maxima = [m for m in maxima if m.weight >= thresh]
+    if params.best_k > 0 and len(maxima) >= params.best_k:
+        maxima = maxima[:params.best_k]
+    return maxima

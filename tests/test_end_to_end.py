@@ -1,0 +1,135 @@
+"""End-to-end: train the ISM pipeline on synthetic shape classes and classify
+held-out rotated instances (analogue of the reference's quick-start smoke
+test, README.md:60-66)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+from point_cloud_donkey_tpu.utils.config import IsmConfig
+from point_cloud_donkey_tpu.utils.io import PointCloud, save_pcd
+
+import shapes
+
+
+QS_LIKE_CONFIG = {
+    "ObjectConfig": {
+        "Children": {
+            "Clustering": {"Type": "None"},
+            "Codebook": {
+                "Children": {
+                    "ActivationStrategy": {
+                        "Parameters": {"K": 1, "UseDistanceRatio": False},
+                        "Type": "KNN",
+                    }
+                },
+                "Parameters": {},
+            },
+            "FeatureWeighting": {"Parameters": {}, "Type": "Uniform"},
+            "Features": {
+                "Parameters": {
+                    "Radius": 0.6,
+                    "ReferenceFrameRadius": 0.5,
+                    "ReferenceFrameType": "SHOT",
+                },
+                "Type": "SHOT",
+            },
+            "GlobalFeatures": {"Type": "Dummy"},
+            "Keypoints": {"Parameters": {"LeafSize": 0.35}, "Type": "VoxelGrid"},
+            "Voting": {
+                "Parameters": {
+                    "Bandwidth": 0.5,
+                    "SingleObjectMode": True,
+                    "SingleObjectMaxType": "None",
+                    "UseGlobalFeatures": False,
+                    "MinThreshold": 0.0,
+                    "BestK": -1,
+                    "AverageRotation": True,
+                },
+                "Type": "MeanShift",
+            },
+        },
+        "Parameters": {
+            "DistanceType": "ChiSquared",
+            "NormalRadius": 0.25,
+            "ConsistentNormalsMethod": 2,
+            "BoundingBoxType": "MVBB",
+        },
+    }
+}
+
+
+@pytest.fixture(scope="module")
+def trained_model():
+    rng = np.random.default_rng(123)
+    ism = ImplicitShapeModel(IsmConfig.from_json(QS_LIKE_CONFIG))
+    import tempfile
+    tmp = tempfile.mkdtemp()
+    for cid in range(5):
+        pts = shapes.make_instance(rng, cid, n=1200, rotate=False, noise=0.005)
+        path = os.path.join(tmp, f"train_{cid}.pcd")
+        save_pcd(path, PointCloud(xyz=pts))
+        ism.add_training_model(path, cid, cid)
+    ism.train()
+    return ism, rng
+
+
+def test_training_built_codebook(trained_model):
+    ism, _ = trained_model
+    cb = ism.state.codebook
+    assert cb.num_codewords > 50
+    # with KNN k=1 + Clustering None every kept codeword holds exactly 1 vote
+    per_cw = cb.vote_mask.sum(axis=1)
+    assert np.all(per_cw[cb.cw_mask] == 1)
+    assert len(ism.state.dims_map) == 5
+    # class sigmas are positive variances
+    assert np.all(cb.class_sigma > 0)
+
+
+def test_classify_same_instances(trained_model):
+    """Re-classifying the (unrotated, lightly noised) training shapes must be
+    perfect -- the minimal sanity bar."""
+    ism, rng = trained_model
+    correct = 0
+    for cid in range(5):
+        pts = shapes.make_instance(rng, cid, n=1200, rotate=False, noise=0.005)
+        maxima, _ = ism.detect(pts)
+        assert maxima, f"no maxima for class {cid}"
+        if maxima[0].class_id == cid:
+            correct += 1
+    assert correct == 5, f"only {correct}/5 training-like shapes correct"
+
+
+def test_classify_rotated_instances(trained_model):
+    """Rotated + noised held-out instances: the rotation-invariant pipeline
+    should classify most correctly (reference gets high accuracy on its
+    quick-start set)."""
+    ism, rng = trained_model
+    total, correct = 0, 0
+    for cid in range(5):
+        for _ in range(3):
+            pts = shapes.make_instance(rng, cid, n=1200, rotate=True, noise=0.005)
+            maxima, _ = ism.detect(pts)
+            total += 1
+            if maxima and maxima[0].class_id == cid:
+                correct += 1
+    assert correct / total >= 0.8, f"accuracy {correct}/{total}"
+
+
+def test_save_load_roundtrip(trained_model, tmp_path):
+    ism, rng = trained_model
+    path = str(tmp_path / "model.ism")
+    ism.save(path)
+    ism2 = ImplicitShapeModel.load(path)
+    cb1, cb2 = ism.state.codebook, ism2.state.codebook
+    np.testing.assert_array_equal(cb1.codewords, cb2.codewords)
+    np.testing.assert_array_equal(cb1.votes, cb2.votes)
+    assert ism2.state.dims_map == ism.state.dims_map
+
+    pts = shapes.make_instance(np.random.default_rng(7), 2, n=1200)
+    m1, _ = ism.detect(pts)
+    m2, _ = ism2.detect(pts)
+    assert m1[0].class_id == m2[0].class_id
+    np.testing.assert_allclose(m1[0].weight, m2[0].weight, rtol=1e-5)
