@@ -1,0 +1,122 @@
+"""End-to-end classification throughput benchmark (single chip).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Measures the fully-jitted classification forward step (keypoints -> normals ->
+SHOT LRF -> SHOT-352 descriptors -> exact-kNN codebook activation -> vote
+casting -> class scores) on ModelNet-scale synthetic clouds (2048 points),
+using a codebook trained on 5 synthetic shape classes.  Baseline target:
+100 clouds/sec/chip (BASELINE.json north star; the reference publishes no
+throughput numbers -- it is a single-process OpenMP CPU program).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+
+BASELINE_CLOUDS_PER_SEC = 100.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import shapes
+    from point_cloud_donkey_tpu.models.codebook import CodebookParams
+    from point_cloud_donkey_tpu.models.pipeline_jit import (JitPipelineConfig,
+                                                            classify_scores)
+    from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+    from point_cloud_donkey_tpu.utils.config import IsmConfig
+    from point_cloud_donkey_tpu.utils.io import PointCloud, save_pcd
+    import tempfile
+
+    N = 2048
+    NUM_CLASSES = 5
+    BATCH = 16
+    ROUNDS = 8
+
+    rng = np.random.default_rng(42)
+
+    # --- train a real codebook on synthetic shapes (host path) -------------
+    config = {
+        "ObjectConfig": {
+            "Children": {
+                "Clustering": {"Type": "None"},
+                "Codebook": {"Children": {"ActivationStrategy": {
+                    "Parameters": {"K": 1}, "Type": "KNN"}}},
+                "FeatureWeighting": {"Type": "Uniform"},
+                "Features": {"Parameters": {
+                    "Radius": 0.6, "ReferenceFrameRadius": 0.5,
+                    "ReferenceFrameType": "SHOT"}, "Type": "SHOT"},
+                "GlobalFeatures": {"Type": "Dummy"},
+                "Keypoints": {"Parameters": {"LeafSize": 0.35},
+                              "Type": "VoxelGrid"},
+                "Voting": {"Parameters": {
+                    "Bandwidth": 0.5, "SingleObjectMode": True,
+                    "SingleObjectMaxType": "BandwidthVotes"},
+                    "Type": "MeanShift"},
+            },
+            "Parameters": {"DistanceType": "ChiSquared", "NormalRadius": 0.25,
+                           "ConsistentNormalsMethod": 2,
+                           "BoundingBoxType": "AABB"},
+        }
+    }
+    ism = ImplicitShapeModel(IsmConfig.from_json(config))
+    tmp = tempfile.mkdtemp()
+    for cid in range(NUM_CLASSES):
+        pts = shapes.make_instance(rng, cid, n=N, rotate=False, noise=0.005)
+        p = os.path.join(tmp, f"t{cid}.pcd")
+        save_pcd(p, PointCloud(xyz=pts))
+        ism.add_training_model(p, cid, cid)
+    ism.train()
+    cb = jax.tree_util.tree_map(jnp.asarray, ism.state.codebook)
+
+    cfg = JitPipelineConfig(
+        descriptor="SHOT", radius=0.6, ref_frame_radius=0.5, leaf_size=0.35,
+        normal_radius=0.25, normals_method=2, metric="chisq", knn_k=1,
+        keypoint_capacity=512, neighbor_capacity=1024, bandwidth=0.5,
+        num_classes=NUM_CLASSES)
+    params = CodebookParams(knn_k=1)
+
+    step = jax.jit(jax.vmap(lambda p, m: classify_scores(p, m, cb, cfg, params)))
+
+    # --- benchmark data ------------------------------------------------------
+    clouds = np.stack([
+        shapes.make_instance(rng, i % NUM_CLASSES, n=N, rotate=True)
+        for i in range(BATCH)])
+    mask = np.ones((BATCH, N), bool)
+    labels = np.arange(BATCH) % NUM_CLASSES
+
+    pts_j, mask_j = jnp.asarray(clouds), jnp.asarray(mask)
+
+    # warmup / compile
+    scores = step(pts_j, mask_j)
+    scores.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(ROUNDS):
+        scores = step(pts_j, mask_j)
+    scores.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    clouds_per_sec = BATCH * ROUNDS / dt
+    acc = float((np.argmax(np.asarray(scores), axis=1) == labels).mean())
+
+    print(json.dumps({
+        "metric": "clouds/sec/chip end-to-end classification (2048-pt clouds, SHOT-352 + kNN codebook + voting)",
+        "value": round(clouds_per_sec, 2),
+        "unit": "clouds/sec",
+        "vs_baseline": round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 3),
+        "extra": {"batch": BATCH, "rounds": ROUNDS, "points": N,
+                  "sanity_accuracy": acc,
+                  "device": str(jax.devices()[0])},
+    }))
+
+
+if __name__ == "__main__":
+    main()

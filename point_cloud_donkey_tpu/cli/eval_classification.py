@@ -1,0 +1,239 @@
+"""eval_tool-compatible classification CLI.
+
+Mirrors src/eval_tool/eval_classification.cpp: `-t <ism> -f <train list> -o
+<out>` trains; `-d <ism> -f <test list> -o <out>` classifies and writes
+`summary.txt` with per-file results, label maps, per-step times and
+accuracy lines in the reference's format (eval_classification.cpp:311-558).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Dict, List
+
+import numpy as np
+
+from ..models.ism import ImplicitShapeModel
+from ..utils.config import IsmConfig
+from ..utils.io import parse_file_list
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="eval_classification",
+        description="ISM3D TPU classification eval tool")
+    p.add_argument("-t", "--train", help="Input config file (training)")
+    p.add_argument("-d", "--detect", help="Trained ism file (classification)")
+    p.add_argument("-f", "--file", dest="inputfile",
+                   help="File list with a '# train|test [inst]' header")
+    p.add_argument("-o", "--output", help="Output folder / model file")
+    p.add_argument("-i", "--inplace", action="store_true",
+                   help="Overwrite the loaded ism file after training")
+    p.add_argument("-m", "--models", nargs="*", help="Train: model files")
+    p.add_argument("-c", "--classes", nargs="*", type=int,
+                   help="Train: class ids for -m models")
+    return p
+
+
+def resolve_labels(fl, instance_primary: bool):
+    """Label usage decision (eval_helpers.h:46-61 +
+    eval_classification.cpp:126-136)."""
+    if not fl.using_instances:
+        return "CLASS_ONLY", fl.class_labels, fl.class_labels
+    if instance_primary:
+        return "INSTANCE_PRIMARY", fl.instance_labels, fl.instance_labels
+    return "CLASS_PRIMARY", fl.class_labels, fl.instance_labels
+
+
+def run_training(args) -> int:
+    ism_file = args.train or args.detect
+    ism = ImplicitShapeModel(IsmConfig.load(ism_file))
+    fl = None
+    if args.inputfile:
+        fl = parse_file_list(args.inputfile)
+        usage, class_ids, instance_ids = resolve_labels(
+            fl, ism.root.get("InstanceLabelsPrimary", True))
+        files = fl.filenames
+    elif args.models and args.classes:
+        files = args.models
+        class_ids = args.classes
+        instance_ids = args.classes
+        usage = "CLASS_ONLY"
+        fl = None
+    else:
+        print("no training input given", file=sys.stderr)
+        return 1
+
+    for f, c, i in zip(files, class_ids, instance_ids):
+        ism.add_training_model(f, c, i)
+    ism.train()
+
+    if fl is not None:
+        ism.state.instance_to_class = dict(fl.instance_to_class)
+        ism.label_maps = {
+            "class": {str(v): k for k, v in fl.class_map.items()},
+            "instance": {str(v): k for k, v in fl.instance_map.items()},
+            "usage": usage,
+        }
+
+    if args.inplace:
+        ism.save(ism_file)
+    elif args.output:
+        out = args.output
+        if not out.endswith(".ism"):
+            out = out + ".ism"
+        ism.save(out)
+    else:
+        print("the trained ism is not saved", file=sys.stderr)
+        return 1
+    return 0
+
+
+def run_classification(args) -> int:
+    ism_file = args.detect or args.train
+    ism = ImplicitShapeModel.load(ism_file)
+    fl = parse_file_list(args.inputfile)
+    usage, gt_class_ids, gt_instance_ids = resolve_labels(
+        fl, ism.root.get("InstanceLabelsPrimary", True))
+    inst2cls = ism.state.instance_to_class or fl.instance_to_class
+
+    out_dir = args.output
+    summary_lines: List[str] = []
+    n = len(fl.filenames)
+    num_correct = 0
+    num_correct_inst = 0
+    num_correct_global = 0
+    num_both = 0
+    num_only_global = 0
+    per_class: Dict[int, List[int]] = {}
+
+    wall0 = time.perf_counter()
+    times: Dict[str, float] = {}
+    for path, true_cls, true_inst in zip(fl.filenames, gt_class_ids, gt_instance_ids):
+        print(f"Processing file: {path}")
+        maxima, times = ism.detect_file(path)
+
+        class_id, class_id_global, instance_id = -1, -1, -1
+        if maxima:
+            class_id = maxima[0].class_id
+            class_id_global = maxima[0].glob_class_id
+            instance_id = maxima[0].instance_id
+            if usage == "INSTANCE_PRIMARY":
+                instance_id = class_id
+                class_id = inst2cls.get(class_id, -1)
+                class_id_global = inst2cls.get(class_id_global, -1)
+
+        line = (f"file: {path}, ground truth class: {true_cls}, "
+                f"classified class: {class_id}")
+        if class_id != class_id_global:
+            line += f", global class: {class_id_global}"
+        summary_lines.append(line)
+
+        hit = int(true_cls == class_id)
+        num_correct += hit
+        per_class.setdefault(true_cls, [0, 0])
+        per_class[true_cls][0] += hit
+        per_class[true_cls][1] += 1
+        num_correct_inst += int(true_inst == instance_id)
+        num_correct_global += int(true_cls == class_id_global)
+        num_both += int(true_cls == class_id and true_cls == class_id_global)
+        num_only_global += int(true_cls != class_id and true_cls == class_id_global)
+
+    wall = time.perf_counter() - wall0
+
+    # label maps
+    summary_lines.append("")
+    summary_lines.append("")
+    label_maps = getattr(ism, "label_maps", None) or {}
+    if usage in ("CLASS_ONLY", "CLASS_PRIMARY"):
+        summary_lines.append("class id to class name mapping:")
+        for lbl, cid in sorted(fl.class_map.items(), key=lambda kv: kv[1]):
+            summary_lines.append(f"{cid}: {lbl}")
+    if usage == "INSTANCE_PRIMARY":
+        summary_lines.append("instance id to instance name mapping (used as primary labels, i.e. classes):")
+        for lbl, cid in sorted(fl.class_map.items(), key=lambda kv: kv[1]):
+            summary_lines.append(f"{cid}: {lbl}")
+        summary_lines.append("")
+        summary_lines.append("instance id to class id mapping:")
+        for iid, cid in sorted(inst2cls.items()):
+            summary_lines.append(f"{iid}: {cid}")
+    if usage == "CLASS_PRIMARY":
+        summary_lines.append("")
+        summary_lines.append("instance id to instance name mapping:")
+        for lbl, iid in sorted(fl.instance_map.items(), key=lambda kv: kv[1]):
+            summary_lines.append(f"{iid}: {lbl}")
+
+    # processing times (same step keys as the reference summary,
+    # eval_classification.cpp:519-533)
+    time_sum = sum(v for k, v in times.items() if k != "complete")
+    summary_lines.append("")
+    summary_lines.append("")
+    summary_lines.append("")
+    summary_lines.append(f"complete time: {times.get('complete', 0.0):.6g} [s], "
+                         f"sum all steps: {time_sum:.6g} [s]")
+    summary_lines.append("times per step:")
+    for label, key in [("create flann index: ", "flann"),
+                       ("compute normals:    ", "normals"),
+                       ("compute keypoints:  ", "keypoints"),
+                       ("compute features:   ", "features"),
+                       ("cast votes:         ", "voting"),
+                       ("find maxima:        ", "maxima")]:
+        summary_lines.append(f"{label}{times.get(key, 0.0):10.6g} [s]")
+
+    avg_pc_acc = float(np.mean([c / t for c, t in per_class.values()])) if per_class else 0.0
+    acc = num_correct / n if n else 0.0
+    summary_lines.append("")
+    summary_lines.append("")
+    summary_lines.append(f" Accuracy: {acc * 100.0:g} %, Average per Class Accuracy: "
+                         f"{avg_pc_acc * 100.0:g} %")
+    summary_lines.append("")
+    summary_lines.append(f" result: {num_correct} of {n} clouds classified correctly ({acc * 100.0:g} %)")
+    summary_lines.append(f" result: {num_correct_inst} of {n} instances recognized correctly ({num_correct_inst / n * 100.0 if n else 0:g} %)")
+    summary_lines.append(f" result: {num_correct_global} of {n} clouds classified correctly with global descriptors ({num_correct_global / n * 100.0 if n else 0:g} %)")
+    summary_lines.append("")
+    summary_lines.append(f" both correct: {num_both} ({num_both / n * 100.0 if n else 0:g} %)")
+    summary_lines.append(f" only global correct: {num_only_global} ({num_only_global / n * 100.0 if n else 0:g} %)")
+    summary_lines.append("")
+    summary_lines.append("")
+    summary_lines.append(f" Total processing time: {wall:.4f} seconds ")
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "summary.txt"), "w") as f:
+            f.write("\n".join(summary_lines) + "\n")
+    else:
+        print("no output file specified, detected maxima will not be saved",
+              file=sys.stderr)
+    print(f" Accuracy: {acc * 100.0:g} % ({num_correct}/{n})")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    mode = ""
+    if args.inputfile:
+        with open(args.inputfile) as f:
+            header = f.readline().split()
+        if len(header) >= 2 and header[0] == "#":
+            mode = header[1]
+        if len(header) >= 3 and header[2] == "detection":
+            print("ERROR: You are using a detection data set with the "
+                  "classification eval_tool! Use 'eval_detection' instead.",
+                  file=sys.stderr)
+            return 1
+
+    if (args.train and mode == "") or mode == "train":
+        return run_training(args)
+    if (args.detect and mode == "") or mode == "test":
+        return run_classification(args)
+    print("specify either -t (train) or -d (detect) with a matching file list",
+          file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -253,11 +253,30 @@ class ImplicitShapeModel:
         self.processing_times["features"] += time.perf_counter() - t_feat
 
         t_vote = time.perf_counter()
-        votes = cast_votes(
-            self.state.codebook,
-            jnp.asarray(fs.descriptors), jnp.asarray(fs.positions),
-            jnp.asarray(fs.frames), jnp.asarray(fs.mask),
-            cb_params, self.metric)
+        # pad the feature batch to a bucket so the jitted cast program is
+        # reused across clouds of similar size
+        from .features import bucket_size
+        f = fs.descriptors.shape[0]
+        fb = bucket_size(max(f, 1), minimum=64)
+        desc = np.zeros((fb, fs.descriptors.shape[1]), np.float32)
+        desc[:f] = fs.descriptors
+        pos = np.zeros((fb, 3), np.float32)
+        pos[:f] = fs.positions
+        frames = np.tile(np.eye(3, dtype=np.float32), (fb, 1, 1))
+        frames[:f] = fs.frames
+        fmask = np.arange(fb) < f
+
+        key = (fb, self.metric)
+        if key not in self._cast_cache:
+            cb_dev = jax.tree_util.tree_map(jnp.asarray, self.state.codebook)
+
+            @jax.jit
+            def _cast(d, p, fr, m):
+                return cast_votes(cb_dev, d, p, fr, m, cb_params, self.metric)
+
+            self._cast_cache[key] = _cast
+        votes = self._cast_cache[key](jnp.asarray(desc), jnp.asarray(pos),
+                                      jnp.asarray(frames), jnp.asarray(fmask))
         votes = jax.tree_util.tree_map(np.asarray, votes)
         self.processing_times["voting"] += time.perf_counter() - t_vote
 
@@ -297,6 +316,9 @@ class ImplicitShapeModel:
         if self.state.instance_to_class:
             items = sorted(self.state.instance_to_class.items())
             arrays["inst2cls"] = np.array(items, np.int32)
+        label_maps = getattr(self, "label_maps", None)
+        if label_maps:
+            arrays["label_maps"] = np.array(json.dumps(label_maps))
         if self.state.global_descriptors is not None:
             arrays["glob_desc"] = self.state.global_descriptors
             arrays["glob_cls"] = self.state.global_classes
@@ -325,6 +347,8 @@ class ImplicitShapeModel:
             )
             if "inst2cls" in z.files:
                 state.instance_to_class = {int(a): int(b) for a, b in z["inst2cls"]}
+            if "label_maps" in z.files:
+                ism.label_maps = json.loads(str(z["label_maps"]))
             if "glob_desc" in z.files:
                 state.global_descriptors = z["glob_desc"]
                 state.global_classes = z["glob_cls"]

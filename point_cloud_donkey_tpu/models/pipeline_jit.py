@@ -1,0 +1,125 @@
+"""Fully-jitted classification forward step (no host round-trips).
+
+One XLA program: voxel-grid keypoints -> normals -> SHOT LRF -> SHOT
+descriptors -> codebook kNN activation -> vote casting -> per-class vote
+density scores.  This is the serving hot path used by the batched/sharded
+runner (parallel/) and the compile-check entry point (__graft_entry__.py).
+
+Compared to the host-orchestrated ImplicitShapeModel.detect (models/ism.py),
+this path keeps keypoints padded (no compaction) and scores classes with the
+single-object-mode centroid density query
+(voting_mean_shift.cpp:124-156 semantics with max type BandwidthVotes) or a
+full fixed-iteration mean-shift.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.lrf import shot_lrf
+from ..ops.neighbors import gather_radius_neighbors, knn
+from ..ops.normals import compute_normals
+from ..ops.shot import shot_descriptor
+from ..ops.short_shot import short_shot_descriptor
+from ..ops.voxel_grid import voxel_grid
+from ..ops import mean_shift as ms
+from .codebook import CastVotes, CodebookParams, cast_votes
+from .features import FeatureConfig
+
+
+class JitPipelineConfig(NamedTuple):
+    """Static pipeline configuration (hashable, closes over the jit)."""
+    descriptor: str = "SHOT"
+    radius: float = 0.6
+    ref_frame_radius: float = 0.5
+    leaf_size: float = 0.35
+    normal_radius: float = 0.25
+    normals_method: int = 2
+    metric: str = "chisq"
+    knn_k: int = 1
+    keypoint_capacity: int = 512
+    neighbor_capacity: int = 1024
+    bandwidth: float = 0.5
+    num_classes: int = 5
+
+
+def extract_features_jit(points: jnp.ndarray, mask: jnp.ndarray,
+                         cfg: JitPipelineConfig):
+    """points [N,3], mask [N] -> (keypoints [K,3], frames [K,3,3],
+    descriptors [K,D], valid [K])."""
+    needs_normals = not cfg.descriptor.startswith("SHORT_SHOT")
+    if needs_normals:
+        nres = compute_normals(points, mask, cfg.normal_radius, cfg.normals_method)
+        normals = nres.normals
+    else:
+        normals = jnp.zeros_like(points)
+
+    kres = voxel_grid(points, mask, cfg.leaf_size, capacity=cfg.keypoint_capacity)
+    kp, kp_mask = kres.centroids, kres.mask
+    # park invalid keypoints far away (mask-aware ops don't need it, but it
+    # keeps any numerical noise out of radius windows)
+    kp = jnp.where(kp_mask[:, None], kp, 1e9)
+
+    lrf = shot_lrf(kp, kp_mask, points, mask, cfg.ref_frame_radius)
+    nbr = gather_radius_neighbors(kp, points, mask, cfg.radius,
+                                  cfg.neighbor_capacity)
+    if cfg.descriptor == "SHOT":
+        res = shot_descriptor(kp, lrf.frames, lrf.valid, points, normals,
+                              nbr, cfg.radius)
+    elif cfg.descriptor == "SHORT_SHOT":
+        res = short_shot_descriptor(kp, lrf.frames, lrf.valid, points, nbr,
+                                    cfg.radius)
+    else:
+        raise ValueError(cfg.descriptor)
+    valid = res.valid & jnp.all(jnp.isfinite(res.descriptors), axis=1)
+    return kp, lrf.frames, res.descriptors, valid
+
+
+def classify_scores(points: jnp.ndarray, mask: jnp.ndarray, cb,
+                    cfg: JitPipelineConfig,
+                    cb_params: CodebookParams) -> jnp.ndarray:
+    """Forward step: per-class scores [num_classes] for one cloud via the
+    centroid density query (single-object mode)."""
+    kp, frames, desc, valid = extract_features_jit(points, mask, cfg)
+    votes = cast_votes(cb, desc, kp, frames, valid, cb_params, cfg.metric)
+
+    m = mask.astype(points.dtype)
+    centroid = jnp.sum(points * m[:, None], axis=0) / jnp.maximum(m.sum(), 1.0)
+
+    d2 = jnp.sum((votes.position - centroid[None, :]) ** 2, axis=1)
+    b2 = cfg.bandwidth * cfg.bandwidth
+    in_r = (d2 <= b2) & votes.valid
+    kern = jnp.exp(-0.5 * d2 / b2)
+    w = jnp.where(in_r, kern * votes.weight, 0.0)
+    scores = jax.ops.segment_sum(w, votes.class_id, num_segments=cfg.num_classes)
+    return scores
+
+
+def classify_scores_mean_shift(points: jnp.ndarray, mask: jnp.ndarray, cb,
+                               cfg: JitPipelineConfig,
+                               cb_params: CodebookParams,
+                               seed_capacity: int = 256,
+                               max_iter: int = 100) -> jnp.ndarray:
+    """Forward step with the full mean-shift per class: score of a class =
+    density of its best maximum (classification decision parity with the
+    DEFAULT single-object-mode path)."""
+    kp, frames, desc, valid = extract_features_jit(points, mask, cfg)
+    votes = cast_votes(cb, desc, kp, frames, valid, cb_params, cfg.metric)
+    bw = jnp.asarray(cfg.bandwidth, points.dtype)
+
+    def per_class(c):
+        sel = votes.valid & (votes.class_id == c)
+        w = jnp.where(sel, votes.weight, 0.0)
+        pos = jnp.where(sel[:, None], votes.position, 1e9)
+        seeds, _, seed_mask = ms.create_seeds(pos, w, sel, ms.seeds_range(bw),
+                                              seed_capacity)
+        centers, alive = ms.mean_shift(seeds, seed_mask, pos, w, sel, bw,
+                                       max_iter=max_iter)
+        dens = ms.estimate_density(centers, pos, w, sel, bw)
+        return jnp.max(jnp.where(alive, dens, 0.0))
+
+    return jax.vmap(per_class)(jnp.arange(cfg.num_classes))

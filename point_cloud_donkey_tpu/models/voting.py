@@ -102,6 +102,47 @@ def get_search_dist(class_id: int, params: VotingParams,
     return params.bandwidth
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _mean_shift_program(v_cap: int, seed_cap: int, suppression: str,
+                        threshold: float, max_iter: int, kernel: str):
+    """Jitted mean-shift pipeline for one (padded) class vote set, cached per
+    static shape/config so repeated detections reuse the compiled program."""
+
+    @jax.jit
+    def run(v, w, valid, bw):
+        seeds, _, seed_mask = ms.create_seeds(v, w, valid, ms.seeds_range(bw),
+                                              seed_cap)
+        centers, alive = ms.mean_shift(seeds, seed_mask, v, w, valid, bw,
+                                       threshold, max_iter, kernel)
+        dens = ms.estimate_density(centers, v, w, valid, bw, kernel)
+        if suppression == "Average":
+            centers2, owner_mask = ms.average_neighbor_maxima(centers, alive, dens, bw)
+            dens2 = ms.estimate_density(centers2, v, w, valid, bw, kernel)
+            keep = ms.suppress_neighbor_maxima(centers2, owner_mask, dens2, bw)
+            return centers2, dens2, keep
+        keep = ms.suppress_neighbor_maxima(centers, alive, dens, bw)
+        return centers, dens, keep
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _reweight_program(m_cap: int, v_cap: int, kernel: str):
+    @jax.jit
+    def run(m_pos, m_mask, v, w, valid, bw):
+        return ms.density_and_reweight(m_pos, m_mask, v, w, valid, bw, kernel)
+    return run
+
+
+def _pad_rows(a: np.ndarray, cap: int, fill: float = 0.0) -> np.ndarray:
+    out = np.full((cap,) + a.shape[1:], fill, a.dtype)
+    out[:len(a)] = a
+    return out
+
+
 def _class_mean_shift(
     positions: np.ndarray,   # [V, 3] votes of this class
     weights: np.ndarray,     # [V]
@@ -110,27 +151,19 @@ def _class_mean_shift(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Mean-shift + averaging + suppression for one class's votes.  Returns
     (maxima positions [M', 3] in descending-density order, densities)."""
-    v = jnp.asarray(positions)
-    w = jnp.asarray(weights)
-    valid = jnp.ones(v.shape[0], bool)
+    from ..models.features import bucket_size
+    cap = bucket_size(len(positions), minimum=64)
+    v = jnp.asarray(_pad_rows(positions, cap, 1e9))
+    w = jnp.asarray(_pad_rows(weights, cap))
+    valid = jnp.asarray(np.arange(cap) < len(positions))
     bw = jnp.asarray(bandwidth, jnp.float32)
 
-    seed_cap = min(params.seed_capacity, v.shape[0])
-    seeds, _, seed_mask = ms.create_seeds(v, w, valid, ms.seeds_range(bw), seed_cap)
-    centers, alive = ms.mean_shift(seeds, seed_mask, v, w, valid, bw,
-                                   params.threshold, params.max_iter, params.kernel)
-    dens = ms.estimate_density(centers, v, w, valid, bw, params.kernel)
-
-    if params.maxima_suppression == "Average":
-        centers2, owner_mask = ms.average_neighbor_maxima(centers, alive, dens, bw)
-        dens2 = ms.estimate_density(centers2, v, w, valid, bw, params.kernel)
-        keep = ms.suppress_neighbor_maxima(centers2, owner_mask, dens2, bw)
-        centers_np = np.asarray(centers2)
-        dens_np = np.asarray(dens2)
-    else:  # "Suppress"
-        keep = ms.suppress_neighbor_maxima(centers, alive, dens, bw)
-        centers_np = np.asarray(centers)
-        dens_np = np.asarray(dens)
+    seed_cap = min(params.seed_capacity, cap)
+    run = _mean_shift_program(cap, seed_cap, params.maxima_suppression,
+                              params.threshold, params.max_iter, params.kernel)
+    centers, dens, keep = run(v, w, valid, bw)
+    centers_np = np.asarray(centers)
+    dens_np = np.asarray(dens)
 
     keep_np = np.asarray(keep)
     kept_pos = centers_np[keep_np]
@@ -190,15 +223,21 @@ def find_maxima(
         if len(m_pos) == 0:
             continue
 
-        # sequential density + vote reweighting over maxima
-        dens, final_w, membership = ms.density_and_reweight(
-            jnp.asarray(m_pos), jnp.ones(len(m_pos), bool),
-            jnp.asarray(v_pos), jnp.asarray(v_w),
-            jnp.ones(len(v_pos), bool), jnp.asarray(bandwidth, jnp.float32),
-            params.kernel)
-        dens = np.asarray(dens)
-        final_w = np.asarray(final_w)
-        membership = np.asarray(membership)
+        # sequential density + vote reweighting over maxima (padded + jitted)
+        from ..models.features import bucket_size
+        m_cap = bucket_size(len(m_pos), minimum=8)
+        v_cap = bucket_size(len(v_pos), minimum=64)
+        reweight = _reweight_program(m_cap, v_cap, params.kernel)
+        dens, final_w, membership = reweight(
+            jnp.asarray(_pad_rows(m_pos, m_cap, 1e9)),
+            jnp.asarray(np.arange(m_cap) < len(m_pos)),
+            jnp.asarray(_pad_rows(v_pos, v_cap, 1e9)),
+            jnp.asarray(_pad_rows(v_w, v_cap)),
+            jnp.asarray(np.arange(v_cap) < len(v_pos)),
+            jnp.asarray(bandwidth, jnp.float32))
+        dens = np.asarray(dens)[:len(m_pos)]
+        final_w = np.asarray(final_w)[:len(v_pos)]
+        membership = np.asarray(membership)[:len(m_pos), :len(v_pos)]
 
         for mi in range(len(m_pos)):
             members = membership[mi]

@@ -1,0 +1,112 @@
+"""Multi-chip execution: cloud batches sharded over a device mesh.
+
+The reference is a single-process OpenMP program (SURVEY.md section 2.4); the
+TPU-native scale-out axes are:
+  * **data**: a batch of padded clouds sharded across chips (the DP analogue
+    of the reference's per-cloud OpenMP loops) -- collectives ride ICI.
+  * **model**: the codebook (and its per-codeword vote tables) sharded across
+    chips; exact kNN computes local top-k per shard and reduces with a global
+    argmin (the TP analogue; the codebook is the framework's "weights").
+
+Everything routes through jax.sharding.NamedSharding + jit: XLA inserts the
+all-gathers/psums implied by the sharding annotations.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.codebook import CodebookParams, TrainedCodebook, cast_votes
+from ..models.pipeline_jit import JitPipelineConfig, classify_scores, \
+    classify_scores_mean_shift, extract_features_jit
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n_data = n_data or (len(devices) // n_model)
+    dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev, axis_names=("data", "model"))
+
+
+def shard_codebook(cb: TrainedCodebook, mesh: Mesh) -> TrainedCodebook:
+    """Place codebook arrays model-sharded on the mesh (codewords and vote
+    tables split over the 'model' axis; class sigmas replicated)."""
+    n_model = mesh.shape["model"]
+
+    def put(x, spec):
+        x = np.asarray(x)
+        if spec is not None:
+            pad = (-x.shape[0]) % n_model
+            if pad:
+                padding = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+                x = np.pad(x, padding)
+        return jax.device_put(x, NamedSharding(mesh, P(*(spec or ()))))
+
+    return TrainedCodebook(
+        codewords=put(cb.codewords, ("model",)),
+        cw_mask=put(cb.cw_mask, ("model",)),
+        cw_weight=put(cb.cw_weight, ("model",)),
+        cw_position=put(cb.cw_position, ("model",)),
+        votes=put(cb.votes, ("model",)),
+        vote_mask=put(cb.vote_mask, ("model",)),
+        vote_class=put(cb.vote_class, ("model",)),
+        vote_instance=put(cb.vote_instance, ("model",)),
+        vote_weight=put(cb.vote_weight, ("model",)),
+        class_weight=put(cb.class_weight, ("model",)),
+        bbox_size=put(cb.bbox_size, ("model",)),
+        bbox_quat=put(cb.bbox_quat, ("model",)),
+        class_sigma=put(cb.class_sigma, None),
+    )
+
+
+def batched_classify(mesh: Mesh, cb: TrainedCodebook, cfg: JitPipelineConfig,
+                     cb_params: CodebookParams, use_mean_shift: bool = False):
+    """Build the jitted batched forward step: [B, N, 3] clouds (B sharded over
+    'data') -> [B, num_classes] scores."""
+    fwd = classify_scores_mean_shift if use_mean_shift else classify_scores
+
+    def step(points, mask):
+        return jax.vmap(lambda p, m: fwd(p, m, cb, cfg, cb_params))(points, mask)
+
+    data_sharding = NamedSharding(mesh, P("data"))
+    return jax.jit(step,
+                   in_shardings=(data_sharding, data_sharding),
+                   out_shardings=data_sharding)
+
+
+def batched_training_step(mesh: Mesh, cfg: JitPipelineConfig):
+    """Jitted sharded 'training step': extract features for a batch of
+    labeled clouds (data-sharded) and accumulate per-class descriptor moments
+    (sum, count) with a cross-device psum -- the gradient-free ISM analogue
+    of a training step, exercising DP collectives over ICI.
+
+    Returns f(points [B,N,3], mask [B,N], labels [B]) ->
+    (desc_sum [num_classes, D], desc_count [num_classes])."""
+
+    def step(points, mask, labels):
+        def one(p, m):
+            kp, frames, desc, valid = extract_features_jit(p, m, cfg)
+            return desc, valid
+
+        desc, valid = jax.vmap(one)(points, mask)          # [B, K, D], [B, K]
+        d = jnp.where(valid[..., None], desc, 0.0)
+        per_cloud_sum = jnp.sum(d, axis=1)                 # [B, D]
+        per_cloud_cnt = jnp.sum(valid, axis=1)             # [B]
+        num_classes = cfg.num_classes
+        onehot = jax.nn.one_hot(labels, num_classes, dtype=d.dtype)  # [B, C]
+        desc_sum = jnp.einsum("bc,bd->cd", onehot, per_cloud_sum)
+        desc_cnt = jnp.einsum("bc,b->c", onehot, per_cloud_cnt.astype(d.dtype))
+        return desc_sum, desc_cnt
+
+    data_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(step,
+                   in_shardings=(data_sharding, data_sharding, data_sharding),
+                   out_shardings=(repl, repl))
