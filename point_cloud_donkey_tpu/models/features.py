@@ -173,6 +173,23 @@ def pad_cloud(xyz: np.ndarray, bucket: Optional[int] = None
     return pts, mask
 
 
+def compute_cloud_normals(
+    xyz: np.ndarray,
+    normals_in: Optional[np.ndarray],
+    normal_radius: float,
+    method: int,
+) -> np.ndarray:
+    """Cloud normals: pass through provided ones (the reference's normal
+    check, implicit_shape_model.cpp:374-384) or compute with the configured
+    consistent-orientation method."""
+    if normals_in is not None and len(normals_in) == len(xyz):
+        return np.asarray(normals_in, np.float32)
+    pts, mask = pad_cloud(xyz)
+    nres = _normals_stage(pts.shape[0], float(normal_radius), int(method))(
+        jnp.asarray(pts), jnp.asarray(mask))
+    return np.asarray(nres.normals)[:len(xyz)]
+
+
 def extract_local_features(
     xyz: np.ndarray,                    # [N, 3] clean points (no NaN)
     normals: Optional[np.ndarray],      # [N, 3] or None -> computed
@@ -180,36 +197,39 @@ def extract_local_features(
     keypoint_cfg: ComponentConfig,
     normal_radius: float,
     consistent_normals_method: int,
+    rgb: Optional[np.ndarray] = None,
+    is_training: bool = False,
 ) -> FeatureSet:
     """Local feature pipeline for one cloud.  Returns a compacted FeatureSet."""
+    from .keypoints import KeypointParams, detect_keypoints
+
     pts, mask = pad_cloud(xyz)
     n = pts.shape[0]
     pts_j, mask_j = jnp.asarray(pts), jnp.asarray(mask)
 
+    kp_params = KeypointParams.from_config(keypoint_cfg)
+    needs_culling_normals = (
+        kp_params.type == "VoxelGridCulling"
+        and not (is_training and kp_params.disable_filter_in_training)
+        and kp_params.filter_method_geometry.lower() != "none")
+
     # normals
-    if fcfg.needs_normals():
-        if normals is not None and len(normals) == len(xyz):
-            nrm = np.zeros((n, 3), np.float32)
-            nrm[:len(xyz)] = normals
-            nrm_j = jnp.asarray(nrm)
-        else:
-            nres = _normals_stage(n, float(normal_radius),
-                                  int(consistent_normals_method))(pts_j, mask_j)
-            nrm_j = nres.normals
+    cloud_normals = None
+    if fcfg.needs_normals() or needs_culling_normals:
+        cloud_normals = compute_cloud_normals(
+            xyz, normals, normal_radius, consistent_normals_method)
+    if fcfg.needs_normals() and cloud_normals is not None:
+        nrm = np.zeros((n, 3), np.float32)
+        nrm[:len(xyz)] = cloud_normals
+        nrm_j = jnp.asarray(nrm)
     else:
         nrm_j = jnp.zeros((n, 3), jnp.float32)
 
-    # keypoints
-    kp_type = keypoint_cfg.type or "VoxelGrid"
-    if kp_type in ("VoxelGrid", "VoxelGridCulling"):
-        leaf = keypoint_cfg.get("LeafSize", 0.1)
-        kres = _keypoint_stage(n, float(leaf), n)(pts_j, mask_j)
-    else:
-        raise ValueError(f"unsupported keypoint type {kp_type!r}")
-
-    kp_all = np.asarray(kres.centroids)
-    kp_m = np.asarray(kres.mask)
-    kp = kp_all[kp_m]
+    # keypoints (VoxelGrid or VoxelGridCulling)
+    if kp_params.type not in ("VoxelGrid", "VoxelGridCulling"):
+        raise ValueError(f"unsupported keypoint type {kp_params.type!r}")
+    kp = detect_keypoints(xyz, cloud_normals, rgb, kp_params,
+                          is_training=is_training)
     k_bucket = bucket_size(len(kp), minimum=64)
     kp_pad = np.zeros((k_bucket, 3), np.float32)
     kp_pad[:len(kp)] = kp

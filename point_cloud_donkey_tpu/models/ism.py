@@ -84,6 +84,76 @@ def _codebook_params(cfg: ComponentConfig) -> CodebookParams:
     )
 
 
+def preprocess_cloud(cloud: PointCloud, root: ComponentConfig) -> PointCloud:
+    """Preprocessing chain (implicit_shape_model.cpp:739-821): statistical /
+    radius outlier removal -> MLS smoothing -> voxel filter -> z cutoff."""
+    from ..ops import preprocess as pp
+    from .features import pad_cloud
+    from ..ops.voxel_grid import voxel_grid as vg
+
+    use_sor = root.get("UseStatisticalOutlierRemoval", False)
+    use_ror = root.get("UseRadiusOutlierRemoval", False)
+    use_mls = root.get("UseSmoothing", False)
+    use_voxel = root.get("UseVoxelFiltering", False)
+    z_cut = root.get("CutoffDistanceZAxis", 0.0)
+    if not (use_sor or use_ror or use_mls or use_voxel or z_cut > 0):
+        return cloud
+
+    pts, mask = pad_cloud(cloud.xyz)
+    pts_j = jnp.asarray(pts)
+    mask_j = jnp.asarray(mask)
+    if use_sor:
+        mask_j = pp.statistical_outlier_removal(
+            pts_j, mask_j, root.get("OutlierRemovalMeanK", 20),
+            root.get("OutlierRemovalStddevMul", 2.0))
+    if use_ror:
+        mask_j = pp.radius_outlier_removal(
+            pts_j, mask_j, root.get("OutlierRemovalRadius", 0.005),
+            root.get("OutlierRemovalMinNeighbors", 10))
+    if use_mls:
+        pts_j = pp.mls_smooth(pts_j, mask_j, root.get("SmoothingRadius", 0.01))
+    if z_cut > 0:
+        mask_j = pp.z_cutoff(pts_j, mask_j, z_cut)
+
+    keep = np.asarray(mask_j)
+    out = PointCloud(
+        xyz=np.asarray(pts_j)[keep],
+        normals=None if cloud.normals is None else _mask_orig(cloud.normals, keep),
+        curvature=None if cloud.curvature is None else _mask_orig(cloud.curvature, keep),
+        rgb=None if cloud.rgb is None else _mask_orig(cloud.rgb, keep),
+    )
+
+    if use_voxel:
+        leaf = root.get("VoxelLeafSize", 0.0015)
+        feats = []
+        if out.normals is not None:
+            feats.append(out.normals)
+        if out.rgb is not None:
+            feats.append(out.rgb)
+        extra = jnp.asarray(np.concatenate(feats, 1)) if feats else None
+        res = vg(jnp.asarray(out.xyz), jnp.ones(len(out.xyz), bool), leaf,
+                 features=extra)
+        got = np.asarray(res.centroids)[np.asarray(res.mask)]
+        xyz = got[:, :3]
+        off = 3
+        nrm = rgbv = None
+        if out.normals is not None:
+            nrm = got[:, off:off + 3]
+            off += 3
+        if out.rgb is not None:
+            rgbv = got[:, off:off + 3]
+        out = PointCloud(xyz=xyz.astype(np.float32),
+                         normals=None if nrm is None else nrm.astype(np.float32),
+                         rgb=None if rgbv is None else rgbv.astype(np.float32))
+    return out
+
+
+def _mask_orig(arr: np.ndarray, keep: np.ndarray) -> np.ndarray:
+    """Apply a padded-cloud keep mask to an original-length per-point array."""
+    n = len(arr)
+    return arr[keep[:n]]
+
+
 @dataclass
 class TrainedState:
     codebook: TrainedCodebook
@@ -145,10 +215,13 @@ class ImplicitShapeModel:
         radii_per_model: List[float] = []
         global_feats: List[Tuple[FeatureSet, int, int]] = []
 
+        set_color_to_zero = self.root.get("SetColorToZero", False)
         for filename, class_id, instance_id in self._training:
             cloud = load_cloud(filename).remove_nan()
+            cloud = preprocess_cloud(cloud, self.root)
             xyz = cloud.xyz
             normals = cloud.normals if cloud.has_normals() else None
+            rgb = None if set_color_to_zero else cloud.rgb
 
             pts_j = jnp.asarray(xyz)
             m_j = jnp.ones(len(xyz), bool)
@@ -161,7 +234,8 @@ class ImplicitShapeModel:
             radius = float(geo.cloud_radius(pts_j, m_j))
 
             fs = extract_local_features(xyz, normals, fcfg, kp_cfg,
-                                        normal_radius, cn_method)
+                                        normal_radius, cn_method,
+                                        rgb=rgb, is_training=True)
             features_per_model.append(fs)
             class_per_model.append(class_id)
             instance_per_model.append(instance_id)
@@ -233,10 +307,13 @@ class ImplicitShapeModel:
     # -- detection -----------------------------------------------------------
     def detect_file(self, filename: str) -> Tuple[List[VotingMaximum], Dict[str, float]]:
         cloud = load_cloud(filename).remove_nan()
+        cloud = preprocess_cloud(cloud, self.root)
         normals = cloud.normals if cloud.has_normals() else None
-        return self.detect(cloud.xyz, normals)
+        rgb = None if self.root.get("SetColorToZero", False) else cloud.rgb
+        return self.detect(cloud.xyz, normals, rgb)
 
-    def detect(self, xyz: np.ndarray, normals: Optional[np.ndarray] = None
+    def detect(self, xyz: np.ndarray, normals: Optional[np.ndarray] = None,
+               rgb: Optional[np.ndarray] = None
                ) -> Tuple[List[VotingMaximum], Dict[str, float]]:
         assert self.state is not None, "not trained / loaded"
         t0 = time.perf_counter()
@@ -249,7 +326,8 @@ class ImplicitShapeModel:
         fs = extract_local_features(
             xyz, normals, fcfg, kp_cfg,
             self.root.get("NormalRadius", 0.05),
-            self.root.get("ConsistentNormalsMethod", 2))
+            self.root.get("ConsistentNormalsMethod", 2),
+            rgb=rgb, is_training=False)
         self.processing_times["features"] += time.perf_counter() - t_feat
 
         t_vote = time.perf_counter()

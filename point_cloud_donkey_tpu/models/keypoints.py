@@ -1,0 +1,272 @@
+"""Keypoint detectors: VoxelGrid + VoxelGridCulling (keypoint selection).
+
+Reference: keypoints/keypoints_voxel_grid.cpp (plain grid centroids) and
+keypoints/keypoints_voxel_grid_culling.cpp (grid + keypoint-quality culling):
+
+  * geometry scores: "curvature" (normal-estimation curvature recomputed at
+    the keypoints with radius = leaf size), "gaussian" (pc1*pc2 principal
+    curvatures at keypoints), "kpq" (Mian et al. keypoint quality over dense
+    principal curvatures, culling.cpp:437-470);
+  * color score: fraction of in-radius neighbors whose CIELab distance to the
+    keypoint color exceeds MaxSimilarColorDistance (culling.cpp:474-506);
+  * thresholds: "CutOff" (sorted-score quantile at FilterCutoffRatio),
+    "Threshold" (fixed), "Auto" (histogram-step heuristic,
+    culling.cpp:369-400);
+  * combination: RequireOne / RequireBoth / RequireCombinedList with the
+    reference's combined-score normalization (geo-gmin)/gmax (sic,
+    culling.cpp:331-340);
+  * optional position refinement to the best-scoring neighbor keypoint
+    (culling.cpp:509-...);
+  * culling disabled during training by default (DisableFilterInTraining).
+
+Divergence note: for the "gaussian" method PCL's PrincipalCurvaturesEstimation
+is fed keypoints as input but cloud-sized normals, so the projection normal it
+uses is indexed out of correspondence (a PCL quirk the reference inherits);
+here the keypoint's voxel-averaged normal is used instead (the evident intent).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.color import color_distance, rgb_to_cielab_normalized
+from ..ops.curvature import principal_curvatures
+from ..ops.neighbors import pairwise_sqdist
+from ..ops.normals import pca_normals
+from ..ops.voxel_grid import voxel_grid
+from ..utils.config import ComponentConfig
+
+
+@dataclass
+class KeypointParams:
+    type: str = "VoxelGrid"
+    leaf_size: float = 0.1
+    filter_method_geometry: str = "None"
+    filter_type_geometry: str = "CutOff"
+    filter_threshold_geometry: float = 0.005
+    filter_method_color: str = "None"
+    filter_type_color: str = "CutOff"
+    filter_threshold_color: float = 0.02
+    max_similar_color_distance: float = 0.01
+    filter_cutoff_ratio: float = 0.5
+    disable_filter_in_training: bool = True
+    combine_filters: str = "RequireCombinedList"
+    refine_position: bool = False
+
+    @classmethod
+    def from_config(cls, cfg: ComponentConfig) -> "KeypointParams":
+        return cls(
+            type=cfg.type or "VoxelGrid",
+            leaf_size=cfg.get("LeafSize", 0.1),
+            filter_method_geometry=cfg.get("FilterMethodGeometry", "None"),
+            filter_type_geometry=cfg.get("FilterTypeGeometry", "CutOff"),
+            filter_threshold_geometry=cfg.get("FilterThresholdGeometry", 0.005),
+            filter_method_color=cfg.get("FilterMethodColor", "None"),
+            filter_type_color=cfg.get("FilterTypeColor", "CutOff"),
+            filter_threshold_color=cfg.get("FilterThresholdColor", 0.02),
+            max_similar_color_distance=cfg.get("MaxSimilarColorDistance", 0.01),
+            filter_cutoff_ratio=cfg.get("FilterCutoffRatio", 0.5),
+            disable_filter_in_training=cfg.get("DisableFilterInTraining", True),
+            combine_filters=cfg.get("CombineFilters", "RequireCombinedList"),
+            refine_position=cfg.get("RefineKeypointPosition", False),
+        )
+
+
+def detect_keypoints(
+    points: np.ndarray,            # [N, 3] clean points
+    normals: Optional[np.ndarray],  # [N, 3] oriented normals (or None)
+    rgb: Optional[np.ndarray],      # [N, 3] colors in [0,1] (or None)
+    params: KeypointParams,
+    is_training: bool = False,
+) -> np.ndarray:
+    """Returns keypoint positions [K, 3] (host-side, compact)."""
+    geo = params.filter_method_geometry.lower()
+    col = params.filter_method_color.lower()
+    plain = (params.type == "VoxelGrid"
+             or (is_training and params.disable_filter_in_training)
+             or (geo == "none" and col == "none"))
+
+    n = len(points)
+    pts = jnp.asarray(points)
+    mask = jnp.ones(n, bool)
+
+    feats = []
+    if normals is not None:
+        feats.append(normals)
+    if rgb is not None:
+        feats.append(rgb)
+    extra = jnp.asarray(np.concatenate(feats, axis=1)) if feats else None
+
+    res = voxel_grid(pts, mask, params.leaf_size, features=extra)
+    kp_all = np.asarray(res.centroids)
+    kp_mask = np.asarray(res.mask)
+    kp_full = kp_all[kp_mask]
+    kp = kp_full[:, :3]
+    off = 3
+    kp_normals = None
+    kp_rgb = None
+    if normals is not None:
+        kp_normals = kp_full[:, off:off + 3]
+        off += 3
+    if rgb is not None:
+        kp_rgb = kp_full[:, off:off + 3]
+
+    if plain:
+        return kp
+
+    # ---- scores ------------------------------------------------------------
+    leaf = params.leaf_size
+    kpj = jnp.asarray(kp)
+    kp_m = jnp.ones(len(kp), bool)
+    geo_scores = np.zeros(len(kp), np.float32)
+    color_scores = np.zeros(len(kp), np.float32)
+
+    if geo == "curvature":
+        # recompute curvature at keypoints with radius = leaf on the cloud
+        # (culling.cpp:156-195)
+        from ..ops.neighbors import radius_covariance
+        from ..ops.eigh3 import eigvals3x3
+        mom = radius_covariance(kpj, pts, mask, leaf, weighting="uniform",
+                                center="mean")
+        vals = eigvals3x3(mom.cov)
+        total = jnp.sum(vals, axis=1)
+        curv = jnp.where(total > 0, vals[:, 0] / jnp.maximum(total, 1e-30), 0.0)
+        geo_scores = np.asarray(curv)
+    elif geo in ("gaussian", "kpq"):
+        if normals is None:
+            raise ValueError(f"{geo} keypoint culling needs normals")
+        if geo == "gaussian":
+            res_c = principal_curvatures(kpj, jnp.asarray(kp_normals), pts,
+                                         jnp.asarray(normals), mask, leaf)
+            geo_scores = np.asarray(res_c.pc1 * res_c.pc2)
+        else:
+            # dense principal curvatures, then KPQ over in-radius neighbors
+            dense = principal_curvatures(pts, jnp.asarray(normals), pts,
+                                         jnp.asarray(normals), mask, leaf)
+            pc1 = np.asarray(dense.pc1)
+            pc2 = np.asarray(dense.pc2)
+            d2 = np.asarray(pairwise_sqdist(kpj, pts))
+            for i in range(len(kp)):
+                idxs = np.nonzero(d2[i] <= leaf * leaf)[0]
+                if len(idxs) == 0:
+                    continue
+                k1, k2 = pc1[idxs], pc2[idxs]
+                K = k1 * k2
+                num = len(idxs)
+                # culling.cpp:444-467 (note the reference's operator
+                # precedence: 1000/num*num == 1000, kept as written)
+                kpq = ((1000.0 / num * num) * K.sum() + 100.0 * K.max()
+                       + abs(100.0 * K.min()) + 10.0 * k1.max()
+                       + abs(10.0 * k2.min()))
+                geo_scores[i] = kpq
+    elif geo != "none":
+        raise ValueError(f"unsupported keypoint filter method {geo!r}")
+
+    if col == "colordistance":
+        if rgb is None or kp_rgb is None:
+            raise ValueError("color culling needs RGB data")
+        lab_cloud = rgb_to_cielab_normalized(jnp.asarray(rgb))
+        lab_kp = rgb_to_cielab_normalized(jnp.asarray(kp_rgb))
+        d2 = pairwise_sqdist(kpj, pts)
+        in_r = (d2 <= leaf * leaf) & mask[None, :]
+        dist = color_distance(lab_kp[:, None, :], lab_cloud[None, :, :])
+        distant = (dist > params.max_similar_color_distance) & in_r
+        cnt = jnp.maximum(jnp.sum(in_r, axis=1), 1)
+        color_scores = np.asarray(jnp.sum(distant, axis=1) / cnt)
+    elif col != "none":
+        raise ValueError(f"unsupported color filter method {col!r}")
+
+    # combined scores with the reference's normalization (culling.cpp:331-340)
+    gmin, gmax = float(geo_scores.min()), float(geo_scores.max())
+    cmin, cmax = float(color_scores.min()), float(color_scores.max())
+    combined = ((geo_scores - gmin) / gmax if gmax != 0 else geo_scores * 0) + \
+        ((color_scores - cmin) / cmax if cmax != 0 else color_scores * 0)
+
+    # ---- thresholds (culling.cpp:346-434) ----------------------------------
+    t_geo = -np.inf
+    t_color = -np.inf
+    t_combined = -np.inf
+    gtype = params.filter_type_geometry.lower()
+    ctype = params.filter_type_color.lower()
+
+    if geo != "none" and gtype == "auto":
+        t_geo = _auto_threshold(np.sort(geo_scores))
+    if geo != "none" and gtype == "cutoff":
+        srt = np.sort(geo_scores)
+        t_geo = srt[min(int(params.filter_cutoff_ratio * len(srt)), len(srt) - 1)]
+    if col != "none" and ctype == "cutoff":
+        srt = np.sort(color_scores)
+        t_color = srt[min(int(params.filter_cutoff_ratio * len(srt)), len(srt) - 1)]
+    if geo != "none" and col != "none" and gtype == "cutoff" and ctype == "cutoff":
+        srt = np.sort(combined)
+        t_combined = srt[min(int(params.filter_cutoff_ratio * len(srt)), len(srt) - 1)]
+    if geo != "none" and gtype == "threshold":
+        t_geo = params.filter_threshold_geometry
+    if col != "none" and ctype == "threshold":
+        t_color = params.filter_threshold_color
+
+    geo_passed = geo_scores >= t_geo if geo != "none" else np.ones(len(kp), bool)
+    color_passed = color_scores >= t_color if col != "none" else np.ones(len(kp), bool)
+    combined_passed = combined >= t_combined
+
+    if geo != "none" and col != "none":
+        if params.combine_filters == "RequireOne":
+            accept = geo_passed | color_passed
+        elif params.combine_filters == "RequireBoth":
+            accept = geo_passed & color_passed
+        else:  # RequireCombinedList
+            accept = combined_passed
+    else:
+        accept = geo_passed & color_passed
+
+    result = kp[accept]
+
+    if params.refine_position and len(result):
+        result = _refine_positions(kp, accept, geo_scores, color_scores,
+                                   combined, geo, col, params)
+    return result.astype(np.float32)
+
+
+def _auto_threshold(sorted_scores: np.ndarray) -> float:
+    """Histogram-step heuristic (culling.cpp:369-400)."""
+    hist_size = 100
+    lo, hi = sorted_scores[0], sorted_scores[-1]
+    step = (hi - lo) / hist_size
+    if step <= 0:
+        return -np.inf
+    hist = np.zeros(hist_size, int)
+    bins = np.clip(((sorted_scores - lo) / step).astype(int), 0, hist_size - 1)
+    np.add.at(hist, bins, 1)
+    cutoff_index = 0
+    for i in range(hist_size - 2):
+        cutoff_index += hist[i]
+        if (hist[i + 1] - hist[i]) * 2 < (hist[i + 2] - hist[i + 1]):
+            cutoff_index += hist[i + 1]
+            break
+    cutoff_index = min(cutoff_index, len(sorted_scores) - 1)
+    return float(sorted_scores[cutoff_index])
+
+
+def _refine_positions(kp, accept, geo_scores, color_scores, combined,
+                      geo, col, params: KeypointParams) -> np.ndarray:
+    """Move each accepted keypoint to the best-scoring keypoint within
+    1.5*leaf (culling.cpp:509-...)."""
+    d = np.sqrt(((kp[:, None] - kp[None]) ** 2).sum(-1))
+    close = d <= params.leaf_size * 1.5
+    out = []
+    for i in np.nonzero(accept)[0]:
+        idxs = np.nonzero(close[i])[0]
+        if geo == "none":
+            best = idxs[np.argmax(color_scores[idxs])]
+        elif col == "none":
+            best = idxs[np.argmax(geo_scores[idxs])]
+        else:
+            best = idxs[np.argmax(combined[idxs])]
+        out.append(kp[best])
+    return np.unique(np.array(out, np.float32), axis=0)

@@ -29,6 +29,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from .eigh3 import eigh3x3
 from .neighbors import pairwise_sqdist, radius_covariance
 
 
@@ -38,10 +39,10 @@ class LRFResult(NamedTuple):
 
 
 def eigh3x3_batched(cov: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched symmetric 3x3 EVD.  Uses jnp.linalg.eigh (XLA lowers small
-    hermitian EVD to a batched kernel).  Returns (eigvals asc [Q,3],
-    eigvecs [Q,3,3] with columns as eigenvectors)."""
-    return jnp.linalg.eigh(cov)
+    """Batched symmetric 3x3 EVD via the closed form (ops/eigh3.py) --
+    pure elementwise VPU arithmetic instead of an iterative eigensolver.
+    Returns (eigvals asc [Q,3], eigvecs [Q,3,3] columns)."""
+    return eigh3x3(cov)
 
 
 def shot_lrf(

@@ -174,20 +174,31 @@ def knn(
 
 def chi_square_distance_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """flann::ChiSquareDistance matrix: d(x,y) = sum_i (x_i-y_i)^2/(x_i+y_i),
-    terms with x_i+y_i <= 0 skipped.  O(Q*C*D) on the VPU; dimension-chunked
-    to bound memory."""
+    terms with x_i+y_i <= 0 skipped.  O(Q*C*D) on the VPU; query-chunked via
+    lax.map to bound the [chunk, C, D] intermediate.
+
+    The optimization_barrier pins the (possibly scatter-built) inputs in
+    memory: without it XLA fuses the producers into every chunk of the loop
+    and recomputes them per chunk (measured 20x blowup on the serving path).
+    """
+    a, b = jax.lax.optimization_barrier((a, b))
     q, c = a.shape[0], b.shape[0]
-    # chunk over feature dim to keep [Q, C, chunk] small
     dim = a.shape[1]
-    chunk = max(1, min(dim, max(1, (1 << 22) // max(q * c, 1))))
-    out = jnp.zeros((q, c), a.dtype)
-    for start in range(0, dim, chunk):
-        asub = a[:, start:start + chunk]
-        bsub = b[:, start:start + chunk]
-        s = asub[:, None, :] + bsub[None, :, :]
-        diff = asub[:, None, :] - bsub[None, :, :]
-        out = out + jnp.sum(jnp.where(s > 0, diff * diff / jnp.where(s > 0, s, 1.0), 0.0), axis=-1)
-    return out
+    # chunk over queries so the intermediate stays ~16M elements
+    chunk = max(1, min(q, max(1, (1 << 24) // max(c * dim, 1))))
+    pad = (-q) % chunk
+    a_pad = jnp.pad(a, ((0, pad), (0, 0)))
+
+    def one_chunk(asub):
+        s = asub[:, None, :] + b[None, :, :]
+        diff = asub[:, None, :] - b[None, :, :]
+        return jnp.sum(
+            jnp.where(s > 0, diff * diff / jnp.where(s > 0, s, 1.0), 0.0),
+            axis=-1)
+
+    chunks = a_pad.reshape(-1, chunk, dim)
+    out = jax.lax.map(one_chunk, chunks).reshape(-1, c)
+    return out[:q]
 
 
 def descriptor_distance(a: jnp.ndarray, b: jnp.ndarray, metric: str) -> jnp.ndarray:

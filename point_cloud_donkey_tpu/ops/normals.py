@@ -23,6 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .eigh3 import eigh3x3
 from .lrf import shot_lrf
 from .neighbors import radius_covariance
 
@@ -42,7 +43,7 @@ def pca_normals(
 ) -> NormalsResult:
     mom = radius_covariance(points, points, mask, radius,
                             weighting="uniform", center="mean")
-    vals, vecs = jnp.linalg.eigh(mom.cov)
+    vals, vecs = eigh3x3(mom.cov)
     normals = vecs[:, :, 0]  # smallest eigenvalue
     total = jnp.sum(vals, axis=1)
     curvature = jnp.where(total > 0, vals[:, 0] / jnp.maximum(total, 1e-30), 0.0)

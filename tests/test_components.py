@@ -1,0 +1,107 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from point_cloud_donkey_tpu.ops.color import rgb_to_cielab_normalized, color_distance
+from point_cloud_donkey_tpu.ops.curvature import principal_curvatures
+from point_cloud_donkey_tpu.ops import preprocess as pp
+from point_cloud_donkey_tpu.models.keypoints import KeypointParams, detect_keypoints
+
+
+def ref_rgb_to_lab(r, g, b):
+    """Scalar reference implementation transcribed from
+    color_conversion.cpp (LUT semantics)."""
+    import math
+    def srgb(i):
+        f = i / 255.0
+        return ((f + 0.055) / 1.055) ** 2.4 if f > 0.04045 else f / 12.92
+    def xyzf(t):
+        f = min(int(t * 4000), 3999) / 4000.0
+        return f ** 0.3333 if f > 0.008856 else 7.787 * f + 16.0 / 116.0
+    fr, fg, fb = srgb(r), srgb(g), srgb(b)
+    x = fr * 0.412453 + fg * 0.357580 + fb * 0.180423
+    y = fr * 0.212671 + fg * 0.715160 + fb * 0.072169
+    z = fr * 0.019334 + fg * 0.119193 + fb * 0.950227
+    vx, vy, vz = xyzf(x / 0.95047), xyzf(y), xyzf(z / 1.08883)
+    L = min(116.0 * vy - 16.0, 100.0)
+    a = max(min(500.0 * (vx - vy), 120.0), -120.0)
+    b2 = max(min(200.0 * (vy - vz), 120.0), -120.0)
+    return L / 100.0, a / 120.0, b2 / 120.0
+
+
+def test_cielab_matches_reference(rng):
+    vals = rng.integers(0, 256, (50, 3))
+    lab = np.asarray(rgb_to_cielab_normalized(jnp.asarray(vals / 255.0, jnp.float32)))
+    for (r, g, b), got in zip(vals, lab):
+        want = ref_rgb_to_lab(int(r), int(g), int(b))
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_color_distance_range(rng):
+    lab1 = np.asarray(rgb_to_cielab_normalized(jnp.asarray(rng.random((10, 3)), jnp.float32)))
+    lab2 = np.asarray(rgb_to_cielab_normalized(jnp.asarray(rng.random((10, 3)), jnp.float32)))
+    d = np.asarray(color_distance(jnp.asarray(lab1), jnp.asarray(lab2)))
+    assert np.all((d >= 0) & (d <= 1))
+    d0 = np.asarray(color_distance(jnp.asarray(lab1), jnp.asarray(lab1)))
+    np.testing.assert_allclose(d0, 0, atol=1e-7)
+
+
+def test_principal_curvatures_plane_vs_sphere(rng):
+    # plane: pc1*pc2 ~ 0 (all normals equal -> projected variance 0)
+    xy = rng.uniform(-1, 1, (500, 2)).astype(np.float32)
+    plane = np.concatenate([xy, np.zeros((500, 1), np.float32)], 1)
+    n_plane = np.tile([0, 0, 1.0], (500, 1)).astype(np.float32)
+    res_p = principal_curvatures(jnp.asarray(plane[:20]), jnp.asarray(n_plane[:20]),
+                                 jnp.asarray(plane), jnp.asarray(n_plane),
+                                 jnp.ones(500, bool), 0.4)
+    assert np.all(np.asarray(res_p.pc1) < 1e-5)
+
+    # sphere: normals vary -> pc1 > 0
+    v = rng.normal(size=(1000, 3)); v /= np.linalg.norm(v, axis=1, keepdims=True)
+    sph = v.astype(np.float32)
+    res_s = principal_curvatures(jnp.asarray(sph[:20]), jnp.asarray(sph[:20]),
+                                 jnp.asarray(sph), jnp.asarray(sph),
+                                 jnp.ones(1000, bool), 0.4)
+    assert np.all(np.asarray(res_s.pc1) > 1e-4)
+
+
+def test_statistical_outlier_removal(rng):
+    pts = rng.normal(size=(300, 3)).astype(np.float32) * 0.1
+    pts[0] = [10, 10, 10]  # gross outlier
+    mask = np.ones(300, bool)
+    out = np.asarray(pp.statistical_outlier_removal(jnp.asarray(pts), jnp.asarray(mask), 10, 1.0))
+    assert not out[0]
+    assert out[1:].mean() > 0.8
+
+
+def test_radius_outlier_removal(rng):
+    pts = rng.normal(size=(200, 3)).astype(np.float32) * 0.1
+    pts[0] = [5, 5, 5]
+    out = np.asarray(pp.radius_outlier_removal(jnp.asarray(pts), jnp.ones(200, bool), 0.2, 3))
+    assert not out[0]
+
+
+def test_mls_smooth_plane(rng):
+    xy = rng.uniform(-1, 1, (400, 2)).astype(np.float32)
+    z = rng.normal(scale=0.02, size=(400, 1)).astype(np.float32)
+    pts = np.concatenate([xy, z], 1)
+    sm = np.asarray(pp.mls_smooth(jnp.asarray(pts), jnp.ones(400, bool), 0.4))
+    assert np.abs(sm[:, 2]).std() < np.abs(pts[:, 2]).std() * 0.7
+
+
+def test_keypoint_culling_curvature(rng):
+    # half-plane (flat) + bumpy region: curvature culling with cutoff 0.5
+    # must prefer keypoints in the bumpy half
+    xy = rng.uniform(-1, 1, (3000, 2)).astype(np.float32)
+    z = np.where(xy[:, 0] > 0, 0.12 * np.sin(8 * xy[:, 0]) * np.sin(8 * xy[:, 1]), 0.0)
+    pts = np.stack([xy[:, 0], xy[:, 1], z], 1).astype(np.float32)
+    normals = np.tile([0, 0, 1.0], (3000, 1)).astype(np.float32)
+    params = KeypointParams(type="VoxelGridCulling", leaf_size=0.15,
+                            filter_method_geometry="Curvature",
+                            filter_type_geometry="CutOff",
+                            filter_cutoff_ratio=0.5)
+    kp_all = detect_keypoints(pts, normals, None, params, is_training=True)
+    kp_culled = detect_keypoints(pts, normals, None, params, is_training=False)
+    assert len(kp_culled) < len(kp_all)
+    # culled keypoints should mostly be in the bumpy half
+    assert (kp_culled[:, 0] > 0).mean() > 0.7

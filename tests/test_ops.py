@@ -277,3 +277,39 @@ def test_short_shot_weight_conservation(rng):
     D = np.asarray(res.descriptors[0])
     assert np.isclose(np.linalg.norm(D), 1.0, atol=1e-5)
     assert (D > 0).sum() >= 1
+
+
+# ---------------------------------------------------------------------------
+# closed-form eigh3x3
+# ---------------------------------------------------------------------------
+
+def test_eigh3x3_matches_lapack(rng):
+    from point_cloud_donkey_tpu.ops.eigh3 import eigh3x3
+    X = rng.normal(size=(2000, 10, 3)).astype(np.float32)
+    A = np.einsum("bni,bnj->bij", X, X) / 10
+    vals, vecs = eigh3x3(jnp.asarray(A))
+    vals, vecs = np.asarray(vals), np.asarray(vecs)
+    ref_vals, _ = np.linalg.eigh(A)
+    scale = np.abs(ref_vals).max()
+    np.testing.assert_allclose(vals, ref_vals, atol=2e-5 * scale)
+    resid = np.einsum("bij,bjk->bik", A, vecs) - vals[:, None, :] * vecs
+    assert np.abs(resid).max() < 3e-5 * scale
+    ortho = np.einsum("bij,bik->bjk", vecs, vecs)
+    np.testing.assert_allclose(ortho, np.broadcast_to(np.eye(3), ortho.shape),
+                               atol=1e-5)
+
+
+def test_eigh3x3_degenerate():
+    from point_cloud_donkey_tpu.ops.eigh3 import eigh3x3
+    D = np.stack([np.eye(3, dtype=np.float32),
+                  np.zeros((3, 3), np.float32),
+                  np.diag([1.0, 1.0, 2.0]).astype(np.float32),
+                  np.diag([0.0, 0.0, 1.0]).astype(np.float32)])
+    vals, vecs = eigh3x3(jnp.asarray(D))
+    vals, vecs = np.asarray(vals), np.asarray(vecs)
+    assert np.all(np.isfinite(vals)) and np.all(np.isfinite(vecs))
+    np.testing.assert_allclose(vals[0], [1, 1, 1], atol=1e-6)
+    np.testing.assert_allclose(vals[3], [0, 0, 1], atol=1e-6)
+    ortho = np.einsum("bij,bik->bjk", vecs, vecs)
+    np.testing.assert_allclose(ortho, np.broadcast_to(np.eye(3), ortho.shape),
+                               atol=1e-5)
