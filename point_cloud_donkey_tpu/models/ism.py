@@ -246,29 +246,53 @@ class ImplicitShapeModel:
                                           normal_radius, cn_method)
             global_feats.append((gfs, class_id, instance_id))
 
-        # feature ranking: Uniform keeps everything (ranking_uniform.h:19-22)
-        # TODO: NaiveBayes/Incremental/KnnActivation/Strangeness/Similarity
+        # feature ranking (redundancy-free codebooks,
+        # feature_ranking/feature_ranking.cpp:36-120)
+        from .ranking import RankingParams, rank_features
+        from .clustering import ClusteringParams, run_clustering
 
-        # clustering: None -> every feature is a codeword
-        # (clustering_none.cpp:37-44); cluster centers ordered class-by-class
-        clustering_type = self.config.child("Clustering").type or "None"
-        if clustering_type != "None":
-            raise NotImplementedError(
-                f"clustering type {clustering_type!r} lands in a later stage")
         order = sorted(range(len(features_per_model)),
                        key=lambda i: class_per_model[i])
         all_desc = np.concatenate(
             [features_per_model[i].descriptors for i in order], axis=0)
-        all_pos = np.concatenate(
-            [features_per_model[i].positions for i in order], axis=0)
+        all_cls = np.concatenate(
+            [np.full(features_per_model[i].descriptors.shape[0],
+                     class_per_model[i], np.int32) for i in order])
+        all_cdist = np.concatenate(
+            [features_per_model[i].center_dist for i in order])
+
+        rank_params = RankingParams.from_config(
+            self.config.child("FeatureWeighting"))
+        keep = rank_features(all_desc, all_cls, all_cdist, rank_params)
+
+        # apply the keep mask back to the per-model feature sets
+        ranked_models: List[FeatureSet] = []
+        off = 0
+        for i in order:
+            fs = features_per_model[i]
+            n = fs.descriptors.shape[0]
+            sel = keep[off:off + n]
+            off += n
+            ranked_models.append(FeatureSet(*(np.asarray(a)[sel] for a in fs)))
+
+        all_desc_r = np.concatenate([f.descriptors for f in ranked_models], 0)
+        all_pos_r = np.concatenate([f.positions for f in ranked_models], 0)
+
+        # clustering -> codewords (None: one codeword per feature,
+        # clustering_none.cpp:37-44; KMeans*/Agglomerative per models/clustering.py)
+        clu_params = ClusteringParams.from_config(self.config.child("Clustering"))
+        centers, _indices = run_clustering(all_desc_r, clu_params, self.metric)
+        # codeword feature positions: the reference takes the i-th feature's
+        # position for the i-th cluster center (implicit_shape_model.cpp:465-475)
+        cw_pos = all_pos_r[:len(centers)]
 
         cb_params = _codebook_params(self.config.child("Codebook"))
         codebook = train_codebook(
-            [features_per_model[i] for i in order],
+            ranked_models,
             [class_per_model[i] for i in order],
             [instance_per_model[i] for i in order],
             [boxes_per_model[i] for i in order],
-            all_desc, all_pos, cb_params, self.metric)
+            centers, cw_pos, cb_params, self.metric)
 
         # forwardBoxesAndRadii (voting.cpp:497-551): per-class mean object
         # radius and mean median-bbox-dimension (+ variances)
