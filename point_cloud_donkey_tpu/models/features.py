@@ -296,6 +296,10 @@ def extract_global_features(
     kp_mask = np.zeros(64, bool)
     kp_mask[0] = True
 
+    # the global descriptor's radius is the cloud radius: every point is a
+    # neighbor, so the gather capacity must cover the whole cloud
+    fcfg = replace(fcfg, neighbor_capacity=n)
+
     # radius is dynamic (cloud radius) -> passed as a traced scalar
     desc, d_valid, frames, f_valid = _descriptor_stage(n, 64, fcfg)(
         jnp.asarray(kp), jnp.asarray(kp_mask), pts_j, mask_j, nrm_j,

@@ -165,6 +165,7 @@ class TrainedState:
     global_classes: Optional[np.ndarray] = None      # [G]
     global_instances: Optional[np.ndarray] = None    # [G]
     global_radii: Optional[np.ndarray] = None        # [G]
+    svm: Optional[object] = None                     # models.svm.SVMModel
 
 
 class ImplicitShapeModel:
@@ -179,6 +180,7 @@ class ImplicitShapeModel:
             k: 0.0 for k in ("complete", "features", "keypoints", "normals",
                              "flann", "voting", "maxima")}
         self._cast_cache = {}
+        self._gc_cache = None
 
     # -- config-derived accessors -------------------------------------------
     @property
@@ -328,6 +330,18 @@ class ImplicitShapeModel:
             global_radii=np.array(g_rad, np.float32) if g_desc else None,
         )
 
+        # SVM on global features (implicit_shape_model.cpp:424-428, :1310-1356)
+        if self.root.get("UseSvmTraining", False) and g_desc:
+            from .svm import train_svm
+            self.state.svm = train_svm(
+                self.state.global_descriptors,
+                self.state.global_classes,
+                one_vs_all=self.root.get("SvmOneVsAllTraining", False),
+                auto_train=self.root.get("SvmAutoTrain", False),
+                param_c=self.root.get("SvmParamC", 7.41),
+                param_gamma=self.root.get("SvmParamGamma", 2.96),
+                k_fold=self.root.get("SvmParamKfold", 10))
+
     # -- detection -----------------------------------------------------------
     def detect_file(self, filename: str) -> Tuple[List[VotingMaximum], Dict[str, float]]:
         cloud = load_cloud(filename).remove_nan()
@@ -387,17 +401,88 @@ class ImplicitShapeModel:
         mask = np.ones(len(xyz), bool)
         maxima = find_maxima(votes, pts_pad, mask, vparams, self.state.dims_map)
 
-        # TODO: global-feature verification hooks in here (classifier stage)
+        # --- global-feature verification (voting.cpp:218-295) --------------
+        roi_centroid = np.zeros(3, np.float32)
+        if vparams.use_global_features:
+            gc = self._global_classifier(vparams)
+            gcfg = self._global_feature_cfg()
+            nr = self.root.get("NormalRadius", 0.05)
+            cn = self.root.get("ConsistentNormalsMethod", 2)
+            if not vparams.single_object_mode:
+                for m in maxima:
+                    seg_pts, seg_nrm = gc.segment_roi(xyz, normals, m)
+                    ok = len(seg_pts) > vparams.global_min_points
+                    if ok:
+                        gfs = extract_global_features(seg_pts, seg_nrm, gcfg, nr, cn)
+                        gc.classify(gfs.descriptors, m, True)
+                        roi_centroid = seg_pts.mean(axis=0).astype(np.float32)
+                    else:
+                        gc.classify(np.zeros((0, 1), np.float32), m, False)
+            else:
+                # classify the whole cloud once (voting.cpp:240-261)
+                gfs = extract_global_features(xyz, normals, gcfg, nr, cn)
+                probe = VotingMaximum()
+                if gfs.descriptors.shape[0]:
+                    gc.classify(gfs.descriptors, probe, True)
+                for m in maxima:
+                    m.glob_class_id = probe.glob_class_id
+                    m.glob_class_weight = probe.glob_class_weight
+                    m.glob_instance_id = probe.glob_instance_id
+                    m.glob_instance_weight = probe.glob_instance_weight
+                if not maxima and gfs.descriptors.shape[0]:
+                    from ..ops import geometry as geo
+                    g = VotingMaximum(
+                        class_id=probe.glob_class_id,
+                        instance_id=probe.glob_instance_id,
+                        position=xyz.mean(axis=0).astype(np.float32),
+                        weight=probe.glob_class_weight,
+                        instance_weight=probe.glob_instance_weight)
+                    g.glob_class_id = probe.glob_class_id
+                    g.glob_class_weight = probe.glob_class_weight
+                    g.glob_instance_id = probe.glob_instance_id
+                    g.glob_instance_weight = probe.glob_instance_weight
+                    box = geo.compute_mvbb(jnp.asarray(xyz), jnp.ones(len(xyz), bool))
+                    g.bb_size = np.asarray(box.size)
+                    g.bb_quat = np.asarray(box.quat)
+                    maxima.append(g)
 
         if not vparams.single_object_mode:
             maxima = filter_maxima(maxima, vparams, self.state.dims_map)
 
         maxima = sorted(maxima, key=lambda m: -m.weight)
+
+        if vparams.use_global_features and maxima:
+            from .classifier import merge_global_and_local
+            # merge function 5 needs unnormalized weights (voting.cpp:275-281)
+            if vparams.merge_function != 5:
+                normalize_weights(maxima)
+            merge_global_and_local(maxima, vparams, roi_centroid)
+            maxima = sorted(maxima, key=lambda m: -m.weight)
+            maxima = [m for m in maxima if m.weight != 0]
+
         normalize_weights(maxima)
         maxima = select_maxima(maxima, vparams)
         self.processing_times["maxima"] += time.perf_counter() - t_max
         self.processing_times["complete"] += time.perf_counter() - t0
         return maxima, dict(self.processing_times)
+
+    def _global_classifier(self, vparams: VotingParams):
+        from .classifier import GlobalClassifier
+        if getattr(self, "_gc_cache", None) is None:
+            radii = {cid: dims[1] for cid, dims in self.state.dims_map.items()}
+            self._gc_cache = GlobalClassifier(
+                descriptors=self.state.global_descriptors,
+                classes=self.state.global_classes,
+                instances=self.state.global_instances,
+                average_radii=radii,
+                metric=self.metric,
+                method=vparams.global_feature_method
+                if (vparams.global_feature_method != "SVM" or self.state.svm is not None)
+                else "KNN",
+                k=vparams.k_global_features,
+                single_object_mode=vparams.single_object_mode,
+                svm=self.state.svm)
+        return self._gc_cache
 
     # -- persistence ----------------------------------------------------------
     def save(self, path: str) -> None:
@@ -426,6 +511,8 @@ class ImplicitShapeModel:
             arrays["glob_cls"] = self.state.global_classes
             arrays["glob_inst"] = self.state.global_instances
             arrays["glob_rad"] = self.state.global_radii
+        if self.state.svm is not None:
+            arrays.update(self.state.svm.to_arrays())
         np.savez_compressed(path + "d.npz", **arrays)
 
     @classmethod
@@ -456,5 +543,7 @@ class ImplicitShapeModel:
                 state.global_classes = z["glob_cls"]
                 state.global_instances = z["glob_inst"]
                 state.global_radii = z["glob_rad"]
+            from .svm import SVMModel
+            state.svm = SVMModel.from_arrays(z)
             ism.state = state
         return ism
