@@ -62,6 +62,9 @@ class FeatureConfig:
     short_shot_log_radius: bool = False
     short_shot_min_radius: float = 0.0
     use_min_radius: bool = False
+    # SHORT_CSHOT extras (features_short_cshot.cpp:23-34)
+    short_color_shot_dims: int = 32
+    short_color_hist_size: int = 15
     # TPU capacity knobs (not part of the reference schema)
     neighbor_capacity: int = 2048
 
@@ -80,12 +83,19 @@ class FeatureConfig:
             short_shot_log_radius=cfg.get("ShortShotLogRadius", False),
             short_shot_min_radius=cfg.get("ShortShotMinRadius", 0.0),
             use_min_radius=cfg.get("UseMinRadius", False),
+            short_color_shot_dims=cfg.get("ShortColorShotDims", 32),
+            short_color_hist_size=cfg.get("ShortColorShotHistSize", 15),
             neighbor_capacity=cfg.get("TpuNeighborCapacity", 2048),
         )
 
     def needs_normals(self) -> bool:
         return self.type not in ("SHORT_SHOT", "SHORT_CSHOT", "SHORT_SHOT_PCL",
+                                 "SHORT_SHOT_GLOBAL", "SHORT_CSHOT_GLOBAL",
                                  "Dummy")
+
+    def needs_rgb(self) -> bool:
+        return self.type in ("CSHOT", "CSHOT_GLOBAL", "SHORT_CSHOT",
+                             "SHORT_CSHOT_GLOBAL")
 
     def descriptor_dim(self) -> int:
         if self.type in ("SHOT", "SHOT_GLOBAL"):
@@ -98,6 +108,14 @@ class FeatureConfig:
                 self.short_shot_r_bins, self.short_shot_e_bins,
                 self.short_shot_a_bins)
             return dims
+        if self.type in ("SHORT_CSHOT", "SHORT_CSHOT_GLOBAL"):
+            from ..ops.short_shot import resolve_color_bins
+            dims, _, _, _ = resolve_bins(
+                self.short_shot_dims, self.short_shot_bin_type,
+                self.short_shot_r_bins, self.short_shot_e_bins,
+                self.short_shot_a_bins)
+            cdims, _, _, _ = resolve_color_bins(self.short_color_shot_dims)
+            return dims + cdims * self.short_color_hist_size
         if self.type == "Dummy":
             return 1
         raise ValueError(f"unsupported descriptor type {self.type!r}")
@@ -126,7 +144,7 @@ def _keypoint_stage(n: int, leaf: float, capacity: int):
 @functools.lru_cache(maxsize=None)
 def _descriptor_stage(n: int, k: int, fcfg: FeatureConfig):
     min_radius = 0.0
-    if fcfg.type.startswith("SHORT_SHOT"):
+    if fcfg.type.startswith("SHORT_"):
         if fcfg.use_min_radius:
             min_radius = fcfg.radius * fcfg.short_shot_min_radius
         elif fcfg.short_shot_log_radius:
@@ -134,21 +152,37 @@ def _descriptor_stage(n: int, k: int, fcfg: FeatureConfig):
         _, rb, eb, ab = resolve_bins(
             fcfg.short_shot_dims, fcfg.short_shot_bin_type,
             fcfg.short_shot_r_bins, fcfg.short_shot_e_bins, fcfg.short_shot_a_bins)
+    if fcfg.type.startswith("SHORT_CSHOT"):
+        from ..ops.short_shot import resolve_color_bins
+        _, crb, ceb, cab = resolve_color_bins(fcfg.short_color_shot_dims)
 
     cap = min(fcfg.neighbor_capacity, n)
 
     @jax.jit
-    def run(keypoints, kp_mask, points, mask, normals, radius, frame_radius):
+    def run(keypoints, kp_mask, points, mask, normals, rgb, kp_rgb,
+            radius, frame_radius):
         lrf = shot_lrf(keypoints, kp_mask, points, mask, frame_radius)
         nbr = gather_radius_neighbors(keypoints, points, mask, radius, cap)
         if fcfg.type in ("SHOT", "SHOT_GLOBAL"):
             res = shot_descriptor(keypoints, lrf.frames, lrf.valid,
                                   points, normals, nbr, radius)
+        elif fcfg.type in ("CSHOT", "CSHOT_GLOBAL"):
+            from ..ops.shot import cshot_descriptor
+            res = cshot_descriptor(keypoints, kp_rgb, lrf.frames, lrf.valid,
+                                   points, normals, rgb, nbr, radius)
         elif fcfg.type in ("SHORT_SHOT", "SHORT_SHOT_GLOBAL"):
             res = short_shot_descriptor(keypoints, lrf.frames, lrf.valid,
                                         points, nbr, radius,
                                         rb, eb, ab, min_radius,
                                         fcfg.short_shot_log_radius)
+        elif fcfg.type in ("SHORT_CSHOT", "SHORT_CSHOT_GLOBAL"):
+            from ..ops.short_shot import short_cshot_descriptor
+            res = short_cshot_descriptor(keypoints, kp_rgb, lrf.frames,
+                                         lrf.valid, points, rgb, nbr, radius,
+                                         rb, eb, ab, crb, ceb, cab,
+                                         fcfg.short_color_hist_size,
+                                         min_radius,
+                                         fcfg.short_shot_log_radius)
         else:
             raise ValueError(f"unsupported descriptor type {fcfg.type!r}")
         return res.descriptors, res.valid, lrf.frames, lrf.valid
@@ -228,8 +262,8 @@ def extract_local_features(
     # keypoints (VoxelGrid or VoxelGridCulling)
     if kp_params.type not in ("VoxelGrid", "VoxelGridCulling"):
         raise ValueError(f"unsupported keypoint type {kp_params.type!r}")
-    kp = detect_keypoints(xyz, cloud_normals, rgb, kp_params,
-                          is_training=is_training)
+    kp, kp_rgb = detect_keypoints(xyz, cloud_normals, rgb, kp_params,
+                                  is_training=is_training, return_colors=True)
     k_bucket = bucket_size(len(kp), minimum=64)
     kp_pad = np.zeros((k_bucket, 3), np.float32)
     kp_pad[:len(kp)] = kp
@@ -237,8 +271,23 @@ def extract_local_features(
     kp_mask = np.zeros(k_bucket, bool)
     kp_mask[:len(kp)] = True
 
+    if fcfg.needs_rgb():
+        if rgb is None:
+            raise ValueError(f"{fcfg.type} needs RGB data but the cloud has none")
+        rgb_pad = np.zeros((n, 3), np.float32)
+        rgb_pad[:len(xyz)] = rgb
+        kp_rgb_pad = np.zeros((k_bucket, 3), np.float32)
+        if kp_rgb is not None:
+            kp_rgb_pad[:len(kp)] = kp_rgb
+        rgb_j = jnp.asarray(rgb_pad)
+        kp_rgb_j = jnp.asarray(kp_rgb_pad)
+    else:
+        rgb_j = jnp.zeros((n, 3), jnp.float32)
+        kp_rgb_j = jnp.zeros((k_bucket, 3), jnp.float32)
+
     desc, d_valid, frames, f_valid = _descriptor_stage(n, k_bucket, fcfg)(
         jnp.asarray(kp_pad), jnp.asarray(kp_mask), pts_j, mask_j, nrm_j,
+        rgb_j, kp_rgb_j,
         jnp.asarray(fcfg.radius, jnp.float32),
         jnp.asarray(fcfg.ref_frame_radius, jnp.float32))
 
@@ -263,6 +312,7 @@ def extract_global_features(
     fcfg: FeatureConfig,
     normal_radius: float,
     consistent_normals_method: int,
+    rgb: Optional[np.ndarray] = None,
 ) -> FeatureSet:
     """Global descriptor over the whole cloud.  The *_GLOBAL descriptors are
     the local descriptor computed at the centroid with radius = cloud radius
@@ -300,9 +350,23 @@ def extract_global_features(
     # neighbor, so the gather capacity must cover the whole cloud
     fcfg = replace(fcfg, neighbor_capacity=n)
 
+    if fcfg.needs_rgb():
+        if rgb is None:
+            raise ValueError(f"{fcfg.type} needs RGB data but the cloud has none")
+        rgb_pad = np.zeros((n, 3), np.float32)
+        rgb_pad[:len(xyz)] = rgb
+        rgb_j = jnp.asarray(rgb_pad)
+        kp_rgb = np.zeros((64, 3), np.float32)
+        kp_rgb[0] = rgb.mean(axis=0)  # centroid keypoint gets the mean color
+        kp_rgb_j = jnp.asarray(kp_rgb)
+    else:
+        rgb_j = jnp.zeros((n, 3), jnp.float32)
+        kp_rgb_j = jnp.zeros((64, 3), jnp.float32)
+
     # radius is dynamic (cloud radius) -> passed as a traced scalar
     desc, d_valid, frames, f_valid = _descriptor_stage(n, 64, fcfg)(
         jnp.asarray(kp), jnp.asarray(kp_mask), pts_j, mask_j, nrm_j,
+        rgb_j, kp_rgb_j,
         jnp.asarray(radius, jnp.float32),
         jnp.asarray(fcfg.ref_frame_radius, jnp.float32))
 

@@ -245,7 +245,7 @@ class ImplicitShapeModel:
             radii_per_model.append(radius)
 
             gfs = extract_global_features(xyz, normals, gcfg,
-                                          normal_radius, cn_method)
+                                          normal_radius, cn_method, rgb=rgb)
             global_feats.append((gfs, class_id, instance_id))
 
         # feature ranking (redundancy-free codebooks,
@@ -413,14 +413,19 @@ class ImplicitShapeModel:
                     seg_pts, seg_nrm = gc.segment_roi(xyz, normals, m)
                     ok = len(seg_pts) > vparams.global_min_points
                     if ok:
-                        gfs = extract_global_features(seg_pts, seg_nrm, gcfg, nr, cn)
+                        seg_rgb = rgb[np.linalg.norm(
+                            xyz - m.position[None, :], axis=1)
+                            <= gc.average_radii.get(m.class_id, 0.0)] \
+                            if rgb is not None else None
+                        gfs = extract_global_features(seg_pts, seg_nrm, gcfg,
+                                                      nr, cn, rgb=seg_rgb)
                         gc.classify(gfs.descriptors, m, True)
                         roi_centroid = seg_pts.mean(axis=0).astype(np.float32)
                     else:
                         gc.classify(np.zeros((0, 1), np.float32), m, False)
             else:
                 # classify the whole cloud once (voting.cpp:240-261)
-                gfs = extract_global_features(xyz, normals, gcfg, nr, cn)
+                gfs = extract_global_features(xyz, normals, gcfg, nr, cn, rgb=rgb)
                 probe = VotingMaximum()
                 if gfs.descriptors.shape[0]:
                     gc.classify(gfs.descriptors, probe, True)

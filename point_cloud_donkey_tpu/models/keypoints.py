@@ -84,8 +84,10 @@ def detect_keypoints(
     rgb: Optional[np.ndarray],      # [N, 3] colors in [0,1] (or None)
     params: KeypointParams,
     is_training: bool = False,
-) -> np.ndarray:
-    """Returns keypoint positions [K, 3] (host-side, compact)."""
+    return_colors: bool = False,
+):
+    """Returns keypoint positions [K, 3] (host-side, compact); with
+    return_colors=True returns (positions, voxel-averaged colors or None)."""
     geo = params.filter_method_geometry.lower()
     col = params.filter_method_color.lower()
     plain = (params.type == "VoxelGrid"
@@ -118,7 +120,7 @@ def detect_keypoints(
         kp_rgb = kp_full[:, off:off + 3]
 
     if plain:
-        return kp
+        return (kp, kp_rgb) if return_colors else kp
 
     # ---- scores ------------------------------------------------------------
     leaf = params.leaf_size
@@ -226,11 +228,14 @@ def detect_keypoints(
         accept = geo_passed & color_passed
 
     result = kp[accept]
+    result_rgb = kp_rgb[accept] if kp_rgb is not None else None
 
     if params.refine_position and len(result):
         result = _refine_positions(kp, accept, geo_scores, color_scores,
                                    combined, geo, col, params)
-    return result.astype(np.float32)
+        result_rgb = None  # refined positions lose voxel color association
+    result = result.astype(np.float32)
+    return (result, result_rgb) if return_colors else result
 
 
 def _auto_threshold(sorted_scores: np.ndarray) -> float:

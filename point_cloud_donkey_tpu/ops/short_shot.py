@@ -153,3 +153,161 @@ def short_shot_descriptor(
     descriptors = hist / jnp.maximum(norm, 1e-30)
     valid = frame_valid & (norm[:, 0] > 0)
     return ShortShotResult(descriptors=descriptors, valid=valid)
+
+
+# ---------------------------------------------------------------------------
+# SHORT_CSHOT: shape grid + color histogram grid
+# (reference features/features_short_cshot.cpp)
+# ---------------------------------------------------------------------------
+
+COLOR_AUTO_BINS = {
+    8: (1, 1, 8), 16: (2, 2, 4), 24: (2, 2, 6), 32: (2, 2, 8),
+    64: (2, 4, 8), 96: (3, 4, 8), 128: (4, 4, 8),
+}
+
+
+def resolve_color_bins(color_dims: int):
+    """configureSphericalColorGrid (features_short_cshot.cpp:592-650):
+    auto-only; unsupported dims fall back to 32."""
+    bins = COLOR_AUTO_BINS.get(color_dims)
+    if bins is None:
+        return 32, *COLOR_AUTO_BINS[32]
+    return color_dims, *bins
+
+
+def short_cshot_descriptor(
+    keypoints: jnp.ndarray,    # [K, 3]
+    kp_rgb: jnp.ndarray,       # [K, 3] in [0,1]
+    frames: jnp.ndarray,       # [K, 3, 3]
+    frame_valid: jnp.ndarray,  # [K]
+    points: jnp.ndarray,       # [N, 3]
+    rgb: jnp.ndarray,          # [N, 3] in [0,1]
+    nbr: NeighborBlock,
+    radius: float,
+    r_bins: int = 2, e_bins: int = 2, a_bins: int = 8,
+    r_cbins: int = 2, e_cbins: int = 2, a_cbins: int = 8,
+    color_hist_size: int = 15,
+    min_radius: float = 0.0,
+    log_radius: bool = False,
+) -> ShortShotResult:
+    """Fused shape + color descriptor (features_short_cshot.cpp:103-430):
+    the shape part is the SHORT_SHOT spherical grid; the color part bins the
+    normalized-CIELab distance to the keypoint color into a color histogram
+    nested inside its own spherical grid, with linear interpolation on all
+    four axes (the c-secondary increment uses (1-w_c)+(1-w_r)+w_t+w_p,
+    preserving the reference's quirk at :424-426).  One joint L2 norm."""
+    from .color import color_distance, rgb_to_cielab_normalized
+
+    shape_dims = r_bins * e_bins * a_bins
+    color_dims = r_cbins * e_cbins * a_cbins * color_hist_size
+    total = shape_dims + color_dims
+    dtype = points.dtype
+    K, M = nbr.idx.shape
+
+    use = nbr.valid & (nbr.dist > 1e-15) & jnp.isfinite(nbr.dist)
+    npos = points[nbr.idx]
+    delta = npos - keypoints[:, None, :]
+    x_l = jnp.einsum("kmd,kd->km", delta, frames[:, 0, :])
+    y_l = jnp.einsum("kmd,kd->km", delta, frames[:, 1, :])
+    z_l = jnp.einsum("kmd,kd->km", delta, frames[:, 2, :])
+
+    r = jnp.sqrt(x_l * x_l + y_l * y_l + z_l * z_l)
+    if min_radius > 0:
+        use = use & (r >= min_radius)
+    r = jnp.where(use, r, radius * 0.5)
+    theta = jnp.degrees(jnp.arccos(jnp.clip(z_l / jnp.maximum(r, 1e-30), -1.0, 1.0)))
+    phi = jnp.degrees(jnp.arctan2(y_l, x_l))
+
+    lab_kp = rgb_to_cielab_normalized(kp_rgb)
+    lab_n = rgb_to_cielab_normalized(rgb)[nbr.idx]
+    cdist = color_distance(lab_kp[:, None, :], lab_n)
+
+    import math as _math
+    if log_radius:
+        ln_rmin = _math.log(min_radius) if min_radius > 0 else 0.0
+        ln_span = _math.log(radius / min_radius) if min_radius > 0 else 1.0
+
+    def radial_raw(nbins):
+        if log_radius:
+            return (nbins - 1) * (jnp.log(jnp.maximum(r, 1e-30)) - ln_rmin) / ln_span + 1.0
+        return nbins * r / radius
+
+    usef = use.astype(dtype)
+
+    # ---- shape part (same scheme as short_shot_descriptor) ----------------
+    def grid_slots(rb, eb, ab, offset, stride, extra_w=None):
+        raw_r = radial_raw(rb)
+        raw_t = eb * theta / 180.0
+        raw_p = ab * (phi + 180.0) / 360.0
+        b_r = jnp.clip(raw_r.astype(jnp.int32), 0, rb - 1)
+        b_t = jnp.minimum(raw_t.astype(jnp.int32), eb - 1)
+        b_p = jnp.minimum(raw_p.astype(jnp.int32), ab - 1)
+        w_r, o_r = _interp(raw_r)
+        w_t, o_t = _interp(raw_t)
+        w_p, o_p = _interp(raw_p)
+        b_r2 = _correct_bin(b_r + o_r, rb, False)
+        b_t2 = _correct_bin(b_t + o_t, eb, False)
+        b_p2 = _correct_bin(b_p + o_p, ab, True)
+        r2ok = (rb > 1) & (b_r2 != b_r)
+        t2ok = (eb > 1) & (b_t2 != b_t)
+        p2ok = (ab > 1) & (b_p2 != b_p)
+
+        def lin(br, bt, bp):
+            return offset + (br + bt * rb + bp * rb * eb) * stride
+
+        return (lin, (b_r, b_t, b_p), (b_r2, b_t2, b_p2),
+                (w_r, w_t, w_p), (r2ok, t2ok, p2ok))
+
+    lin_s, (br, bt, bp), (br2, bt2, bp2), (wr, wt, wp), (r2ok, t2ok, p2ok) = \
+        grid_slots(r_bins, e_bins, a_bins, 0, 1)
+    idx_shape = jnp.stack([
+        lin_s(br, bt, bp), lin_s(br, bt, bp2), lin_s(br, bt2, bp), lin_s(br2, bt, bp),
+    ], axis=-1)
+    w_shape = jnp.stack([
+        wr + wt + wp,
+        jnp.where(p2ok, wr + wt + (1.0 - wp), 0.0),
+        jnp.where(t2ok, wr + (1.0 - wt) + wp, 0.0),
+        jnp.where(r2ok, (1.0 - wr) + wt + wp, 0.0),
+    ], axis=-1) * usef[..., None]
+
+    # ---- color part ---------------------------------------------------------
+    lin_c, (cbr, cbt, cbp), (cbr2, cbt2, cbp2), (cwr, cwt, cwp), (cr2ok, ct2ok, cp2ok) = \
+        grid_slots(r_cbins, e_cbins, a_cbins, 0, color_hist_size)
+    raw_c = cdist * color_hist_size
+    b_c = jnp.minimum(raw_c.astype(jnp.int32), color_hist_size - 1)
+    w_c, o_c = _interp(raw_c)
+    b_c2 = _correct_bin(b_c + o_c, color_hist_size, False)
+    c2ok = (color_hist_size > 1) & (b_c2 != b_c)
+
+    def cidx(bc, br_, bt_, bp_):
+        return shape_dims + bc + lin_c(br_, bt_, bp_)
+
+    idx_color = jnp.stack([
+        cidx(b_c, cbr, cbt, cbp),
+        cidx(b_c, cbr, cbt, cbp2),
+        cidx(b_c, cbr, cbt2, cbp),
+        cidx(b_c, cbr2, cbt, cbp),
+        cidx(b_c2, cbr, cbt, cbp),
+    ], axis=-1)
+    w_color = jnp.stack([
+        w_c + cwr + cwt + cwp,
+        jnp.where(cp2ok, w_c + cwr + cwt + (1.0 - cwp), 0.0),
+        jnp.where(ct2ok, w_c + cwr + (1.0 - cwt) + cwp, 0.0),
+        jnp.where(cr2ok, w_c + (1.0 - cwr) + cwt + cwp, 0.0),
+        # reference quirk: the c-secondary increment also flips w_r
+        # (features_short_cshot.cpp:424-426)
+        jnp.where(c2ok, (1.0 - w_c) + (1.0 - cwr) + cwt + cwp, 0.0),
+    ], axis=-1) * usef[..., None]
+
+    idx = jnp.concatenate([idx_shape, idx_color], axis=-1)
+    w = jnp.concatenate([w_shape, w_color], axis=-1)
+    idx = jnp.where(w > 0, idx, 0)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0)
+    flat = (row * total + idx).reshape(-1)
+    hist = jnp.zeros((K * total,), dtype).at[flat].add(w.reshape(-1)).reshape(K, total)
+
+    norm = jnp.linalg.norm(hist, axis=1, keepdims=True)
+    descriptors = hist / jnp.maximum(norm, 1e-30)
+    valid = frame_valid & (norm[:, 0] > 0)
+    return ShortShotResult(descriptors=descriptors, valid=valid)

@@ -174,3 +174,150 @@ def shot_descriptor(
     n_neighbors = jnp.sum(use, axis=1)
     valid = frame_valid & (n_neighbors >= min_neighbors) & (norm[:, 0] > 0)
     return ShotResult(descriptors=descriptors, valid=valid)
+
+
+# ---------------------------------------------------------------------------
+# CSHOT (color SHOT, 1344 = 32*(10+1) shape + 32*(30+1) color)
+# ---------------------------------------------------------------------------
+
+NR_COLOR_BINS = 30
+CSHOT_LEN = NR_SECTORS * (NR_BINS + 1) + NR_SECTORS * (NR_COLOR_BINS + 1)
+
+
+def cshot_descriptor(
+    keypoints: jnp.ndarray,     # [K, 3]
+    kp_rgb: jnp.ndarray,        # [K, 3] keypoint colors in [0,1]
+    frames: jnp.ndarray,        # [K, 3, 3]
+    frame_valid: jnp.ndarray,   # [K]
+    points: jnp.ndarray,        # [N, 3]
+    normals: jnp.ndarray,       # [N, 3]
+    rgb: jnp.ndarray,           # [N, 3] colors in [0,1]
+    nbr: NeighborBlock,
+    radius: float,
+    min_neighbors: int = 5,
+) -> ShotResult:
+    """CSHOT-1344 (PCL pcl::SHOTColorEstimation / interpolateDoubleChannel;
+    reference wrapper features/features_cshot.cpp).  The shape channel is
+    identical to SHOT; the color channel histograms the normalized-CIELab
+    distance between each neighbor's color and the keypoint color over 31
+    slots per spatial volume; the spatial (radial/elevation/azimuth)
+    interpolation weights apply to both channels."""
+    from .color import color_distance, rgb_to_cielab_normalized
+
+    K, M = nbr.idx.shape
+    dtype = points.dtype
+
+    npos = points[nbr.idx]
+    nnrm = normals[nbr.idx]
+    use = nbr.valid & (nbr.dist > 1e-15) & jnp.isfinite(nbr.dist)
+    d = jnp.where(use, nbr.dist, radius * 0.5)
+
+    delta = npos - keypoints[:, None, :]
+    x_l = jnp.einsum("kmd,kd->km", delta, frames[:, 0, :])
+    y_l = jnp.einsum("kmd,kd->km", delta, frames[:, 1, :])
+    z_l = jnp.einsum("kmd,kd->km", delta, frames[:, 2, :])
+
+    # shape channel coordinate
+    cos_desc = jnp.clip(jnp.einsum("kmd,kd->km", nnrm, frames[:, 2, :]), -1.0, 1.0)
+    use = use & jnp.all(jnp.isfinite(nnrm), axis=-1)
+    bin_shape = (1.0 + cos_desc) * NR_BINS / 2.0
+    step_s = jnp.floor(bin_shape + 0.5).astype(jnp.int32)
+    bd_s = bin_shape - step_s.astype(dtype)
+
+    # color channel coordinate (cshot.hpp: colorDistance * nr_color_bins)
+    lab_kp = rgb_to_cielab_normalized(kp_rgb)           # [K, 3]
+    lab_n = rgb_to_cielab_normalized(rgb)[nbr.idx]      # [K, M, 3]
+    cdist = color_distance(lab_kp[:, None, :], lab_n)
+    bin_color = cdist * NR_COLOR_BINS
+    step_c = jnp.floor(bin_color + 0.5).astype(jnp.int32)
+    bd_c = bin_color - step_c.astype(dtype)
+
+    # spatial volume (same bit pattern as SHOT)
+    bit4 = ((y_l > 0) | ((y_l == 0.0) & (x_l < 0))).astype(jnp.int32)
+    bit3_cond = (x_l > 0) | ((x_l == 0.0) & (y_l > 0))
+    bit3 = jnp.where(bit3_cond, 1 - bit4, bit4)
+    desc = ((bit4 << 3) + (bit3 << 2)) << 1
+    inner_cond = (x_l * y_l > 0) | (x_l == 0.0)
+    add4 = jnp.where(inner_cond,
+                     jnp.where(jnp.abs(x_l) >= jnp.abs(y_l), 0, 4),
+                     jnp.where(jnp.abs(x_l) > jnp.abs(y_l), 4, 0))
+    desc = desc + add4 + (z_l > 0).astype(jnp.int32)
+    r_half = radius / 2.0
+    desc = desc + jnp.where(d > r_half, 2, 0)
+
+    shape_off = 0
+    color_off = NR_SECTORS * (NR_BINS + 1)
+    vol_s = desc * (NR_BINS + 1)
+    vol_c = color_off + desc * (NR_COLOR_BINS + 1)
+
+    central_s = vol_s + step_s
+    central_c = vol_c + step_c
+    w_s = 1.0 - jnp.abs(bd_s)
+    w_c = 1.0 - jnp.abs(bd_c)
+
+    cos_idx_s = jnp.where(bd_s > 0, vol_s + ((step_s + 1) % NR_BINS),
+                          vol_s + ((step_s - 1 + NR_BINS) % NR_BINS))
+    cos_w_s = jnp.abs(bd_s)
+    cos_idx_c = jnp.where(bd_c > 0, vol_c + ((step_c + 1) % NR_COLOR_BINS),
+                          vol_c + ((step_c - 1 + NR_COLOR_BINS) % NR_COLOR_BINS))
+    cos_w_c = jnp.abs(bd_c)
+
+    # radial interpolation (shared spatial weight, both channels)
+    r34, r14 = 3.0 * radius / 4.0, radius / 4.0
+    outer = d > r_half
+    rd = jnp.where(outer, (d - r34) / r_half, (d - r14) / r_half)
+    has_rad = jnp.where(outer, d <= r34, d >= r14)
+    spatial_rad = jnp.where(outer,
+                            jnp.where(d > r34, 1.0 - rd, 1.0 + rd),
+                            jnp.where(d < r14, 1.0 + rd, 1.0 - rd))
+    w_s = w_s + spatial_rad
+    w_c = w_c + spatial_rad
+    rad_vol = desc + jnp.where(outer, -2, 2)
+    rad_idx_s = rad_vol * (NR_BINS + 1) + step_s
+    rad_idx_c = color_off + rad_vol * (NR_COLOR_BINS + 1) + step_c
+    rad_w = jnp.where(has_rad, jnp.abs(rd), 0.0)
+
+    # inclination
+    incl = jnp.arccos(jnp.clip(z_l / d, -1.0, 1.0))
+    lower = (incl > _RAD_90) | ((incl == _RAD_90) & (z_l <= 0))
+    id_ = jnp.where(lower, (incl - _RAD_135) / _RAD_90, (incl - _RAD_45) / _RAD_90)
+    spatial_incl = jnp.where(
+        lower, jnp.where(incl > _RAD_135, 1.0 - id_, 1.0 + id_),
+        jnp.where(incl < _RAD_45, 1.0 + id_, 1.0 - id_))
+    w_s = w_s + spatial_incl
+    w_c = w_c + spatial_incl
+    has_incl = jnp.where(lower, incl <= _RAD_135, incl >= _RAD_45)
+    incl_vol = desc + jnp.where(lower, 1, -1)
+    incl_idx_s = incl_vol * (NR_BINS + 1) + step_s
+    incl_idx_c = color_off + incl_vol * (NR_COLOR_BINS + 1) + step_c
+    incl_w = jnp.where(has_incl, jnp.abs(id_), 0.0)
+
+    # azimuth
+    has_az = (x_l != 0.0) | (y_l != 0.0)
+    azimuth = jnp.arctan2(y_l, x_l)
+    sel = desc >> 2
+    az_dist = jnp.clip((azimuth - (-_RAD_PI_7_8 + _RAD_45 * sel.astype(dtype)))
+                       / _RAD_45, -0.5, 0.5)
+    w_s = w_s + jnp.where(has_az, 1.0 - jnp.abs(az_dist), 0.0)
+    w_c = w_c + jnp.where(has_az, 1.0 - jnp.abs(az_dist), 0.0)
+    az_vol = jnp.where(az_dist > 0, (desc + 4) % NR_SECTORS,
+                       (desc - 4 + NR_SECTORS) % NR_SECTORS)
+    az_idx_s = az_vol * (NR_BINS + 1) + step_s
+    az_idx_c = color_off + az_vol * (NR_COLOR_BINS + 1) + step_c
+    az_w = jnp.where(has_az, jnp.abs(az_dist), 0.0)
+
+    usef = use.astype(dtype)
+    indices = jnp.stack([central_s, cos_idx_s, rad_idx_s, incl_idx_s, az_idx_s,
+                         central_c, cos_idx_c, rad_idx_c, incl_idx_c, az_idx_c],
+                        axis=-1)
+    weights = jnp.stack([w_s, cos_w_s, rad_w, incl_w, az_w,
+                         w_c, cos_w_c, rad_w, incl_w, az_w], axis=-1)
+    weights = weights * usef[..., None]
+    indices = jnp.where(use[..., None], indices, 0)
+
+    hist = _histogram_from_slots(indices, weights, CSHOT_LEN)
+    norm = jnp.linalg.norm(hist, axis=1, keepdims=True)
+    descriptors = hist / jnp.maximum(norm, 1e-30)
+    n_neighbors = jnp.sum(use, axis=1)
+    valid = frame_valid & (n_neighbors >= min_neighbors) & (norm[:, 0] > 0)
+    return ShotResult(descriptors=descriptors, valid=valid)

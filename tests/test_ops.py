@@ -167,9 +167,14 @@ def test_lrf_orthonormal(rng):
         np.testing.assert_allclose(np.cross(f[2], f[0]), f[1], atol=1e-4)
 
 
-def test_lrf_rotation_covariance(rng):
-    """Rotating the cloud must rotate the LRF axes accordingly."""
+def test_lrf_rotation_covariance():
+    """Rotating the cloud must rotate the LRF axes accordingly.  Uses its own
+    seeded rng + anisotropic cloud: uniform cubes give near-degenerate local
+    covariances whose eigenvectors are ill-conditioned in f32, making the
+    check order-dependent through the shared session rng."""
+    rng = np.random.default_rng(7)
     pts = rng.uniform(-1, 1, size=(1500, 3)).astype(np.float32)
+    pts *= np.array([1.6, 1.0, 0.5], np.float32)  # break local isotropy
     mask = np.ones(len(pts), bool)
     kp = pts[:10]
     R = random_rotation(rng).astype(np.float32)
