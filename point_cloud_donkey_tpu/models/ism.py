@@ -200,7 +200,41 @@ class ImplicitShapeModel:
 
     # -- training ------------------------------------------------------------
     def add_training_model(self, filename: str, class_id: int, instance_id: int):
-        self._training.append((filename, class_id, instance_id))
+        self._training.append((filename, class_id, instance_id, None))
+
+    def add_training_models_with_boxes(self, filename: str, class_ids, instance_ids, boxes):
+        """Detection training: one scene file contributes several objects,
+        each cropped by its ground-truth box
+        (implicit_shape_model.cpp:194-210, :300-320)."""
+        for cid, iid, box in zip(class_ids, instance_ids, boxes):
+            self._training.append((filename, int(cid), int(iid), box))
+
+    def get_detection_threshold(self) -> Dict[int, float]:
+        """Per-class distance thresholds for detection evaluation
+        (implicit_shape_model.h:215-248): Fixed keeps the configured value;
+        ObjectRadius / BoundingBoxMedian scale it by the trained per-class
+        dimensions."""
+        base = self.root.get("DistanceThresholdDetection", 0.05)
+        ttype = self.root.get("DistanceThresholdType", "Fixed")
+        out = {}
+        for cid, (radius, median) in self.state.dims_map.items():
+            v = base
+            if ttype == "ObjectRadius":
+                v *= radius
+            elif ttype == "BoundingBoxMedian":
+                v *= median
+            out[cid] = v
+        return out
+
+    @staticmethod
+    def _crop_box(cloud: PointCloud, box: geo.BoundingBox) -> PointCloud:
+        """Crop points inside an oriented ground-truth box (CropBox
+        semantics, implicit_shape_model.cpp:300-320)."""
+        R = np.asarray(geo.quat_to_matrix(jnp.asarray(np.asarray(box.quat, np.float32))))
+        local = (cloud.xyz - np.asarray(box.position)[None, :]) @ R
+        half = np.asarray(box.size) / 2.0
+        sel = np.all(np.abs(local) <= half[None, :] + 1e-6, axis=1)
+        return cloud.select(sel)
 
     def train(self) -> None:
         fcfg = self._feature_cfg()
@@ -218,16 +252,24 @@ class ImplicitShapeModel:
         global_feats: List[Tuple[FeatureSet, int, int]] = []
 
         set_color_to_zero = self.root.get("SetColorToZero", False)
-        for filename, class_id, instance_id in self._training:
+        for filename, class_id, instance_id, gt_box in self._training:
             cloud = load_cloud(filename).remove_nan()
             cloud = preprocess_cloud(cloud, self.root)
+            if gt_box is not None:
+                # crop the scene to the annotated object; skip tiny crops
+                # (implicit_shape_model.cpp:314-318)
+                cloud = self._crop_box(cloud, gt_box)
+                if len(cloud) < 500:
+                    continue
             xyz = cloud.xyz
             normals = cloud.normals if cloud.has_normals() else None
             rgb = None if set_color_to_zero else cloud.rgb
 
             pts_j = jnp.asarray(xyz)
             m_j = jnp.ones(len(xyz), bool)
-            if bb_type == "MVBB":
+            if gt_box is not None:
+                box = gt_box
+            elif bb_type == "MVBB":
                 box = geo.compute_mvbb(pts_j, m_j)
             else:
                 box = geo.compute_aabb(pts_j, m_j)

@@ -1,0 +1,121 @@
+"""Multi-object detection end-to-end + detection metrics."""
+import os
+import numpy as np
+import pytest
+
+import shapes
+from point_cloud_donkey_tpu.models.metrics import (
+    DetectionObject, compute_all_metrics, match_gt_objects,
+    parse_annotation_file, precision_recall_curve, rearrange_objects)
+from point_cloud_donkey_tpu.cli.eval_detection import main as det_main
+from point_cloud_donkey_tpu.utils.io import PointCloud, save_pcd
+
+
+def _obj(cls, pos, conf=1.0, path="f"):
+    return DetectionObject(class_label=cls, instance_label=cls,
+                           global_class_label=cls,
+                           position=np.asarray(pos, np.float32),
+                           confidence=conf, filepath=path)
+
+
+def test_match_gt_greedy():
+    gt = [_obj("a", [0, 0, 0]), _obj("a", [5, 0, 0])]
+    det = [_obj("a", [0.1, 0, 0], conf=0.9), _obj("a", [0.2, 0, 0], conf=0.8),
+           _obj("a", [5.1, 0, 0], conf=0.7)]
+    tp, fp, _ = match_gt_objects(gt, det, 0.5)
+    assert tp == [1, 0, 1]
+    assert fp == [0, 1, 0]
+
+
+def test_compute_all_metrics():
+    gt = [_obj("a", [0, 0, 0]), _obj("a", [5, 0, 0]), _obj("a", [9, 0, 0])]
+    det = [_obj("a", [0.1, 0, 0], conf=0.9), _obj("a", [5.1, 0, 0], conf=0.8),
+           _obj("a", [20, 0, 0], conf=0.7)]
+    p, r, ap, tp, fp, _, _ = compute_all_metrics(gt, det, 0.5)
+    assert tp == 2 and fp == 1
+    assert abs(p - 2 / 3) < 1e-6
+    assert abs(r - 2 / 3) < 1e-6
+    # AP = (1/1 + 2/2) * (1/3)
+    assert abs(ap - 2 / 3) < 1e-6
+
+
+def test_annotation_roundtrip(tmp_path):
+    path = str(tmp_path / "ann.txt")
+    with open(path, "w") as f:
+        f.write("chair (0.0) 1.0 2.0 3.0\n")
+        f.write("table (0.25) 4 5 6 1 1 1 1 0 0 0\n")
+    objs = parse_annotation_file(path, "cloud.pcd")
+    assert len(objs) == 2
+    assert objs[0].class_label == "chair"
+    np.testing.assert_allclose(objs[0].position, [1, 2, 3])
+    assert objs[1].occlusion_ratio == 0.25
+    np.testing.assert_allclose(objs[1].bb_extent, [1, 1, 1])
+
+
+@pytest.mark.slow
+def test_detection_end_to_end(rng, tmp_path):
+    """Train on isolated shapes, detect two objects placed in one scene."""
+    import json
+    config = {
+        "ObjectConfig": {
+            "Children": {
+                "Clustering": {"Type": "None"},
+                "Codebook": {"Children": {"ActivationStrategy": {
+                    "Parameters": {"K": 1}, "Type": "KNN"}}},
+                "FeatureWeighting": {"Type": "Uniform"},
+                "Features": {"Parameters": {
+                    "Radius": 0.6, "ReferenceFrameRadius": 0.5}, "Type": "SHORT_SHOT"},
+                "GlobalFeatures": {"Type": "Dummy"},
+                "Keypoints": {"Parameters": {"LeafSize": 0.3}, "Type": "VoxelGrid"},
+                "Voting": {"Parameters": {
+                    "Bandwidth": 0.6, "SingleObjectMode": False,
+                    "MinThreshold": -0.5, "MaxFilterType": "Merge",
+                    "MinVotesThreshold": 3},
+                    "Type": "MeanShift"},
+            },
+            "Parameters": {"DistanceType": "ChiSquared",
+                           "BoundingBoxType": "AABB",
+                           "DistanceThresholdDetection": 0.8},
+        }
+    }
+    cfg_path = str(tmp_path / "config.ism")
+    json.dump(config, open(cfg_path, "w"))
+
+    # training list: isolated objects, classes box and torus
+    train_lines = ["# train detection"]
+    for cid, name in [(1, "box"), (2, "torus")]:
+        for j in range(2):
+            pts = shapes.make_instance(rng, cid, n=900, rotate=False)
+            p = str(tmp_path / f"train_{name}_{j}.pcd")
+            save_pcd(p, PointCloud(xyz=pts))
+            train_lines.append(f"{p} {name}")
+    train_list = str(tmp_path / "train.txt")
+    open(train_list, "w").write("\n".join(train_lines) + "\n")
+
+    r = det_main(["-t", cfg_path, "-f", train_list,
+                  "-o", str(tmp_path / "trained")])
+    assert r == 0
+
+    # scene: box at (0,0,0), torus at (4,0,0)
+    box_pts = shapes.make_instance(rng, 1, n=900, rotate=False)
+    torus_pts = shapes.make_instance(rng, 2, n=900, rotate=False) + [4.0, 0, 0]
+    scene = np.concatenate([box_pts, torus_pts]).astype(np.float32)
+    scene_path = str(tmp_path / "scene.pcd")
+    save_pcd(scene_path, PointCloud(xyz=scene))
+    ann_path = str(tmp_path / "scene_ann.txt")
+    open(ann_path, "w").write(
+        f"box (0.0) {box_pts.mean(0)[0]} {box_pts.mean(0)[1]} {box_pts.mean(0)[2]}\n"
+        f"torus (0.0) {torus_pts.mean(0)[0]} {torus_pts.mean(0)[1]} {torus_pts.mean(0)[2]}\n")
+    test_list = str(tmp_path / "test.txt")
+    open(test_list, "w").write(
+        f"# test detection\n{scene_path} {ann_path}\n")
+
+    r = det_main(["-d", str(tmp_path / "trained.ism"), "-f", test_list,
+                  "-o", str(tmp_path / "out")])
+    assert r == 0
+    summary = open(tmp_path / "out" / "summary.txt").read()
+    assert "mAP" in summary
+    # both objects should be found: mean recall 1.0
+    import re
+    m = re.search(r"mean recall:\s+([0-9.]+)", summary)
+    assert m and float(m.group(1)) >= 0.5, summary
