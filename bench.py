@@ -76,10 +76,13 @@ def main():
     ism.train()
     cb = jax.tree_util.tree_map(jnp.asarray, ism.state.codebook)
 
+    # capacities sized to the measured maxima for this workload
+    # (max 157 keypoints / 839 in-radius neighbors over the shape set)
+    # with headroom; shrinking padding is the single biggest perf lever
     cfg = JitPipelineConfig(
         descriptor="SHOT", radius=0.6, ref_frame_radius=0.5, leaf_size=0.35,
         normal_radius=0.25, normals_method=2, metric="chisq", knn_k=1,
-        keypoint_capacity=512, neighbor_capacity=1024, bandwidth=0.5,
+        keypoint_capacity=192, neighbor_capacity=896, bandwidth=0.5,
         num_classes=NUM_CLASSES)
     params = CodebookParams(knn_k=1)
 

@@ -145,9 +145,8 @@ def short_shot_descriptor(
     ], axis=-1) * usef[..., None]
     idx = jnp.where(w > 0, idx, 0)
 
-    row = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0)
-    flat = (row * dims + idx).reshape(-1)
-    hist = jnp.zeros((K * dims,), dtype).at[flat].add(w.reshape(-1)).reshape(K, dims)
+    from .shot import _histogram_from_slots
+    hist = _histogram_from_slots(idx, w, dims)
 
     norm = jnp.linalg.norm(hist, axis=1, keepdims=True)
     descriptors = hist / jnp.maximum(norm, 1e-30)
@@ -303,9 +302,8 @@ def short_cshot_descriptor(
     w = jnp.concatenate([w_shape, w_color], axis=-1)
     idx = jnp.where(w > 0, idx, 0)
 
-    row = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0)
-    flat = (row * total + idx).reshape(-1)
-    hist = jnp.zeros((K * total,), dtype).at[flat].add(w.reshape(-1)).reshape(K, total)
+    from .shot import _histogram_from_slots
+    hist = _histogram_from_slots(idx, w, total)
 
     norm = jnp.linalg.norm(hist, axis=1, keepdims=True)
     descriptors = hist / jnp.maximum(norm, 1e-30)
