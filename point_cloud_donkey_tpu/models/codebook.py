@@ -73,7 +73,10 @@ class CodebookParams:
     knn_k: int = 1
     use_distance_ratio: bool = False
     distance_ratio_threshold: float = 0.8
-    threshold: float = 0.5  # ActivationStrategyThreshold distance
+    threshold: float = 1.0   # ActivationStrategyThreshold distance
+    threshold_capacity: int = 64  # TPU cap on within-threshold activations
+    inn_iterations: int = 5       # ActivationStrategyINN
+    inn_residual_weight: float = 0.01
 
 
 # ---------------------------------------------------------------------------
@@ -99,6 +102,51 @@ def activate_knn_batch(descriptors: np.ndarray, codewords: np.ndarray,
     dists, idx = knn(jnp.asarray(descriptors), jnp.asarray(codewords),
                      jnp.ones(c, bool), k=k, metric=metric)
     return np.asarray(dists), np.asarray(idx)
+
+
+def inn_refine_queries(descriptors: jnp.ndarray, codewords: jnp.ndarray,
+                       cw_mask: jnp.ndarray, metric: str,
+                       iterations: int, residual_weight: float) -> jnp.ndarray:
+    """INN activation's iterative query refinement
+    (activation_strategy_inn.h:37-75): repeatedly find the 1-NN, then push
+    the query away from its projection onto that neighbor."""
+    def body(_, q):
+        _, idx = knn(q, codewords, cw_mask, k=1, metric=metric)
+        nb = codewords[idx[:, 0]]
+        factor = jnp.sum(nb * q, axis=1, keepdims=True)
+        return q + residual_weight * (q - factor * nb)
+
+    return jax.lax.fori_loop(0, iterations, body, descriptors)
+
+
+def training_activation(descriptors: np.ndarray, codewords: np.ndarray,
+                        params: "CodebookParams", metric: str
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Training-time activation dispatch (codebook.cpp:109-142):
+    KNN uses k; KNNRule trains like KNN k=1
+    (activation_strategy_knn_rule.h: "for now use normal knn with k = 1
+    during training"); INN refines queries then takes the 1-NN;
+    Threshold keeps all codewords within the distance threshold (capped
+    at threshold_capacity nearest, masked by distance; masked entries get
+    index -1)."""
+    t = params.activation_type
+    if t in ("KNN",):
+        return activate_knn_batch(descriptors, codewords, params.knn_k, metric)
+    if t == "KNNRule":
+        return activate_knn_batch(descriptors, codewords, 1, metric)
+    if t == "INN":
+        c = codewords.shape[0]
+        q = inn_refine_queries(jnp.asarray(descriptors), jnp.asarray(codewords),
+                               jnp.ones(c, bool), metric,
+                               params.inn_iterations, params.inn_residual_weight)
+        d, idx = knn(q, jnp.asarray(codewords), jnp.ones(c, bool), 1, metric)
+        return np.asarray(d), np.asarray(idx)
+    if t == "Threshold":
+        cap = min(params.threshold_capacity, codewords.shape[0])
+        d, idx = activate_knn_batch(descriptors, codewords, cap, metric)
+        idx = np.where(d < params.threshold, idx, -1)
+        return d, idx
+    raise ValueError(f"unknown activation strategy {t!r}")
 
 
 def train_codebook(
@@ -137,8 +185,8 @@ def train_codebook(
             n = fs.descriptors.shape[0]
             if n == 0:
                 continue
-            dists, idx = activate_knn_batch(fs.descriptors, codeword_data,
-                                            params.knn_k, metric)
+            dists, idx = training_activation(fs.descriptors, codeword_data,
+                                             params, metric)
             center = np.asarray(box.position, np.float32)
             box_quat = np.asarray(box.quat, np.float32)
             frame_quats = np.stack([
@@ -154,6 +202,8 @@ def train_codebook(
                     geo.quat_conjugate(jnp.asarray(frame_quats[j]))))
                 for kk in range(idx.shape[1]):
                     cw = int(idx[j, kk])
+                    if cw < 0:  # Threshold activation: outside threshold
+                        continue
                     votes_by_cw.setdefault(cw, []).append(dict(
                         vote=vote_local.astype(np.float32),
                         class_id=class_id,
@@ -170,7 +220,8 @@ def train_codebook(
                 sample_feature_descs.append(np.asarray(fs.descriptors))
                 n_feat_acc += n
             if n_cw_acc < max_elements:
-                sample_cw_descs.append(codeword_data[idx.reshape(-1)])
+                flat_idx = idx.reshape(-1)
+                sample_cw_descs.append(codeword_data[flat_idx[flat_idx >= 0]])
                 n_cw_acc += idx.size
 
         # --- class sigma (variance) over sampled feature x codeword pairs --
@@ -347,19 +398,56 @@ def cast_votes(
     """Codebook::castVotes (codebook.cpp:403-555) +
     CodewordDistribution::castVotes (codeword_distribution.cpp:73-167) as one
     static-shape program."""
-    k = params.knn_k
-    search_k = k + 1 if (params.use_distance_ratio and k == 1) else k
     cw = jnp.asarray(cb.codewords)
-    dists, idx = knn(descriptors, cw, jnp.asarray(cb.cw_mask),
-                     k=min(search_k, cw.shape[0]), metric=metric)
+    cw_mask_j = jnp.asarray(cb.cw_mask)
+    strategy = params.activation_type
 
-    keep = jnp.ones((descriptors.shape[0], k), bool)
-    if params.use_distance_ratio and k == 1 and dists.shape[1] >= 2:
-        ratio_bad = dists[:, 0] / jnp.maximum(dists[:, 1], 1e-30) \
-            > params.distance_ratio_threshold
-        keep = (~ratio_bad)[:, None]
-    dists = dists[:, :k]
-    idx = idx[:, :k]
+    if strategy == "KNNRule":
+        # detection-time 3-NN class-consistency rule
+        # (activation_strategy_knn_rule.h:60-115)
+        dists3, idx3 = knn(descriptors, cw, cw_mask_j,
+                           k=min(3, cw.shape[0]), metric=metric)
+        vc = jnp.asarray(cb.vote_class)[idx3, 0]   # class of each neighbor
+        c0, c1, c2 = vc[:, 0], vc[:, 1], vc[:, 2]
+        rt = params.distance_ratio_threshold
+        r02 = dists3[:, 0] / jnp.maximum(dists3[:, 2], 1e-30)
+        r01 = dists3[:, 0] / jnp.maximum(dists3[:, 1], 1e-30)
+        all_same = (c0 == c1) & (c0 == c2)
+        first_two = (c0 == c1) & (c0 != c2)
+        last_two = (c0 != c1) & (c1 == c2)
+        none_same = (c0 != c1) & (c1 != c2)
+        accept_first = all_same | (first_two & (r02 < rt)) | (none_same & (r01 < rt))
+        accept_second = last_two & (r01 >= rt)
+        sel = jnp.where(accept_second, 1, 0)
+        idx = jnp.take_along_axis(idx3, sel[:, None], axis=1)
+        dists = jnp.take_along_axis(dists3, sel[:, None], axis=1)
+        keep = (accept_first | accept_second)[:, None]
+        k = 1
+    elif strategy == "Threshold":
+        # all codewords within the distance threshold, capped
+        # (activation_strategy_threshold.cpp:27-44)
+        k = min(params.threshold_capacity, cw.shape[0])
+        dists, idx = knn(descriptors, cw, cw_mask_j, k=k, metric=metric)
+        keep = dists < params.threshold
+    elif strategy == "INN":
+        q = inn_refine_queries(descriptors, cw, cw_mask_j, metric,
+                               params.inn_iterations,
+                               params.inn_residual_weight)
+        dists, idx = knn(q, cw, cw_mask_j, k=1, metric=metric)
+        keep = jnp.ones((descriptors.shape[0], 1), bool)
+        k = 1
+    else:  # KNN
+        k = params.knn_k
+        search_k = k + 1 if (params.use_distance_ratio and k == 1) else k
+        dists, idx = knn(descriptors, cw, cw_mask_j,
+                         k=min(search_k, cw.shape[0]), metric=metric)
+        keep = jnp.ones((descriptors.shape[0], k), bool)
+        if params.use_distance_ratio and k == 1 and dists.shape[1] >= 2:
+            ratio_bad = dists[:, 0] / jnp.maximum(dists[:, 1], 1e-30) \
+                > params.distance_ratio_threshold
+            keep = (~ratio_bad)[:, None]
+        dists = dists[:, :k]
+        idx = idx[:, :k]
     keep = keep & f_mask[:, None]
 
     # NOTE (parity): the reference dedups (codeword, feature) pairs via the

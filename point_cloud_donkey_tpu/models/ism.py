@@ -49,6 +49,11 @@ def _voting_params(cfg: ComponentConfig) -> VotingParams:
         max_filter_type=cfg.get("MaxFilterType", "None"),
         single_object_max_type=cfg.get("SingleObjectMaxType", "Default"),
         single_object_mode=cfg.get("SingleObjectMode", False),
+        voting_type=cfg.type or "MeanShift",
+        use_interpolation=cfg.get("UseInterpolation", True),
+        min_coord=tuple(cfg.params.get("MinCoord", [-5.0, -5.0, -5.0])),
+        max_coord=tuple(cfg.params.get("MaxCoord", [5.0, 5.0, 5.0])),
+        rel_threshold=cfg.get("RelThreshold", 0.8),
         bandwidth=cfg.get("Bandwidth", 0.2),
         threshold=cfg.get("Threshold", 1e-3),
         max_iter=cfg.get("MaxIter", 1000),
@@ -80,7 +85,10 @@ def _codebook_params(cfg: ComponentConfig) -> CodebookParams:
         knn_k=act.get("K", 1),
         use_distance_ratio=act.get("UseDistanceRatio", False),
         distance_ratio_threshold=act.get("DistanceRatioThreshold", 0.8),
-        threshold=act.get("Threshold", 0.5),
+        threshold=act.get("Threshold", 1.0),
+        threshold_capacity=act.get("TpuThresholdCapacity", 64),
+        inn_iterations=act.get("Iterations", 5),
+        inn_residual_weight=act.get("ResidualWeight", 0.01),
     )
 
 

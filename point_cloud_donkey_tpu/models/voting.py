@@ -46,6 +46,12 @@ class VotingParams:
     max_filter_type: str = "None"
     single_object_max_type: str = "Default"
     single_object_mode: bool = False
+    voting_type: str = "MeanShift"     # MeanShift | Hough3D
+    # Hough3D parameters (voting_hough_3d.cpp:19-23)
+    use_interpolation: bool = True
+    min_coord: tuple = (-5.0, -5.0, -5.0)
+    max_coord: tuple = (5.0, 5.0, 5.0)
+    rel_threshold: float = 0.8
     bandwidth: float = 0.2
     threshold: float = 1e-3
     max_iter: int = 1000
@@ -205,7 +211,13 @@ def find_maxima(
 
         single = params.single_object_mode
         max_type = params.single_object_max_type
-        if (not single) or (single and max_type in ("None", "Default")):
+        hough_members = None
+        if params.voting_type == "Hough3D":
+            if single:
+                import warnings
+                warnings.warn("SingleObjectMode is not supported with Hough3D")
+            m_pos, m_dens, hough_members = _class_hough(v_pos, v_w, bandwidth, params)
+        elif (not single) or (single and max_type in ("None", "Default")):
             m_pos, _ = _class_mean_shift(v_pos, v_w, bandwidth, params)
         else:
             # single object mode with special max type: centroid query
@@ -223,21 +235,28 @@ def find_maxima(
         if len(m_pos) == 0:
             continue
 
-        # sequential density + vote reweighting over maxima (padded + jitted)
-        from ..models.features import bucket_size
-        m_cap = bucket_size(len(m_pos), minimum=8)
-        v_cap = bucket_size(len(v_pos), minimum=64)
-        reweight = _reweight_program(m_cap, v_cap, params.kernel)
-        dens, final_w, membership = reweight(
-            jnp.asarray(_pad_rows(m_pos, m_cap, 1e9)),
-            jnp.asarray(np.arange(m_cap) < len(m_pos)),
-            jnp.asarray(_pad_rows(v_pos, v_cap, 1e9)),
-            jnp.asarray(_pad_rows(v_w, v_cap)),
-            jnp.asarray(np.arange(v_cap) < len(v_pos)),
-            jnp.asarray(bandwidth, jnp.float32))
-        dens = np.asarray(dens)[:len(m_pos)]
-        final_w = np.asarray(final_w)[:len(v_pos)]
-        membership = np.asarray(membership)[:len(m_pos), :len(v_pos)]
+        if hough_members is not None:
+            # Hough path: clusters and weights come straight from the
+            # accumulator bins (voting_hough_3d.cpp:72-95); no reweighting
+            final_w = v_w
+            membership = np.zeros((len(m_pos), len(v_pos)), bool)
+            for mi, mem in enumerate(hough_members):
+                membership[mi, mem] = True
+        else:
+            # sequential density + vote reweighting over maxima (padded+jit)
+            from ..models.features import bucket_size
+            m_cap = bucket_size(len(m_pos), minimum=8)
+            v_cap = bucket_size(len(v_pos), minimum=64)
+            reweight = _reweight_program(m_cap, v_cap, params.kernel)
+            dens, final_w, membership = reweight(
+                jnp.asarray(_pad_rows(m_pos, m_cap, 1e9)),
+                jnp.asarray(np.arange(m_cap) < len(m_pos)),
+                jnp.asarray(_pad_rows(v_pos, v_cap, 1e9)),
+                jnp.asarray(_pad_rows(v_w, v_cap)),
+                jnp.asarray(np.arange(v_cap) < len(v_pos)),
+                jnp.asarray(bandwidth, jnp.float32))
+            final_w = np.asarray(final_w)[:len(v_pos)]
+            membership = np.asarray(membership)[:len(m_pos), :len(v_pos)]
 
         for mi in range(len(m_pos)):
             members = membership[mi]
@@ -409,3 +428,82 @@ def select_maxima(maxima: List[VotingMaximum], params: VotingParams) -> List[Vot
     if params.best_k > 0 and len(maxima) >= params.best_k:
         maxima = maxima[:params.best_k]
     return maxima
+
+
+# ---------------------------------------------------------------------------
+# Hough3D accumulator (voting/voting_hough_3d.cpp + PCL HoughSpace3D)
+# ---------------------------------------------------------------------------
+
+def _class_hough(positions: np.ndarray, weights: np.ndarray,
+                 bandwidth: float, params: VotingParams):
+    """Discrete Hough voting for one class (voting_hough_3d.cpp:33-95):
+    bin edge = 2 * per-class search distance, bounds from config; optional
+    trilinear interpolated voting; maxima = bins above
+    rel_threshold * max_bin with 26-neighborhood non-max suppression;
+    cluster center = weight-averaged positions of the bin's voters.
+
+    Returns (maxima positions, bin densities, per-maximum vote index lists).
+    Host-side numpy over the occupied-bin dictionary (vote counts per class
+    are small; the accumulator grid itself is never materialized)."""
+    if len(positions) == 0:
+        return np.zeros((0, 3), np.float32), np.zeros(0), []
+    bin_size = 2.0 * bandwidth
+    mn = np.asarray(params.min_coord, np.float32)
+
+    rel = (positions - mn[None, :]) / bin_size
+    base = np.floor(rel).astype(np.int64)
+    frac = rel - base
+
+    bins: Dict[Tuple[int, int, int], float] = {}
+    voters: Dict[Tuple[int, int, int], list] = {}
+
+    if params.use_interpolation:
+        # PCL HoughSpace3D::voteInt: trilinear spread over the 8 corners of
+        # the cell around (rel - 0.5)
+        base_i = np.floor(rel - 0.5).astype(np.int64)
+        frac_i = (rel - 0.5) - base_i
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    w8 = (np.abs(1 - dx - frac_i[:, 0])
+                          * np.abs(1 - dy - frac_i[:, 1])
+                          * np.abs(1 - dz - frac_i[:, 2])) * weights
+                    keys = base_i + np.array([dx, dy, dz])
+                    for vi, (key, wv) in enumerate(zip(map(tuple, keys), w8)):
+                        if wv <= 0:
+                            continue
+                        bins[key] = bins.get(key, 0.0) + float(wv)
+                        voters.setdefault(key, []).append(vi)
+    else:
+        for vi, (key, wv) in enumerate(zip(map(tuple, base), weights)):
+            bins[key] = bins.get(key, 0.0) + float(wv)
+            voters.setdefault(key, []).append(vi)
+
+    if not bins:
+        return np.zeros((0, 3), np.float32), np.zeros(0), []
+
+    max_val = max(bins.values())
+    thresh = params.rel_threshold * max_val
+    candidates = sorted(((v, k) for k, v in bins.items() if v >= thresh),
+                        reverse=True)
+
+    accepted = []
+    suppressed = set()
+    for val, key in candidates:
+        if key in suppressed:
+            continue
+        accepted.append((val, key))
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    suppressed.add((key[0] + dx, key[1] + dy, key[2] + dz))
+
+    m_pos, m_dens, members = [], [], []
+    for val, key in accepted:
+        ids = sorted(set(voters[key]))
+        w = weights[ids]
+        center = (positions[ids] * w[:, None]).sum(0) / max(w.sum(), 1e-30)
+        m_pos.append(center)
+        m_dens.append(val)
+        members.append(np.asarray(ids))
+    return np.asarray(m_pos, np.float32), np.asarray(m_dens), members

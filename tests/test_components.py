@@ -105,3 +105,30 @@ def test_keypoint_culling_curvature(rng):
     assert len(kp_culled) < len(kp_all)
     # culled keypoints should mostly be in the bumpy half
     assert (kp_culled[:, 0] > 0).mean() > 0.7
+
+
+def test_activation_strategies_smoke(rng):
+    """KNNRule / Threshold / INN activation paths produce valid votes."""
+    import jax.numpy as jnp
+    from point_cloud_donkey_tpu.models.codebook import (
+        CodebookParams, cast_votes, training_activation)
+    import runpy
+    ge = runpy.run_path('/root/repo/__graft_entry__.py')
+    cb = ge['_synthetic_codebook'](num_codewords=64, dim=16)
+    desc = np.abs(rng.normal(size=(20, 16))).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    pos = rng.normal(size=(20, 3)).astype(np.float32)
+    frames = np.tile(np.eye(3, dtype=np.float32), (20, 1, 1))
+    mask = np.ones(20, bool)
+
+    for strategy in ("KNN", "KNNRule", "Threshold", "INN"):
+        params = CodebookParams(activation_type=strategy, knn_k=2,
+                                threshold=5.0, threshold_capacity=8)
+        d, idx = training_activation(desc, cb.codewords, params, "l2")
+        assert idx.shape[0] == 20
+        votes = cast_votes(cb, jnp.asarray(desc), jnp.asarray(pos),
+                           jnp.asarray(frames), jnp.asarray(mask),
+                           params, "l2")
+        v = np.asarray(votes.valid)
+        assert np.asarray(votes.position).shape[1] == 3
+        assert np.all(np.isfinite(np.asarray(votes.position)[v])), strategy

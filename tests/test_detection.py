@@ -119,3 +119,51 @@ def test_detection_end_to_end(rng, tmp_path):
     import re
     m = re.search(r"mean recall:\s+([0-9.]+)", summary)
     assert m and float(m.group(1)) >= 0.5, summary
+
+
+@pytest.mark.slow
+def test_detection_hough3d(rng, tmp_path):
+    """Hough3D voting alternative finds objects in a two-object scene."""
+    import json
+    from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+    from point_cloud_donkey_tpu.utils.config import IsmConfig
+    config = {
+        "ObjectConfig": {
+            "Children": {
+                "Clustering": {"Type": "None"},
+                "Codebook": {"Children": {"ActivationStrategy": {
+                    "Parameters": {"K": 1}, "Type": "KNN"}}},
+                "FeatureWeighting": {"Type": "Uniform"},
+                "Features": {"Parameters": {
+                    "Radius": 0.6, "ReferenceFrameRadius": 0.5}, "Type": "SHORT_SHOT"},
+                "GlobalFeatures": {"Type": "Dummy"},
+                "Keypoints": {"Parameters": {"LeafSize": 0.3}, "Type": "VoxelGrid"},
+                "Voting": {"Parameters": {
+                    "Bandwidth": 0.5, "SingleObjectMode": False,
+                    "MinThreshold": -0.1, "MinVotesThreshold": 3,
+                    "UseInterpolation": True, "RelThreshold": 0.5},
+                    "Type": "Hough3D"},
+            },
+            "Parameters": {"DistanceType": "ChiSquared", "BoundingBoxType": "AABB"},
+        }
+    }
+    ism = ImplicitShapeModel(IsmConfig.from_json(config))
+    for cid in (1, 2):
+        pts = shapes.make_instance(rng, cid, n=900, rotate=False)
+        p = str(tmp_path / f"t{cid}.pcd")
+        save_pcd(p, PointCloud(xyz=pts))
+        ism.add_training_model(p, cid, cid)
+    ism.train()
+
+    a = shapes.make_instance(rng, 1, n=900, rotate=False)
+    b = shapes.make_instance(rng, 2, n=900, rotate=False) + [4.0, 0, 0]
+    scene = np.concatenate([a, b]).astype(np.float32)
+    maxima, _ = ism.detect(scene)
+    assert maxima, "Hough3D found no maxima"
+    found = {(m.class_id, tuple(np.round(m.position, 0))) for m in maxima[:4]}
+    classes_found = {m.class_id for m in maxima[:4]}
+    assert 1 in classes_found and 2 in classes_found, maxima[:4]
+    # positions near the object centers
+    best1 = min(np.linalg.norm(m.position - a.mean(0)) for m in maxima if m.class_id == 1)
+    best2 = min(np.linalg.norm(m.position - b.mean(0)) for m in maxima if m.class_id == 2)
+    assert best1 < 0.6 and best2 < 0.6
