@@ -65,6 +65,10 @@ class FeatureConfig:
     # SHORT_CSHOT extras (features_short_cshot.cpp:23-34)
     short_color_shot_dims: int = 32
     short_color_hist_size: int = 15
+    # CGF extras (features_cgf.cpp:24-52): embedding checkpoint (npz) or a
+    # seeded random projection to cgf_output_dims
+    cgf_checkpoint: str = ""
+    cgf_output_dims: int = 32
     # TPU capacity knobs (not part of the reference schema)
     neighbor_capacity: int = 2048
 
@@ -85,6 +89,8 @@ class FeatureConfig:
             use_min_radius=cfg.get("UseMinRadius", False),
             short_color_shot_dims=cfg.get("ShortColorShotDims", 32),
             short_color_hist_size=cfg.get("ShortColorShotHistSize", 15),
+            cgf_checkpoint=cfg.get("CgfCheckpointPath", ""),
+            cgf_output_dims=cfg.get("CgfOutputDims", 32),
             neighbor_capacity=cfg.get("TpuNeighborCapacity", 2048),
         )
 
@@ -116,6 +122,10 @@ class FeatureConfig:
                 self.short_shot_a_bins)
             cdims, _, _, _ = resolve_color_bins(self.short_color_shot_dims)
             return dims + cdims * self.short_color_hist_size
+        if self.type == "FPFH":
+            return 33
+        if self.type == "CGF":
+            return self.cgf_output_dims
         if self.type == "Dummy":
             return 1
         raise ValueError(f"unsupported descriptor type {self.type!r}")
@@ -155,6 +165,12 @@ def _descriptor_stage(n: int, k: int, fcfg: FeatureConfig):
     if fcfg.type.startswith("SHORT_CSHOT"):
         from ..ops.short_shot import resolve_color_bins
         _, crb, ceb, cab = resolve_color_bins(fcfg.short_color_shot_dims)
+    if fcfg.type == "CGF":
+        from ..ops.cgf import CgfEmbedding
+        if fcfg.cgf_checkpoint:
+            cgf_embedding = CgfEmbedding.from_npz(fcfg.cgf_checkpoint)
+        else:
+            cgf_embedding = CgfEmbedding.random_projection(fcfg.cgf_output_dims)
 
     cap = min(fcfg.neighbor_capacity, n)
 
@@ -183,6 +199,20 @@ def _descriptor_stage(n: int, k: int, fcfg: FeatureConfig):
                                          fcfg.short_color_hist_size,
                                          min_radius,
                                          fcfg.short_shot_log_radius)
+        elif fcfg.type == "FPFH":
+            from ..ops.fpfh import fpfh_descriptor
+            res = fpfh_descriptor(keypoints, kp_mask, points, normals, mask,
+                                  radius, capacity=min(cap, 128))
+        elif fcfg.type == "CGF":
+            from ..ops.cgf import cgf_descriptor
+            # the reference computes the CGF LRF with radius = 0.75 * support
+            # (features_cgf.cpp:52) and flips it toward the keypoint normal
+            lrf_cgf = shot_lrf(keypoints, kp_mask, points, mask, 0.75 * radius)
+            kp_nrm = normals[nbr.idx[:, 0]]
+            res = cgf_descriptor(keypoints, kp_nrm, lrf_cgf.frames,
+                                 lrf_cgf.valid, points, nbr, radius,
+                                 embedding=cgf_embedding)
+            return res.descriptors, res.valid, lrf_cgf.frames, lrf_cgf.valid
         else:
             raise ValueError(f"unsupported descriptor type {fcfg.type!r}")
         return res.descriptors, res.valid, lrf.frames, lrf.valid

@@ -1,0 +1,117 @@
+"""FPFH-33 descriptor (Rusu et al., PCL FPFHEstimation; the reference wraps
+it at features/features_fpfh.cpp).
+
+Per point p with normal n_p and neighbor q (normal n_q), the Darboux frame
+u = n_p, v = (q - p) x u / |.|, w = u x v gives the pair features
+  f1 = v . n_q           in [-1, 1]
+  f2 = u . (q - p) / d   in [-1, 1]
+  f3 = atan2(w . n_q, u . n_q) in [-pi, pi]
+SPFH(p) = three 11-bin histograms of (f1, f2, f3) over p's neighbors, each
+increment 100/#neighbors.  FPFH(p) = SPFH(p) + (1/k) sum_q SPFH(q)/d(p,q),
+then each 11-bin block renormalized to sum 100 (PCL semantics).
+
+TPU formulation: SPFH for all surface points via fixed-capacity neighbor
+blocks + the chunked-bin histogram kernel; the FPFH weighting step is a
+masked gather + einsum.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .neighbors import NeighborBlock, gather_radius_neighbors
+from .shot import ShotResult, _histogram_from_slots
+
+FPFH_BINS = 11
+FPFH_LEN = 3 * FPFH_BINS
+
+
+def _pair_features(p, n_p, q, n_q):
+    """Darboux-frame pair features; all inputs [..., 3]."""
+    d_vec = q - p
+    d = jnp.linalg.norm(d_vec, axis=-1)
+    d_safe = jnp.maximum(d, 1e-12)
+    u = n_p
+    v = jnp.cross(d_vec, u)
+    v_n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    v = v / jnp.maximum(v_n, 1e-12)
+    w = jnp.cross(u, v)
+    f1 = jnp.sum(v * n_q, axis=-1)
+    f2 = jnp.sum(u * d_vec, axis=-1) / d_safe
+    f3 = jnp.arctan2(jnp.sum(w * n_q, axis=-1), jnp.sum(u * n_q, axis=-1))
+    return f1, f2, f3, d
+
+
+def spfh_all_points(points: jnp.ndarray, normals: jnp.ndarray,
+                    mask: jnp.ndarray, radius: float,
+                    capacity: int = 128) -> jnp.ndarray:
+    """[N, 33] SPFH histograms for every surface point."""
+    nbr = gather_radius_neighbors(points, points, mask, radius, capacity,
+                                  exclude_zero_dist=True)
+    q = points[nbr.idx]          # [N, M, 3]
+    nq = normals[nbr.idx]
+    f1, f2, f3, _ = _pair_features(points[:, None, :], normals[:, None, :], q, nq)
+
+    b1 = jnp.clip((FPFH_BINS * (f1 + 1.0) / 2.0).astype(jnp.int32), 0, FPFH_BINS - 1)
+    b2 = jnp.clip((FPFH_BINS * (f2 + 1.0) / 2.0).astype(jnp.int32), 0, FPFH_BINS - 1)
+    b3 = jnp.clip((FPFH_BINS * (f3 + jnp.pi) / (2.0 * jnp.pi)).astype(jnp.int32),
+                  0, FPFH_BINS - 1)
+    idx = jnp.stack([b1, b2 + FPFH_BINS, b3 + 2 * FPFH_BINS], axis=-1)  # [N,M,3]
+
+    count = jnp.maximum(jnp.sum(nbr.valid, axis=1), 1)
+    incr = (100.0 / count.astype(points.dtype))[:, None, None]
+    w = jnp.where(nbr.valid[..., None], incr, 0.0) * jnp.ones_like(idx, points.dtype)
+    idx = jnp.where(nbr.valid[..., None], idx, 0)
+    return _histogram_from_slots(idx, w, FPFH_LEN)
+
+
+def fpfh_descriptor(
+    keypoints: jnp.ndarray,    # [K, 3]
+    kp_mask: jnp.ndarray,      # [K]
+    points: jnp.ndarray,       # [N, 3]
+    normals: jnp.ndarray,      # [N, 3]
+    mask: jnp.ndarray,         # [N]
+    radius: float,
+    capacity: int = 128,
+    min_neighbors: int = 5,
+) -> ShotResult:
+    spfh = spfh_all_points(points, normals, mask, radius, capacity)
+
+    # SPFH at the keypoint itself: keypoints may not be surface points
+    # (voxel-grid centroids), so compute their own SPFH too
+    nbr_k = gather_radius_neighbors(keypoints, points, mask, radius, capacity,
+                                    exclude_zero_dist=True)
+    # keypoint normals: use the nearest surface point's normal (PCL keypoints
+    # carry normals from the input cloud; the voxel-centroid analogue)
+    nearest = nbr_k.idx[:, 0]
+    kp_normals = normals[nearest]
+    q = points[nbr_k.idx]
+    nq = normals[nbr_k.idx]
+    f1, f2, f3, d = _pair_features(keypoints[:, None, :], kp_normals[:, None, :], q, nq)
+    b1 = jnp.clip((FPFH_BINS * (f1 + 1.0) / 2.0).astype(jnp.int32), 0, FPFH_BINS - 1)
+    b2 = jnp.clip((FPFH_BINS * (f2 + 1.0) / 2.0).astype(jnp.int32), 0, FPFH_BINS - 1)
+    b3 = jnp.clip((FPFH_BINS * (f3 + jnp.pi) / (2.0 * jnp.pi)).astype(jnp.int32),
+                  0, FPFH_BINS - 1)
+    idx = jnp.stack([b1, b2 + FPFH_BINS, b3 + 2 * FPFH_BINS], axis=-1)
+    count = jnp.maximum(jnp.sum(nbr_k.valid, axis=1), 1)
+    incr = (100.0 / count.astype(points.dtype))[:, None, None]
+    w = jnp.where(nbr_k.valid[..., None], incr, 0.0) * jnp.ones_like(idx, points.dtype)
+    idx = jnp.where(nbr_k.valid[..., None], idx, 0)
+    spfh_kp = _histogram_from_slots(idx, w, FPFH_LEN)
+
+    # weighted neighbor SPFH sum: fpfh = spfh_kp + (1/k) sum spfh_q / d^2
+    d_safe = jnp.where(nbr_k.valid, jnp.maximum(nbr_k.dist, 1e-6), jnp.inf)
+    wgt = jnp.where(nbr_k.valid, 1.0 / (d_safe * d_safe), 0.0)   # [K, M]
+    nb_spfh = spfh[nbr_k.idx]                                    # [K, M, 33]
+    k_count = jnp.maximum(jnp.sum(nbr_k.valid, axis=1), 1).astype(points.dtype)
+    acc = spfh_kp + jnp.einsum("km,kml->kl", wgt, nb_spfh) / k_count[:, None]
+
+    # renormalize each 11-bin block to sum 100 (PCL)
+    blocks = acc.reshape(-1, 3, FPFH_BINS)
+    sums = jnp.maximum(jnp.sum(blocks, axis=2, keepdims=True), 1e-30)
+    out = (100.0 * blocks / sums).reshape(-1, FPFH_LEN)
+
+    n_neighbors = jnp.sum(nbr_k.valid, axis=1)
+    valid = kp_mask & (n_neighbors >= min_neighbors)
+    return ShotResult(descriptors=out, valid=valid)

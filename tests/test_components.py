@@ -132,3 +132,67 @@ def test_activation_strategies_smoke(rng):
         v = np.asarray(votes.valid)
         assert np.asarray(votes.position).shape[1] == 3
         assert np.all(np.isfinite(np.asarray(votes.position)[v])), strategy
+
+
+def test_fpfh_properties(rng):
+    import jax.numpy as jnp
+    from point_cloud_donkey_tpu.ops.fpfh import fpfh_descriptor
+    # plane: FPFH should concentrate in the "flat" bins and be consistent
+    xy = rng.uniform(-1, 1, (800, 2)).astype(np.float32)
+    pts = np.concatenate([xy, np.zeros((800, 1), np.float32)], 1)
+    normals = np.tile([0, 0, 1.0], (800, 1)).astype(np.float32)
+    kp = pts[:8]
+    res = fpfh_descriptor(jnp.asarray(kp), jnp.ones(8, bool), jnp.asarray(pts),
+                          jnp.asarray(normals), jnp.ones(800, bool), 0.3)
+    D = np.asarray(res.descriptors)
+    assert D.shape == (8, 33)
+    assert np.asarray(res.valid).all()
+    # each 11-bin block sums to ~100 (PCL normalization)
+    np.testing.assert_allclose(D.reshape(8, 3, 11).sum(2), 100.0, rtol=1e-3)
+    # flat surface: f1 ~ 0 -> middle bin dominates the first block
+    assert np.argmax(D[:, :11], axis=1).tolist() == [5] * 8
+
+
+def test_fpfh_distinguishes_plane_from_sphere(rng):
+    import jax.numpy as jnp
+    from point_cloud_donkey_tpu.ops.fpfh import fpfh_descriptor
+    xy = rng.uniform(-1, 1, (800, 2)).astype(np.float32)
+    plane = np.concatenate([xy, np.zeros((800, 1), np.float32)], 1)
+    n_plane = np.tile([0, 0, 1.0], (800, 1)).astype(np.float32)
+    v = rng.normal(size=(800, 3)); v /= np.linalg.norm(v, axis=1, keepdims=True)
+    sphere = v.astype(np.float32)
+    d1 = np.asarray(fpfh_descriptor(jnp.asarray(plane[:4]), jnp.ones(4, bool),
+                                    jnp.asarray(plane), jnp.asarray(n_plane),
+                                    jnp.ones(800, bool), 0.3).descriptors)
+    d2 = np.asarray(fpfh_descriptor(jnp.asarray(sphere[:4]), jnp.ones(4, bool),
+                                    jnp.asarray(sphere), jnp.asarray(sphere),
+                                    jnp.ones(800, bool), 0.3).descriptors)
+    assert np.abs(d1.mean(0) - d2.mean(0)).max() > 5.0
+
+
+def test_cgf_raw_and_embedding(rng):
+    import jax.numpy as jnp
+    from point_cloud_donkey_tpu.ops.cgf import (CgfEmbedding, cgf_descriptor,
+                                                cgf_raw_histogram, CGF_RAW_LEN)
+    from point_cloud_donkey_tpu.ops.lrf import shot_lrf
+    from point_cloud_donkey_tpu.ops.neighbors import gather_radius_neighbors
+    pts = rng.normal(size=(600, 3)).astype(np.float32)
+    pts *= np.array([1.5, 1.0, 0.6], np.float32)
+    mask = np.ones(600, bool)
+    kp = pts[:6]
+    lrf = shot_lrf(jnp.asarray(kp), jnp.ones(6, bool), jnp.asarray(pts),
+                   jnp.asarray(mask), 0.6)
+    nbr = gather_radius_neighbors(jnp.asarray(kp), jnp.asarray(pts),
+                                  jnp.asarray(mask), 0.8, capacity=600)
+    normals = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    raw = np.asarray(cgf_raw_histogram(jnp.asarray(kp), jnp.asarray(normals[:6]),
+                                       lrf.frames, lrf.valid, jnp.asarray(pts),
+                                       nbr, 0.8))
+    assert raw.shape == (6, CGF_RAW_LEN)
+    # density normalization: each histogram sums to 1 (given >0 neighbors)
+    np.testing.assert_allclose(raw.sum(1), 1.0, atol=1e-4)
+    emb = CgfEmbedding.random_projection(32, seed=0)
+    res = cgf_descriptor(jnp.asarray(kp), jnp.asarray(normals[:6]), lrf.frames,
+                         lrf.valid, jnp.asarray(pts), nbr, 0.8, embedding=emb)
+    assert np.asarray(res.descriptors).shape == (6, 32)
+    assert np.asarray(res.valid).all()
