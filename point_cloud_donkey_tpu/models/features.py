@@ -69,6 +69,7 @@ class FeatureConfig:
     # seeded random projection to cgf_output_dims
     cgf_checkpoint: str = ""
     cgf_output_dims: int = 32
+    gasd_with_color: bool = True  # GasdWithColor (features_gasd.cpp)
     # TPU capacity knobs (not part of the reference schema)
     neighbor_capacity: int = 2048
 
@@ -91,13 +92,14 @@ class FeatureConfig:
             short_color_hist_size=cfg.get("ShortColorShotHistSize", 15),
             cgf_checkpoint=cfg.get("CgfCheckpointPath", ""),
             cgf_output_dims=cfg.get("CgfOutputDims", 32),
+            gasd_with_color=cfg.get("GasdWithColor", True),
             neighbor_capacity=cfg.get("TpuNeighborCapacity", 2048),
         )
 
     def needs_normals(self) -> bool:
         return self.type not in ("SHORT_SHOT", "SHORT_CSHOT", "SHORT_SHOT_PCL",
                                  "SHORT_SHOT_GLOBAL", "SHORT_CSHOT_GLOBAL",
-                                 "Dummy")
+                                 "ESF", "ESF_LOCAL", "GASD", "Dummy")
 
     def needs_rgb(self) -> bool:
         return self.type in ("CSHOT", "CSHOT_GLOBAL", "SHORT_CSHOT",
@@ -126,6 +128,20 @@ class FeatureConfig:
             return 33
         if self.type == "CGF":
             return self.cgf_output_dims
+        if self.type == "BSHOT":
+            return 352
+        if self.type == "SpinImage":
+            return 153
+        if self.type == "PFH":
+            return 125
+        if self.type in ("ESF", "ESF_LOCAL"):
+            return 640
+        if self.type == "VFH":
+            return 308
+        if self.type == "GRSD":
+            return 21
+        if self.type == "GASD":
+            return 984 if self.gasd_with_color else 512
         if self.type == "Dummy":
             return 1
         raise ValueError(f"unsupported descriptor type {self.type!r}")
@@ -203,6 +219,21 @@ def _descriptor_stage(n: int, k: int, fcfg: FeatureConfig):
             from ..ops.fpfh import fpfh_descriptor
             res = fpfh_descriptor(keypoints, kp_mask, points, normals, mask,
                                   radius, capacity=min(cap, 128))
+        elif fcfg.type == "BSHOT":
+            from ..ops.descriptors_misc import bshot_binarize
+            res = shot_descriptor(keypoints, lrf.frames, lrf.valid,
+                                  points, normals, nbr, radius)
+            res = res._replace(descriptors=bshot_binarize(res.descriptors))
+        elif fcfg.type == "SpinImage":
+            from ..ops.descriptors_misc import spin_image_descriptor
+            kp_nrm = normals[nbr.idx[:, 0]]
+            res = spin_image_descriptor(keypoints, kp_nrm, kp_mask,
+                                        points, nbr, radius)
+        elif fcfg.type == "PFH":
+            from ..ops.descriptors_misc import pfh_descriptor
+            from ..ops.neighbors import gather_radius_neighbors as _grn
+            nbr_small = _grn(keypoints, points, mask, radius, min(cap, 64))
+            res = pfh_descriptor(keypoints, kp_mask, points, normals, nbr_small)
         elif fcfg.type == "CGF":
             from ..ops.cgf import cgf_descriptor
             # the reference computes the CGF LRF with radius = 0.75 * support
@@ -352,6 +383,11 @@ def extract_global_features(
             np.zeros((0, 1), np.float32), np.zeros((0, 3), np.float32),
             np.zeros((0, 3, 3), np.float32), np.zeros(0, bool))
 
+    # whole-cloud descriptors without a centroid keypoint / LRF
+    if fcfg.type in ("ESF", "VFH", "GRSD", "GASD"):
+        return _whole_cloud_global(xyz, normals, rgb, fcfg,
+                                   normal_radius, consistent_normals_method)
+
     pts, mask = pad_cloud(xyz)
     n = pts.shape[0]
     pts_j, mask_j = jnp.asarray(pts), jnp.asarray(mask)
@@ -406,3 +442,56 @@ def extract_global_features(
         desc, kp[:1], np.asarray(frames)[:1], valid,
         np.zeros(1, np.float32), np.full(1, radius, np.float32))
     return fs.compact()
+
+
+@functools.lru_cache(maxsize=None)
+def _whole_cloud_stage(n: int, fcfg: FeatureConfig):
+    from ..ops.global_descriptors import (esf_descriptor, gasd_descriptor,
+                                          grsd_descriptor, vfh_descriptor)
+
+    @jax.jit
+    def run(points, mask, normals, rgb, radius):
+        if fcfg.type == "ESF":
+            return esf_descriptor(points, mask)
+        if fcfg.type == "VFH":
+            return vfh_descriptor(points, normals, mask)
+        if fcfg.type == "GRSD":
+            return grsd_descriptor(points, normals, mask, radius)
+        if fcfg.type == "GASD":
+            return gasd_descriptor(points, mask, rgb)
+        raise ValueError(fcfg.type)
+    return run
+
+
+def _whole_cloud_global(xyz, normals, rgb, fcfg: FeatureConfig,
+                        normal_radius: float, cn_method: int) -> FeatureSet:
+    """ESF / VFH / GRSD / GASD: one descriptor for the whole cloud
+    (reference computes these via PCL whole-cloud estimators)."""
+    pts, mask = pad_cloud(xyz)
+    n = pts.shape[0]
+    if fcfg.needs_normals():
+        cn = compute_cloud_normals(xyz, normals, normal_radius, cn_method)
+        nrm = np.zeros((n, 3), np.float32)
+        nrm[:len(xyz)] = cn
+    else:
+        nrm = np.zeros((n, 3), np.float32)
+    rgb_pad = np.zeros((n, 3), np.float32)
+    has_rgb = (fcfg.type == "GASD" and fcfg.gasd_with_color)
+    if has_rgb and rgb is None:
+        raise ValueError("GASD with color needs RGB data (set GasdWithColor false)")
+    if rgb is not None:
+        rgb_pad[:len(xyz)] = rgb
+
+    run = _whole_cloud_stage(n, fcfg)
+    # GASD with/without color changes the output length -> encode in config
+    desc = run(jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(nrm),
+               jnp.asarray(rgb_pad) if has_rgb else None,
+               jnp.asarray(fcfg.radius, jnp.float32))
+    desc = np.asarray(desc)[None, :]
+    centroid = xyz.mean(axis=0).astype(np.float32)
+    radius = float(np.linalg.norm(xyz - centroid, axis=1).max())
+    valid = np.asarray([np.all(np.isfinite(desc))])
+    return make_feature_set(desc, centroid[None, :],
+                            np.eye(3, dtype=np.float32)[None], valid,
+                            np.zeros(1, np.float32),
+                            np.full(1, radius, np.float32))
