@@ -70,6 +70,7 @@ class FeatureConfig:
     cgf_checkpoint: str = ""
     cgf_output_dims: int = 32
     gasd_with_color: bool = True  # GasdWithColor (features_gasd.cpp)
+    rsd_use_hist: bool = True     # UseFullRSDHistogram (features_rsd.cpp)
     # TPU capacity knobs (not part of the reference schema)
     neighbor_capacity: int = 2048
 
@@ -93,6 +94,7 @@ class FeatureConfig:
             cgf_checkpoint=cfg.get("CgfCheckpointPath", ""),
             cgf_output_dims=cfg.get("CgfOutputDims", 32),
             gasd_with_color=cfg.get("GasdWithColor", True),
+            rsd_use_hist=cfg.get("UseFullRSDHistogram", True),
             neighbor_capacity=cfg.get("TpuNeighborCapacity", 2048),
         )
 
@@ -103,7 +105,7 @@ class FeatureConfig:
 
     def needs_rgb(self) -> bool:
         return self.type in ("CSHOT", "CSHOT_GLOBAL", "SHORT_CSHOT",
-                             "SHORT_CSHOT_GLOBAL")
+                             "SHORT_CSHOT_GLOBAL", "RIFT")
 
     def descriptor_dim(self) -> int:
         if self.type in ("SHOT", "SHOT_GLOBAL"):
@@ -142,6 +144,12 @@ class FeatureConfig:
             return 21
         if self.type == "GASD":
             return 984 if self.gasd_with_color else 512
+        if self.type in ("3DSC", "USC", "USC_GLOBAL"):
+            return 1980
+        if self.type == "RSD":
+            return 25 if self.rsd_use_hist else 2
+        if self.type == "RIFT":
+            return 32
         if self.type == "Dummy":
             return 1
         raise ValueError(f"unsupported descriptor type {self.type!r}")
@@ -234,6 +242,19 @@ def _descriptor_stage(n: int, k: int, fcfg: FeatureConfig):
             from ..ops.neighbors import gather_radius_neighbors as _grn
             nbr_small = _grn(keypoints, points, mask, radius, min(cap, 64))
             res = pfh_descriptor(keypoints, kp_mask, points, normals, nbr_small)
+        elif fcfg.type in ("3DSC", "USC", "USC_GLOBAL"):
+            from ..ops.shape_context import shape_context_descriptor
+            res = shape_context_descriptor(keypoints, lrf.frames, lrf.valid,
+                                           points, nbr, radius)
+        elif fcfg.type == "RSD":
+            from ..ops.shape_context import rsd_descriptor
+            res = rsd_descriptor(keypoints, kp_mask, points, normals, nbr,
+                                 radius, use_hist=fcfg.rsd_use_hist)
+        elif fcfg.type == "RIFT":
+            from ..ops.shape_context import intensity_gradients, rift_descriptor
+            intensity = jnp.mean(rgb, axis=1)  # PCL PointXYZI conversion
+            grads = intensity_gradients(points, normals, intensity, mask, radius)
+            res = rift_descriptor(keypoints, kp_mask, points, grads, nbr, radius)
         elif fcfg.type == "CGF":
             from ..ops.cgf import cgf_descriptor
             # the reference computes the CGF LRF with radius = 0.75 * support

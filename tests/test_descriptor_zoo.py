@@ -76,3 +76,39 @@ def test_gasd_color_sensitivity(cloud):
     assert d1.shape == (1, 984)
     np.testing.assert_allclose(d1[0, :216], d2[0, :216], atol=1e-6)  # shape part equal
     assert np.abs(d1[0, 216:] - d2[0, 216:]).max() > 1e-3  # color part differs
+
+
+@pytest.mark.parametrize("dtype,dim", [("3DSC", 1980), ("USC", 1980),
+                                       ("RSD", 25), ("RIFT", 32)])
+def test_shape_context_family(cloud, dtype, dim):
+    pts, rgb = cloud
+    fcfg = FeatureConfig(type=dtype, radius=0.6, ref_frame_radius=0.5)
+    fs = extract_local_features(pts, None, fcfg, KP_CFG, 0.25, 1,
+                                rgb=rgb if dtype == "RIFT" else None)
+    assert fs.descriptors.shape[1] == dim == fcfg.descriptor_dim()
+    assert fs.descriptors.shape[0] > 5
+    assert np.all(np.isfinite(fs.descriptors))
+    assert fs.descriptors.sum() != 0
+
+
+def test_rsd_two_value_variant(cloud):
+    pts, rgb = cloud
+    fcfg = FeatureConfig(type="RSD", radius=0.6, rsd_use_hist=False)
+    fs = extract_local_features(pts, None, fcfg, KP_CFG, 0.25, 1)
+    assert fs.descriptors.shape[1] == 2
+    # r_min <= r_max
+    assert np.all(fs.descriptors[:, 0] <= fs.descriptors[:, 1] + 1e-5)
+
+
+def test_rift_color_gradient_sensitivity(rng):
+    """RIFT must respond to intensity edges."""
+    pts = shapes.make_instance(np.random.default_rng(5), 1, n=800, rotate=False).astype(np.float32)
+    rgb_flat = np.full((800, 3), 0.5, np.float32)
+    rgb_edge = rgb_flat.copy()
+    rgb_edge[pts[:, 0] > 0] = 0.9
+    fcfg = FeatureConfig(type="RIFT", radius=0.6)
+    d_flat = extract_local_features(pts, None, fcfg, KP_CFG, 0.25, 1, rgb=rgb_flat)
+    d_edge = extract_local_features(pts, None, fcfg, KP_CFG, 0.25, 1, rgb=rgb_edge)
+    # flat intensity -> zero gradients -> empty histograms
+    assert d_flat.descriptors.sum() < 1e-3
+    assert d_edge.descriptors.sum() > 0.5
