@@ -201,7 +201,21 @@ def _descriptor_stage(n: int, k: int, fcfg: FeatureConfig):
     @jax.jit
     def run(keypoints, kp_mask, points, mask, normals, rgb, kp_rgb,
             radius, frame_radius):
-        lrf = shot_lrf(keypoints, kp_mask, points, mask, frame_radius)
+        rf_type = fcfg.ref_frame_type
+        if rf_type == "SHOTNA":
+            from ..ops.lrf import shot_na_lrf
+            lrf = shot_na_lrf(keypoints, kp_mask, points, normals, mask,
+                              frame_radius)
+        elif rf_type == "FLARE":
+            from ..ops.lrf import flare_lrf
+            lrf = flare_lrf(keypoints, kp_mask, points, normals, mask,
+                            frame_radius, frame_radius / 5.0)
+        elif rf_type == "BOARD":
+            from ..ops.lrf import board_lrf
+            lrf = board_lrf(keypoints, kp_mask, points, normals, mask,
+                            frame_radius)
+        else:  # SHOT
+            lrf = shot_lrf(keypoints, kp_mask, points, mask, frame_radius)
         nbr = gather_radius_neighbors(keypoints, points, mask, radius, cap)
         if fcfg.type in ("SHOT", "SHOT_GLOBAL"):
             res = shot_descriptor(keypoints, lrf.frames, lrf.valid,

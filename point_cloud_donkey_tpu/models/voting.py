@@ -199,6 +199,8 @@ def find_maxima(
     inst = np.asarray(votes.instance_id)[valid]
     bsize = np.asarray(votes.bbox_size)[valid]
     bquat = np.asarray(votes.bbox_quat)[valid]
+    v_scene_kp = np.asarray(votes.keypoint)[valid]
+    v_train_kp = np.asarray(votes.keypoint_training)[valid]
 
     maxima: List[VotingMaximum] = []
 
@@ -234,6 +236,29 @@ def find_maxima(
 
         if len(m_pos) == 0:
             continue
+
+        if params.use_ransac and len(m_pos):
+            # optional RANSAC vote filtering (voting.cpp:110-127):
+            # inlier threshold may scale with trained per-class dims
+            thr = params.ransac_inlier_threshold
+            if params.ransac_inlier_threshold_type == "ObjectRadius":
+                thr *= dims_map[class_id][0]
+            elif params.ransac_inlier_threshold_type == "BoundingBoxMedian":
+                thr *= dims_map[class_id][1]
+            if hough_members is not None:
+                mem0 = np.zeros((len(m_pos), len(v_pos)), bool)
+                for mi, mm in enumerate(hough_members):
+                    mem0[mi, mm] = True
+            else:
+                # pre-assembly membership = votes within bandwidth of center
+                d_mv = np.linalg.norm(
+                    m_pos[:, None, :] - v_pos[None, :, :], axis=2)
+                mem0 = d_mv <= bandwidth
+            m_pos, mem_f = filter_votes_with_ransac(
+                m_pos, mem0, v_scene_kp[sel], v_train_kp[sel],
+                thr, params.min_votes_threshold)
+            if hough_members is not None:
+                hough_members = [np.nonzero(r)[0] for r in mem_f]
 
         if hough_members is not None:
             # Hough path: clusters and weights come straight from the
@@ -507,3 +532,66 @@ def _class_hough(positions: np.ndarray, weights: np.ndarray,
         m_dens.append(val)
         members.append(np.asarray(ids))
     return np.asarray(m_pos, np.float32), np.asarray(m_dens), members
+
+
+# ---------------------------------------------------------------------------
+# RANSAC vote filtering (voting.cpp:356-433)
+# ---------------------------------------------------------------------------
+
+def filter_votes_with_ransac(
+    m_pos: np.ndarray,            # [M, 3] cluster centers
+    membership: np.ndarray,       # [M, V] bool
+    scene_kp: np.ndarray,         # [V, 3] vote keypoints (scene)
+    train_kp: np.ndarray,         # [V, 3] codeword training feature positions
+    inlier_threshold: float,
+    min_votes: int,
+    iterations: int = 1000,
+    seed: int = 0,
+):
+    """Per-cluster rigid-correspondence RANSAC
+    (pcl::registration::CorrespondenceRejectorSampleConsensus analogue):
+    estimate a rigid transform mapping the training keypoints of the
+    cluster's votes onto their scene keypoints; keep the cluster if a
+    non-identity transform with inliers exists, keeping only inlier votes.
+    Deterministic seeded sampling with batched Kabsch estimation replaces
+    PCL's rand() loop."""
+    rng = np.random.default_rng(seed)
+    kept_pos, kept_members = [], []
+    for mi in range(len(m_pos)):
+        ids = np.nonzero(membership[mi])[0]
+        if len(ids) < max(min_votes, 3):
+            continue
+        src = train_kp[ids]   # object keypoints
+        dst = scene_kp[ids]   # scene keypoints
+        n = len(ids)
+        s = min(iterations, 1000)
+        tri = rng.integers(0, n, size=(s, 3))
+        a = src[tri]          # [S, 3, 3]
+        b = dst[tri]
+        am = a.mean(axis=1, keepdims=True)
+        bm = b.mean(axis=1, keepdims=True)
+        H = np.einsum("sij,sik->sjk", a - am, b - bm)
+        U, S_, Vt = np.linalg.svd(H)
+        d = np.sign(np.linalg.det(np.einsum("sij,sjk->sik",
+                                            np.transpose(Vt, (0, 2, 1)),
+                                            np.transpose(U, (0, 2, 1)))))
+        D = np.zeros((s, 3, 3))
+        D[:, 0, 0] = 1.0
+        D[:, 1, 1] = 1.0
+        D[:, 2, 2] = d
+        R = np.einsum("sij,sjk,skl->sil", np.transpose(Vt, (0, 2, 1)), D,
+                      np.transpose(U, (0, 2, 1)))
+        t = bm[:, 0, :] - np.einsum("sij,sj->si", R, am[:, 0, :])
+        proj = np.einsum("sij,vj->svi", R, src) + t[:, None, :]
+        err = np.linalg.norm(proj - dst[None], axis=2)    # [S, V']
+        inliers = err < inlier_threshold
+        counts = inliers.sum(axis=1)
+        best = int(np.argmax(counts))
+        if counts[best] >= 3:
+            new_members = np.zeros(membership.shape[1], bool)
+            new_members[ids[inliers[best]]] = True
+            kept_pos.append(m_pos[mi])
+            kept_members.append(new_members)
+    if not kept_pos:
+        return np.zeros((0, 3), np.float32), np.zeros((0, membership.shape[1]), bool)
+    return np.stack(kept_pos), np.stack(kept_members)

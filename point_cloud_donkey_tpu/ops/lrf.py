@@ -79,3 +79,129 @@ def shot_lrf(
     frames = jnp.stack([x_axis, y_axis, z_axis], axis=1)  # rows = axes
     valid = q_mask & (n_in >= min_neighbors) & (mom.wsum > 0)
     return LRFResult(frames=frames, valid=valid)
+
+
+def shot_na_lrf(
+    queries: jnp.ndarray,
+    q_mask: jnp.ndarray,
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    mask: jnp.ndarray,
+    radius: float,
+    min_neighbors: int = 5,
+) -> LRFResult:
+    """SHOT 'no-ambiguity' LRF (reference third_party/pcl_shot_na_lrf,
+    used for ReferenceFrameType SHOTNA and consistent-normals method 2's
+    sibling): identical to the SHOT LRF except the z-axis sign follows the
+    majority of *neighbor normals* (dot(n_j, v3) >= 0) instead of the offset
+    vectors -- removing the z ambiguity on flat regions."""
+    mom = radius_covariance(queries, points, mask, radius,
+                            weighting="shot", center="query")
+    vals, vecs = eigh3x3_batched(mom.cov)
+    v1 = vecs[:, :, 2]
+    v3 = vecs[:, :, 0]
+
+    d2 = pairwise_sqdist(queries, points)
+    in_r = (d2 <= radius * radius) & mask[None, :]
+    n_in = jnp.sum(in_r, axis=1)
+
+    # x-axis: offset-vector majority (same as SHOT)
+    dots_x = jnp.einsum("nd,qd->qn", points, v1) - jnp.sum(queries * v1, axis=1)[:, None]
+    plus_x = jnp.sum((dots_x >= 0) & in_r, axis=1)
+    x_axis = jnp.where((plus_x < n_in - plus_x)[:, None], -v1, v1)
+
+    # z-axis: neighbor-NORMAL majority (the "na" part)
+    dots_z = jnp.einsum("nd,qd->qn", normals, v3)
+    plus_z = jnp.sum((dots_z >= 0) & in_r, axis=1)
+    z_axis = jnp.where((plus_z < n_in - plus_z)[:, None], -v3, v3)
+
+    y_axis = jnp.cross(z_axis, x_axis)
+    frames = jnp.stack([x_axis, y_axis, z_axis], axis=1)
+    valid = q_mask & (n_in >= min_neighbors) & (mom.wsum > 0)
+    return LRFResult(frames=frames, valid=valid)
+
+
+def flare_lrf(
+    queries: jnp.ndarray,
+    q_mask: jnp.ndarray,
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    mask: jnp.ndarray,
+    radius: float,
+    tangent_radius: float,
+    min_neighbors: int = 5,
+) -> LRFResult:
+    """FLARE LRF (Petrelli & Di Stefano; pcl::FLARELocalReferenceFrameEstimation,
+    wrapped at features/features.cpp:209-235): z = local surface normal
+    (plane fit), x = tangent-plane projection of the direction to the point
+    with the largest signed distance along z within the tangent radius."""
+    from .eigh3 import eigh3x3
+    mom = radius_covariance(queries, points, mask, radius,
+                            weighting="uniform", center="mean")
+    vals, vecs = eigh3x3(mom.cov)
+    z_axis = vecs[:, :, 0]
+    # orient z toward the viewpoint (origin), FLARE's default
+    flip = jnp.sum(z_axis * (0.0 - queries), axis=1) < 0
+    z_axis = jnp.where(flip[:, None], -z_axis, z_axis)
+
+    d2 = pairwise_sqdist(queries, points)
+    in_t = (d2 <= tangent_radius * tangent_radius) & mask[None, :]
+    # signed height of each candidate along z
+    h = jnp.einsum("nd,qd->qn", points, z_axis) - \
+        jnp.sum(queries * z_axis, axis=1)[:, None]
+    h = jnp.where(in_t, h, -jnp.inf)
+    best = jnp.argmax(h, axis=1)
+    dir_vec = points[best] - queries
+    x_axis = dir_vec - jnp.sum(dir_vec * z_axis, axis=1, keepdims=True) * z_axis
+    nrm = jnp.linalg.norm(x_axis, axis=1, keepdims=True)
+    fallback = jnp.stack([jnp.ones_like(nrm[:, 0]), jnp.zeros_like(nrm[:, 0]),
+                          jnp.zeros_like(nrm[:, 0])], axis=1)
+    x_axis = jnp.where(nrm > 1e-8, x_axis / jnp.maximum(nrm, 1e-12), fallback)
+    y_axis = jnp.cross(z_axis, x_axis)
+
+    n_in = jnp.sum((d2 <= radius * radius) & mask[None, :], axis=1)
+    frames = jnp.stack([x_axis, y_axis, z_axis], axis=1)
+    valid = q_mask & (n_in >= min_neighbors) & jnp.any(in_t, axis=1)
+    return LRFResult(frames=frames, valid=valid)
+
+
+def board_lrf(
+    queries: jnp.ndarray,
+    q_mask: jnp.ndarray,
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    mask: jnp.ndarray,
+    radius: float,
+    min_neighbors: int = 5,
+) -> LRFResult:
+    """BOARD LRF (Petrelli & Di Stefano; pcl::BOARDLocalReferenceFrameEstimation,
+    wrapped at features/features.cpp:181-206).  Simplified faithful variant:
+    z = plane-fit normal oriented toward the viewpoint; x = tangent projection
+    of the direction to the in-radius point whose normal deviates most from z
+    (the descriptive direction BOARD seeks); border-aware hole compensation is
+    not replicated (documented divergence)."""
+    from .eigh3 import eigh3x3
+    mom = radius_covariance(queries, points, mask, radius,
+                            weighting="uniform", center="mean")
+    vals, vecs = eigh3x3(mom.cov)
+    z_axis = vecs[:, :, 0]
+    flip = jnp.sum(z_axis * (0.0 - queries), axis=1) < 0
+    z_axis = jnp.where(flip[:, None], -z_axis, z_axis)
+
+    d2 = pairwise_sqdist(queries, points)
+    in_r = (d2 <= radius * radius) & mask[None, :] & (d2 > 1e-12)
+    cosdev = jnp.einsum("nd,qd->qn", normals, z_axis)
+    score = jnp.where(in_r, -cosdev, -jnp.inf)  # most deviating normal
+    best = jnp.argmax(score, axis=1)
+    dir_vec = points[best] - queries
+    x_axis = dir_vec - jnp.sum(dir_vec * z_axis, axis=1, keepdims=True) * z_axis
+    nrm = jnp.linalg.norm(x_axis, axis=1, keepdims=True)
+    fallback = jnp.stack([jnp.ones_like(nrm[:, 0]), jnp.zeros_like(nrm[:, 0]),
+                          jnp.zeros_like(nrm[:, 0])], axis=1)
+    x_axis = jnp.where(nrm > 1e-8, x_axis / jnp.maximum(nrm, 1e-12), fallback)
+    y_axis = jnp.cross(z_axis, x_axis)
+
+    n_in = jnp.sum(in_r, axis=1)
+    frames = jnp.stack([x_axis, y_axis, z_axis], axis=1)
+    valid = q_mask & (n_in >= min_neighbors)
+    return LRFResult(frames=frames, valid=valid)

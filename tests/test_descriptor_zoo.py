@@ -112,3 +112,18 @@ def test_rift_color_gradient_sensitivity(rng):
     # flat intensity -> zero gradients -> empty histograms
     assert d_flat.descriptors.sum() < 1e-3
     assert d_edge.descriptors.sum() > 0.5
+
+
+@pytest.mark.parametrize("rf", ["SHOT", "SHOTNA", "BOARD", "FLARE"])
+def test_reference_frame_types(cloud, rf):
+    pts, rgb = cloud
+    fcfg = FeatureConfig(type="SHOT", radius=0.6, ref_frame_radius=0.5,
+                         ref_frame_type=rf)
+    fs = extract_local_features(pts, None, fcfg, KP_CFG, 0.25, 1)
+    assert fs.descriptors.shape[0] > 5, rf
+    assert np.all(np.isfinite(fs.descriptors))
+    # frames orthonormal
+    F = fs.frames
+    eye = np.einsum("kij,klj->kil", F, F)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape),
+                               atol=1e-3)

@@ -167,3 +167,72 @@ def test_detection_hough3d(rng, tmp_path):
     best1 = min(np.linalg.norm(m.position - a.mean(0)) for m in maxima if m.class_id == 1)
     best2 = min(np.linalg.norm(m.position - b.mean(0)) for m in maxima if m.class_id == 2)
     assert best1 < 0.6 and best2 < 0.6
+
+
+def test_ransac_vote_filter_rejects_inconsistent():
+    """A cluster whose votes came from a rigid transform survives; a cluster
+    of geometrically inconsistent votes is rejected."""
+    from point_cloud_donkey_tpu.models.voting import filter_votes_with_ransac
+    rng = np.random.default_rng(0)
+    n = 30
+    train = rng.normal(size=(n, 3)).astype(np.float32)
+    # rigid transform
+    th = 0.7
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    scene_good = train @ R.T + np.array([1.0, 2.0, 3.0], np.float32)
+    scene_bad = rng.normal(size=(n, 3)).astype(np.float32) * 3
+
+    scene = np.concatenate([scene_good, scene_bad])
+    trainkp = np.concatenate([train, train])
+    membership = np.zeros((2, 2 * n), bool)
+    membership[0, :n] = True     # consistent cluster
+    membership[1, n:] = True     # inconsistent cluster
+    m_pos = np.zeros((2, 3), np.float32)
+
+    kept_pos, kept_mem = filter_votes_with_ransac(
+        m_pos, membership, scene, trainkp, inlier_threshold=0.05, min_votes=3)
+    assert len(kept_pos) == 1
+    assert kept_mem[0, :n].sum() >= n * 0.9   # nearly all inliers kept
+    assert kept_mem[0, n:].sum() == 0
+
+
+@pytest.mark.slow
+def test_detection_with_ransac(rng, tmp_path):
+    """End-to-end multi-object detection with RansacVoteFiltering on."""
+    import json
+    from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+    from point_cloud_donkey_tpu.utils.config import IsmConfig
+    config = {
+        "ObjectConfig": {
+            "Children": {
+                "Clustering": {"Type": "None"},
+                "Codebook": {"Children": {"ActivationStrategy": {
+                    "Parameters": {"K": 1}, "Type": "KNN"}}},
+                "FeatureWeighting": {"Type": "Uniform"},
+                "Features": {"Parameters": {
+                    "Radius": 0.6, "ReferenceFrameRadius": 0.5}, "Type": "SHORT_SHOT"},
+                "GlobalFeatures": {"Type": "Dummy"},
+                "Keypoints": {"Parameters": {"LeafSize": 0.3}, "Type": "VoxelGrid"},
+                "Voting": {"Parameters": {
+                    "Bandwidth": 0.6, "SingleObjectMode": False,
+                    "MinVotesThreshold": 3,
+                    "RansacVoteFiltering": True,
+                    "RansacInlierThreshold": 0.3},
+                    "Type": "MeanShift"},
+            },
+            "Parameters": {"DistanceType": "ChiSquared", "BoundingBoxType": "AABB"},
+        }
+    }
+    ism = ImplicitShapeModel(IsmConfig.from_json(config))
+    for cid in (1, 3):
+        pts = shapes.make_instance(rng, cid, n=900, rotate=False)
+        p = str(tmp_path / f"t{cid}.pcd")
+        save_pcd(p, PointCloud(xyz=pts))
+        ism.add_training_model(p, cid, cid)
+    ism.train()
+    a = shapes.make_instance(rng, 1, n=900, rotate=False)
+    b = shapes.make_instance(rng, 3, n=900, rotate=False) + [4.0, 0, 0]
+    maxima, _ = ism.detect(np.concatenate([a, b]).astype(np.float32))
+    classes = {m.class_id for m in maxima[:4]}
+    assert 1 in classes and 3 in classes
