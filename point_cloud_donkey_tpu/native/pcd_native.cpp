@@ -1,0 +1,75 @@
+// Native data-loader kernels for the TPU framework's host IO path.
+//
+// The reference links liblzf for its compressed dumps (third_party/liblzf-3.6)
+// and PCL for PCD parsing; here the host-side hot loops -- LZF decompression
+// of binary_compressed PCDs and whitespace-float parsing of ascii PCD/PLY
+// bodies -- are implemented natively and exposed via ctypes
+// (utils/native.py).  Python falls back to pure-numpy implementations when
+// the shared object is unavailable.
+//
+// Build: g++ -O3 -shared -fPIC pcd_native.cpp -o libpcd_native.so
+
+#include <cstddef>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+
+extern "C" {
+
+// LZF decompression (format per Marc Lehmann's liblzf: literal runs < 32,
+// back-references otherwise).  Returns bytes written, or 0 on error.
+size_t pcd_lzf_decompress(const uint8_t *in, size_t in_len,
+                          uint8_t *out, size_t out_len) {
+    size_t ip = 0, op = 0;
+    while (ip < in_len) {
+        unsigned ctrl = in[ip++];
+        if (ctrl < 32) {  // literal run of ctrl+1 bytes
+            size_t run = ctrl + 1;
+            if (ip + run > in_len || op + run > out_len) return 0;
+            std::memcpy(out + op, in + ip, run);
+            ip += run;
+            op += run;
+        } else {  // back reference
+            size_t len = ctrl >> 5;
+            if (len == 7) {
+                if (ip >= in_len) return 0;
+                len += in[ip++];
+            }
+            len += 2;
+            if (ip >= in_len) return 0;
+            size_t ref = op - ((ctrl & 0x1f) << 8) - in[ip++] - 1;
+            if (ref >= op || op + len > out_len) return 0;  // ref underflow wraps
+            // overlapping copy: must run forward byte-by-byte
+            for (size_t i = 0; i < len; i++) out[op + i] = out[ref + i];
+            op += len;
+        }
+    }
+    return op;
+}
+
+// Parse up to `max_out` whitespace-separated floats from text.
+// Returns the number parsed.
+size_t pcd_parse_floats(const char *text, size_t len, float *out,
+                        size_t max_out) {
+    size_t count = 0;
+    const char *p = text;
+    const char *end = text + len;
+    while (p < end && count < max_out) {
+        // skip whitespace
+        while (p < end && (*p == ' ' || *p == '\n' || *p == '\t' ||
+                           *p == '\r')) p++;
+        if (p >= end) break;
+        char *next = nullptr;
+        float v = strtof(p, &next);
+        if (next == p) {  // unparsable token: skip it
+            while (p < end && !(*p == ' ' || *p == '\n' || *p == '\t' ||
+                                *p == '\r')) p++;
+            continue;
+        }
+        out[count++] = v;
+        p = next;
+    }
+    return count;
+}
+
+}  // extern "C"

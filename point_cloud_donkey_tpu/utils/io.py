@@ -122,11 +122,18 @@ def load_pcd(path: str) -> PointCloud:
     dtype = np.dtype(np_fields)
 
     if data_mode == "ascii":
-        text = data[offset:].decode("ascii", errors="replace")
         flat_names = []
         for name, size, typ, count in zip(fields, sizes, types, counts):
             flat_names.extend([name] * count)
-        raw = np.array(text.split(), dtype=np.float64).reshape(n_points, len(flat_names))
+        from . import native
+        n_vals = n_points * len(flat_names)
+        raw = native.parse_floats(data[offset:], n_vals)
+        if raw is not None and len(raw) == n_vals:
+            raw = raw.astype(np.float64).reshape(n_points, len(flat_names))
+        else:  # pure-python fallback
+            text = data[offset:].decode("ascii", errors="replace")
+            raw = np.array(text.split(), dtype=np.float64).reshape(
+                n_points, len(flat_names))
         rec = np.zeros(n_points, dtype=dtype)
         col = 0
         for name, count in zip(fields, counts):
@@ -139,7 +146,11 @@ def load_pcd(path: str) -> PointCloud:
         rec = np.frombuffer(data, dtype=dtype, count=n_points, offset=offset)
     elif data_mode == "binary_compressed":
         comp_size, uncomp_size = struct.unpack_from("<II", data, offset)
-        body = _lzf_decompress(data[offset + 8: offset + 8 + comp_size], uncomp_size)
+        from . import native
+        comp = data[offset + 8: offset + 8 + comp_size]
+        body = native.lzf_decompress(comp, uncomp_size)
+        if body is None:  # pure-python fallback
+            body = _lzf_decompress(comp, uncomp_size)
         # binary_compressed stores fields contiguously (SoA)
         rec = np.zeros(n_points, dtype=dtype)
         pos = 0

@@ -196,3 +196,35 @@ def test_cgf_raw_and_embedding(rng):
                          lrf.valid, jnp.asarray(pts), nbr, 0.8, embedding=emb)
     assert np.asarray(res.descriptors).shape == (6, 32)
     assert np.asarray(res.valid).all()
+
+
+def test_native_loader_kernels(rng, tmp_path):
+    """Native LZF + float parsing match the pure-Python paths."""
+    from point_cloud_donkey_tpu.utils import native
+    from point_cloud_donkey_tpu.utils.io import (PointCloud, _lzf_decompress,
+                                                 load_pcd, save_pcd)
+    # float parser vs numpy
+    text = b" 1.5 -2.25 3e2\n4.125\t-0.5 "
+    out = native.parse_floats(text, 10)
+    if out is not None:
+        np.testing.assert_allclose(out, [1.5, -2.25, 300.0, 4.125, -0.5])
+
+    # ascii PCD round trip exercises the native parser end-to-end
+    pts = rng.normal(size=(200, 3)).astype(np.float32)
+    p = str(tmp_path / "c.pcd")
+    save_pcd(p, PointCloud(xyz=pts))
+    c = load_pcd(p)
+    np.testing.assert_allclose(c.xyz, pts, rtol=1e-6)
+
+    # LZF: compress with a trivial literal-only encoder, decompress natively
+    payload = rng.integers(0, 255, 1000).astype(np.uint8).tobytes()
+    chunks = []
+    for i in range(0, len(payload), 31):
+        blk = payload[i:i + 31]
+        chunks.append(bytes([len(blk) - 1]) + blk)
+    comp = b"".join(chunks)
+    ref = _lzf_decompress(comp, len(payload))
+    assert ref == payload
+    nat = native.lzf_decompress(comp, len(payload))
+    if nat is not None:
+        assert nat == payload
