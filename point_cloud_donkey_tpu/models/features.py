@@ -70,7 +70,17 @@ class FeatureConfig:
     cgf_checkpoint: str = ""
     cgf_output_dims: int = 32
     gasd_with_color: bool = True  # GasdWithColor (features_gasd.cpp)
+    # CVFH / OURCVFH clustering (features_cvfh.cpp:47-53, PCL defaults)
+    cvfh_cluster_tolerance: float = 0.015
+    cvfh_eps_angle_deg: float = 10.0
+    cvfh_curv_threshold: float = 1.0
+    cvfh_min_points: int = 50
+    ourcvfh_axis_ratio: float = 0.8
     rsd_use_hist: bool = True     # UseFullRSDHistogram (features_rsd.cpp)
+    # NARF range-image geometry (features_narf.cpp:44-53 hardcodes Kinect)
+    narf_image_width: int = 640
+    narf_image_height: int = 480
+    narf_focal: float = 525.0
     # TPU capacity knobs (not part of the reference schema)
     neighbor_capacity: int = 2048
 
@@ -94,21 +104,29 @@ class FeatureConfig:
             cgf_checkpoint=cfg.get("CgfCheckpointPath", ""),
             cgf_output_dims=cfg.get("CgfOutputDims", 32),
             gasd_with_color=cfg.get("GasdWithColor", True),
+            cvfh_cluster_tolerance=cfg.get("CvfhClusterTolerance", 0.015),
+            cvfh_eps_angle_deg=cfg.get("CvfhEpsAngle", 10.0),
+            cvfh_curv_threshold=cfg.get("CvfhCurvatureThreshold", 1.0),
+            cvfh_min_points=cfg.get("CvfhMinPoints", 50),
+            ourcvfh_axis_ratio=cfg.get("OurcvfhAxisRatio", 0.8),
             rsd_use_hist=cfg.get("UseFullRSDHistogram", True),
+            narf_image_width=cfg.get("NarfImageWidth", 640),
+            narf_image_height=cfg.get("NarfImageHeight", 480),
+            narf_focal=cfg.get("NarfFocalLength", 525.0),
             neighbor_capacity=cfg.get("TpuNeighborCapacity", 2048),
         )
 
     def needs_normals(self) -> bool:
         return self.type not in ("SHORT_SHOT", "SHORT_CSHOT", "SHORT_SHOT_PCL",
                                  "SHORT_SHOT_GLOBAL", "SHORT_CSHOT_GLOBAL",
-                                 "ESF", "ESF_LOCAL", "GASD", "Dummy")
+                                 "ESF", "ESF_LOCAL", "GASD", "RoPS", "NARF", "Dummy")
 
     def needs_rgb(self) -> bool:
         return self.type in ("CSHOT", "CSHOT_GLOBAL", "SHORT_CSHOT",
-                             "SHORT_CSHOT_GLOBAL", "RIFT")
+                             "SHORT_CSHOT_GLOBAL", "RIFT", "COSPAIR")
 
     def descriptor_dim(self) -> int:
-        if self.type in ("SHOT", "SHOT_GLOBAL"):
+        if self.type in ("SHOT", "SHOT_GLOBAL", "SHORT_SHOT_PCL"):
             return 352
         if self.type in ("CSHOT", "CSHOT_GLOBAL"):
             return 1344
@@ -138,7 +156,7 @@ class FeatureConfig:
             return 125
         if self.type in ("ESF", "ESF_LOCAL"):
             return 640
-        if self.type == "VFH":
+        if self.type in ("VFH", "CVFH", "OURCVFH"):
             return 308
         if self.type == "GRSD":
             return 21
@@ -150,6 +168,12 @@ class FeatureConfig:
             return 25 if self.rsd_use_hist else 2
         if self.type == "RIFT":
             return 32
+        if self.type == "COSPAIR":
+            return 378
+        if self.type == "RoPS":
+            return 135
+        if self.type == "NARF":
+            return 36
         if self.type == "Dummy":
             return 1
         raise ValueError(f"unsupported descriptor type {self.type!r}")
@@ -220,6 +244,12 @@ def _descriptor_stage(n: int, k: int, fcfg: FeatureConfig):
         if fcfg.type in ("SHOT", "SHOT_GLOBAL"):
             res = shot_descriptor(keypoints, lrf.frames, lrf.valid,
                                   points, normals, nbr, radius)
+        elif fcfg.type == "SHORT_SHOT_PCL":
+            # the reference runs PCL SHOT with default-constructed ("fake")
+            # normals (features_short_shot_pcl.cpp:42-53): the cosine channel
+            # collapses, leaving the spatial histogram
+            res = shot_descriptor(keypoints, lrf.frames, lrf.valid,
+                                  points, jnp.zeros_like(points), nbr, radius)
         elif fcfg.type in ("CSHOT", "CSHOT_GLOBAL"):
             from ..ops.shot import cshot_descriptor
             res = cshot_descriptor(keypoints, kp_rgb, lrf.frames, lrf.valid,
@@ -264,6 +294,14 @@ def _descriptor_stage(n: int, k: int, fcfg: FeatureConfig):
             from ..ops.shape_context import rsd_descriptor
             res = rsd_descriptor(keypoints, kp_mask, points, normals, nbr,
                                  radius, use_hist=fcfg.rsd_use_hist)
+        elif fcfg.type == "RoPS":
+            from ..ops.rops import rops_descriptor
+            res = rops_descriptor(keypoints, kp_mask, points, nbr, radius)
+        elif fcfg.type == "COSPAIR":
+            from ..ops.cospair import cospair_descriptor
+            kp_nrm = normals[nbr.idx[:, 0]]
+            res = cospair_descriptor(keypoints, kp_nrm, kp_rgb, kp_mask,
+                                     points, normals, rgb, nbr, radius)
         elif fcfg.type == "RIFT":
             from ..ops.shape_context import intensity_gradients, rift_descriptor
             intensity = jnp.mean(rgb, axis=1)  # PCL PointXYZI conversion
@@ -332,6 +370,11 @@ def extract_local_features(
 ) -> FeatureSet:
     """Local feature pipeline for one cloud.  Returns a compacted FeatureSet."""
     from .keypoints import KeypointParams, detect_keypoints
+
+    if fcfg.type == "NARF":
+        # NARF ignores the configured keypoints and detects its own from
+        # range-image borders (features_narf.cpp:70-81)
+        return _narf_features(xyz, fcfg)
 
     pts, mask = pad_cloud(xyz)
     n = pts.shape[0]
@@ -402,6 +445,31 @@ def extract_local_features(
     return fs.compact()
 
 
+@functools.lru_cache(maxsize=None)
+def _narf_stage(h: int, w: int, support: float, focal: float):
+    from ..ops.narf import narf_keypoints, narf_descriptor
+
+    @jax.jit
+    def run(range_img):
+        kp = narf_keypoints(range_img, support, focal=focal)
+        desc, valid = narf_descriptor(range_img, kp, support, focal=focal)
+        return kp, desc, valid
+    return run
+
+
+def _narf_features(xyz: np.ndarray, fcfg: FeatureConfig) -> FeatureSet:
+    from ..ops.narf import build_range_image
+    range_img, _ = build_range_image(xyz, fcfg.narf_image_width,
+                                     fcfg.narf_image_height, fcfg.narf_focal)
+    kp, desc, valid = _narf_stage(
+        range_img.shape[0], range_img.shape[1], float(fcfg.radius),
+        float(fcfg.narf_focal))(jnp.asarray(range_img))
+    k = desc.shape[0]
+    frames = np.tile(np.eye(3, dtype=np.float32), (k, 1, 1))
+    return make_feature_set(np.asarray(desc), np.asarray(kp.xyz), frames,
+                            np.asarray(valid)).compact()
+
+
 def extract_global_features(
     xyz: np.ndarray,
     normals: Optional[np.ndarray],
@@ -422,6 +490,9 @@ def extract_global_features(
     if fcfg.type in ("ESF", "VFH", "GRSD", "GASD"):
         return _whole_cloud_global(xyz, normals, rgb, fcfg,
                                    normal_radius, consistent_normals_method)
+    if fcfg.type in ("CVFH", "OURCVFH"):
+        return _cvfh_global(xyz, normals, fcfg, normal_radius,
+                            consistent_normals_method)
 
     pts, mask = pad_cloud(xyz)
     n = pts.shape[0]
@@ -477,6 +548,45 @@ def extract_global_features(
         desc, kp[:1], np.asarray(frames)[:1], valid,
         np.zeros(1, np.float32), np.full(1, radius, np.float32))
     return fs.compact()
+
+
+def _cvfh_global(xyz, normals_in, fcfg: FeatureConfig,
+                 normal_radius: float, cn_method: int) -> FeatureSet:
+    """CVFH / OUR-CVFH: one VFH-308 per smooth surface region (multi-row
+    FeatureSet; features_cvfh.cpp / features_ourcvfh.cpp)."""
+    import math
+    from ..ops.cvfh import cvfh_descriptors
+    pts, mask = pad_cloud(xyz)
+    n = pts.shape[0]
+    pts_j, mask_j = jnp.asarray(pts), jnp.asarray(mask)
+    # curvature always comes from the normal stage (PCL estimates it with
+    # the normals); provided normals are still honored for the angles
+    nres = _normals_stage(n, float(normal_radius), int(cn_method))(pts_j, mask_j)
+    curv = np.asarray(nres.curvature)[:len(xyz)]
+    if normals_in is not None and len(normals_in) == len(xyz):
+        nrm = np.asarray(normals_in, np.float32)
+        nrm_pad = np.zeros((n, 3), np.float32)
+        nrm_pad[:len(xyz)] = nrm
+        nrm_j = jnp.asarray(nrm_pad)
+    else:
+        nrm_j = nres.normals
+        nrm = np.asarray(nrm_j)[:len(xyz)]
+    desc = cvfh_descriptors(
+        xyz, nrm, curv, pts_j, nrm_j, mask_j,
+        dist_tol=fcfg.cvfh_cluster_tolerance,
+        eps_angle=math.radians(fcfg.cvfh_eps_angle_deg),
+        curv_threshold=fcfg.cvfh_curv_threshold,
+        min_points=fcfg.cvfh_min_points,
+        with_sgurf=(fcfg.type == "OURCVFH"),
+        axis_ratio=fcfg.ourcvfh_axis_ratio)
+    g = desc.shape[0]
+    centroid = xyz.mean(axis=0).astype(np.float32)
+    radius = float(np.linalg.norm(xyz - centroid, axis=1).max())
+    valid = np.all(np.isfinite(desc), axis=1)
+    return make_feature_set(
+        desc, np.tile(centroid, (g, 1)),
+        np.tile(np.eye(3, dtype=np.float32), (g, 1, 1)), valid,
+        np.zeros(g, np.float32), np.full(g, radius, np.float32))
 
 
 @functools.lru_cache(maxsize=None)

@@ -115,3 +115,33 @@ def fpfh_descriptor(
     n_neighbors = jnp.sum(nbr_k.valid, axis=1)
     valid = kp_mask & (n_neighbors >= min_neighbors)
     return ShotResult(descriptors=out, valid=valid)
+
+
+def pair_features_pcl(p1, n1, p2, n2):
+    """pcl::computePairFeatures semantics incl. the source/target swap: the
+    point whose normal has the smaller angle to the connecting line becomes
+    the source (pcl/features/pfh_tools.cpp).  Inputs broadcastable [..., 3];
+    returns (f1, f2, f3, f4) with f1 in [-pi, pi], f2/f3 cosines, f4 = d."""
+    dp = p2 - p1
+    f4 = jnp.linalg.norm(dp, axis=-1)
+    d_safe = jnp.maximum(f4, 1e-12)[..., None]
+    dpn = dp / d_safe
+
+    a1 = jnp.sum(n1 * dpn, axis=-1)
+    a2 = jnp.sum(n2 * dpn, axis=-1)
+    swap = jnp.arccos(jnp.clip(jnp.abs(a1), 0, 1)) > \
+        jnp.arccos(jnp.clip(jnp.abs(a2), 0, 1))
+
+    n1c = jnp.where(swap[..., None], n2, n1)
+    n2c = jnp.where(swap[..., None], n1, n2)
+    dpc = jnp.where(swap[..., None], -dpn, dpn)
+    f3 = jnp.where(swap, a2, a1)
+
+    v = jnp.cross(dpc, n1c)
+    v_n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    v = v / jnp.maximum(v_n, 1e-12)
+    w = jnp.cross(n1c, v)
+    f2 = jnp.sum(v * n2c, axis=-1)
+    f1 = jnp.arctan2(jnp.sum(w * n2c, axis=-1), jnp.sum(n1c * n2c, axis=-1))
+    degenerate = v_n[..., 0] < 1e-12
+    return f1, f2, f3, f4, degenerate

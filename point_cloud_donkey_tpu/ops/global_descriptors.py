@@ -126,18 +126,30 @@ VFH_LEN = 4 * VFH_BINS + VFH_VP_BINS  # 308
 
 def vfh_descriptor(points: jnp.ndarray, normals: jnp.ndarray,
                    mask: jnp.ndarray,
-                   viewpoint=(0.0, 0.0, 0.0)) -> jnp.ndarray:
+                   viewpoint=(0.0, 0.0, 0.0),
+                   centroid: jnp.ndarray = None,
+                   avg_normal: jnp.ndarray = None,
+                   normalize_bins: bool = True) -> jnp.ndarray:
     """Viewpoint Feature Histogram: Darboux-frame angles of every point
     against the (centroid, average-normal) pair, 45 bins each for
     (cos alpha, cos phi, theta, normalized distance), percentage-normalized
     (NormalizeBins=true), plus a 128-bin viewpoint component over
-    cos(angle(normal, viewpoint direction))."""
+    cos(angle(normal, viewpoint direction)).
+
+    `centroid` / `avg_normal` override the cloud averages — PCL's
+    UseGivenCentroid/UseGivenNormal path that CVFH drives per cluster;
+    `normalize_bins=False` keeps raw counts (CVFH sets NormalizeBins
+    false, features_cvfh.cpp:52)."""
     from .fpfh import _pair_features
     dtype = points.dtype
     m = mask.astype(dtype)
     msum = jnp.maximum(m.sum(), 1.0)
-    centroid = jnp.sum(points * m[:, None], axis=0) / msum
-    n_avg = jnp.sum(normals * m[:, None], axis=0)
+    if centroid is None:
+        centroid = jnp.sum(points * m[:, None], axis=0) / msum
+    if avg_normal is None:
+        n_avg = jnp.sum(normals * m[:, None], axis=0)
+    else:
+        n_avg = avg_normal
     n_avg = n_avg / jnp.maximum(jnp.linalg.norm(n_avg), 1e-12)
 
     f1, f2, f3, d = _pair_features(centroid[None, :], n_avg[None, :],
@@ -145,11 +157,13 @@ def vfh_descriptor(points: jnp.ndarray, normals: jnp.ndarray,
     max_d = jnp.max(jnp.where(mask, d, 0.0))
     dn = d / jnp.maximum(max_d, 1e-12)
 
+    norm_fac = (100.0 / msum) if normalize_bins else 1.0
+
     def hist45(vals, lo, hi):
         b = jnp.clip(((vals - lo) / (hi - lo) * VFH_BINS).astype(jnp.int32),
                      0, VFH_BINS - 1)
         h = _histogram_from_slots(b[None, :, None], m[None, :, None], VFH_BINS)[0]
-        return 100.0 * h / msum  # percentage normalization
+        return norm_fac * h
 
     h1 = hist45(f1, -1.0, 1.0)
     h2 = hist45(f2, -1.0, 1.0)
@@ -163,7 +177,7 @@ def vfh_descriptor(points: jnp.ndarray, normals: jnp.ndarray,
     bvp = jnp.clip(((cos_vp + 1.0) / 2.0 * VFH_VP_BINS).astype(jnp.int32),
                    0, VFH_VP_BINS - 1)
     hvp = _histogram_from_slots(bvp[None, :, None], m[None, :, None], VFH_VP_BINS)[0]
-    hvp = 100.0 * hvp / msum
+    hvp = norm_fac * hvp
 
     return jnp.concatenate([h1, h2, h3, hd, hvp])
 

@@ -127,3 +127,135 @@ def test_reference_frame_types(cloud, rf):
     eye = np.einsum("kij,klj->kil", F, F)
     np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape),
                                atol=1e-3)
+
+
+def test_cospair(cloud):
+    pts, rgb = cloud
+    fcfg = FeatureConfig(type="COSPAIR", radius=0.6, ref_frame_radius=0.5)
+    fs = extract_local_features(pts, None, fcfg, KP_CFG, 0.25, 1, rgb=rgb)
+    assert fs.descriptors.shape[1] == 378
+    assert fs.descriptors.shape[0] > 5
+    assert np.all(np.isfinite(fs.descriptors)) and fs.descriptors.sum() > 0
+
+
+def test_short_shot_pcl(cloud):
+    pts, rgb = cloud
+    fcfg = FeatureConfig(type="SHORT_SHOT_PCL", radius=0.6, ref_frame_radius=0.5)
+    fs = extract_local_features(pts, None, fcfg, KP_CFG, 0.25, 1)
+    assert fs.descriptors.shape[1] == 352
+    assert np.all(np.isfinite(fs.descriptors))
+
+
+def _box_faces(n=1200, seed=0):
+    rng = np.random.default_rng(seed)
+    face = rng.integers(0, 6, n)
+    uv = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+    pts = np.zeros((n, 3), np.float32)
+    for f in range(6):
+        m = face == f
+        ax = f // 2
+        o = [a for a in range(3) if a != ax]
+        pts[m, ax] = 1.0 if f % 2 == 0 else -1.0
+        pts[m, o[0]] = uv[m, 0]
+        pts[m, o[1]] = uv[m, 1]
+    return pts
+
+
+def test_cvfh_clusters_box_faces():
+    pts = _box_faces()
+    fcfg = FeatureConfig(type="CVFH", cvfh_cluster_tolerance=0.35,
+                         cvfh_min_points=30)
+    fs = extract_global_features(pts, None, fcfg, 0.4, 1)
+    # the box's six flat faces are six smooth regions -> six descriptors
+    assert fs.descriptors.shape == (6, 308)
+    assert np.all(np.isfinite(fs.descriptors))
+    # raw counts (NormalizeBins false): every angle histogram sums to N
+    assert np.allclose(fs.descriptors[:, :45].sum(axis=1), len(pts))
+
+
+def test_ourcvfh_sgurf_frames():
+    pts = _box_faces()
+    fcfg = FeatureConfig(type="OURCVFH", cvfh_cluster_tolerance=0.35,
+                         cvfh_min_points=30)
+    fs = extract_global_features(pts, None, fcfg, 0.4, 1)
+    # >= one descriptor per face; ambiguous SGURF frames may add more
+    assert fs.descriptors.shape[0] >= 6
+    assert fs.descriptors.shape[1] == 308
+    # shape distribution lives in the viewpoint slots: 104 used, tail zero
+    assert np.all(fs.descriptors[:, 4 * 45 + 104:] == 0.0)
+    assert np.all(fs.descriptors[:, 4 * 45:4 * 45 + 104].sum(axis=1) > 0)
+
+
+def test_cvfh_fallback_single_region():
+    # an ellipsoid has no flat region under a tight angle threshold ->
+    # PCL falls back to one whole-cloud VFH
+    pts = np.asarray(shapes.ellipsoid(np.random.default_rng(1), 800),
+                 dtype=np.float32)
+    fcfg = FeatureConfig(type="CVFH", cvfh_cluster_tolerance=0.02,
+                         cvfh_min_points=700)
+    fs = extract_global_features(pts, None, fcfg, 0.4, 1)
+    assert fs.descriptors.shape == (1, 308)
+
+
+def test_rops(cloud):
+    pts, rgb = cloud
+    fcfg = FeatureConfig(type="RoPS", radius=0.6, ref_frame_radius=0.5)
+    fs = extract_local_features(pts, None, fcfg, KP_CFG, 0.25, 1)
+    d = fs.descriptors
+    assert d.shape[1] == 135
+    assert np.all(np.isfinite(d))
+    # entropy slots (every 5th element, offset 4) are positive for real
+    # neighborhoods; moment slots are small but not all zero
+    assert np.all(d[:, 4::5] > 0)
+    assert np.abs(d[:, 0::5]).sum() > 0
+
+
+def test_rops_rotation_invariance():
+    import jax.numpy as jnp
+    from point_cloud_donkey_tpu.ops.rops import rops_descriptor
+    from point_cloud_donkey_tpu.ops.neighbors import gather_radius_neighbors
+    rng = np.random.default_rng(3)
+    pts = np.asarray(shapes.ellipsoid(rng, 1200), dtype=np.float32)
+    kp = pts[:8].copy()
+    R = np.asarray(shapes.random_rotation(np.random.default_rng(7)), np.float32)
+
+    def run(p, k):
+        pj, kj = jnp.asarray(p), jnp.asarray(k)
+        m = jnp.ones(len(p), bool)
+        nbr = gather_radius_neighbors(kj, pj, m, 0.6, 256)
+        return np.asarray(rops_descriptor(
+            kj, jnp.ones(len(k), bool), pj, nbr, 0.6).descriptors)
+
+    d0 = run(pts, kp)
+    d1 = run(pts @ R.T, kp @ R.T)
+    # the LRF makes RoPS rotation-invariant; allow a few keypoints where the
+    # majority-sign disambiguation tips the other way on near-symmetric spots
+    err = np.abs(d0 - d1).max(axis=1)
+    assert np.median(err) < 1e-3
+    assert (err < 1e-2).sum() >= 6
+
+
+def test_narf_on_depth_scene():
+    # a synthetic depth scene: a wall at z=2.5 with a box sticking out --
+    # the box edges are range discontinuities where NARF finds keypoints
+    # organized-style dense sampling so the range image actually fills
+    gx, gy = np.meshgrid(np.linspace(-1.2, 1.2, 180),
+                         np.linspace(-0.9, 0.9, 140))
+    wall = np.stack([gx.ravel(), gy.ravel(), np.full(gx.size, 2.5)], axis=1)
+    bx, by = np.meshgrid(np.linspace(-0.3, 0.3, 70),
+                         np.linspace(-0.25, 0.25, 60))
+    box = np.stack([bx.ravel(), by.ravel(), np.full(bx.size, 1.8)], axis=1)
+    pts = np.concatenate([wall, box]).astype(np.float32)
+    fcfg = FeatureConfig(type="NARF", radius=0.4, narf_image_width=160,
+                         narf_image_height=120, narf_focal=130.0)
+    fs = extract_local_features(pts, None, fcfg, KP_CFG, 0.25, 1)
+    assert fs.descriptors.shape[1] == 36
+    assert fs.descriptors.shape[0] > 0
+    assert np.all(np.isfinite(fs.descriptors))
+    assert np.all(np.abs(fs.descriptors) <= 0.5)
+    # rotation invariance: beam 0 carries the dominant response
+    assert np.allclose(np.abs(fs.descriptors).max(axis=1),
+                       np.abs(fs.descriptors[:, 0]))
+    # keypoints sit near the box edge depth range
+    z = fs.positions[:, 2]
+    assert np.all((z > 1.5) & (z < 2.7))
