@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-m", "--models", nargs="*", help="Train: model files")
     p.add_argument("-c", "--classes", nargs="*", type=int,
                    help="Train: class ids for -m models")
+    p.add_argument("--template", metavar="OUT.ism",
+                   help="Write a fully-populated default config and exit "
+                        "(the reference emits one when an empty model is "
+                        "written, implicit_shape_model.h:78-80)")
     return p
 
 
@@ -214,6 +218,10 @@ def run_classification(args) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.template:
+        IsmConfig.template().save(args.template)
+        print(f"wrote template config to {args.template}")
+        return 0
     mode = ""
     if args.inputfile:
         with open(args.inputfile) as f:

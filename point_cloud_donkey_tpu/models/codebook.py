@@ -77,6 +77,9 @@ class CodebookParams:
     threshold_capacity: int = 64  # TPU cap on within-threshold activations
     inn_iterations: int = 5       # ActivationStrategyINN
     inn_residual_weight: float = 0.01
+    # partial SHOT/CSHOT matching (codebook.cpp:37-38, :416-475, :952-1036)
+    use_partial_shot: bool = False
+    partial_shot_type: str = "front"
 
 
 # ---------------------------------------------------------------------------
@@ -386,6 +389,49 @@ class CastVotes(NamedTuple):
     valid: jnp.ndarray       # [T]
 
 
+def signature_mask(partial_type: str) -> np.ndarray:
+    """[32] bool mask over SHOT signature bins (Codebook::getSignatureMask,
+    codebook.cpp:952-1036).  Unknown types keep the complete descriptor."""
+    m = np.zeros(32, bool)
+    t = partial_type
+    if t in ("front", "dense_x"):
+        m[8:24] = True
+    elif t in ("back", "sparse_x"):
+        m[0:8] = True
+        m[24:32] = True
+    elif t in ("left", "positive_y"):
+        m[16:32] = True
+    elif t in ("right", "negative_y"):
+        m[0:16] = True
+    elif t in ("top", "dense_z"):
+        m[1::2] = True
+    elif t in ("bottom", "sparse_z"):
+        m[0::2] = True
+    elif t == "dense_x_or_z":
+        m[8:24] = True
+        m[1::2] = True
+    elif t == "dense_x_and_z":
+        m[9:24:2] = True
+    elif t == "front_turn_left":
+        m[12:28] = True
+    elif t == "front_turn_right":
+        m[4:20] = True
+    else:
+        return np.ones(32, bool)
+    return m
+
+
+def partial_shot_columns(mask: np.ndarray, dim: int) -> np.ndarray:
+    """Descriptor column indices kept by the signature mask: SHOT-352 has 32
+    signature bins x 11; CSHOT-1344 appends 32 x 31 color bins
+    (codebook.cpp:418-422, :438-470)."""
+    cols = [np.arange(s * 11, (s + 1) * 11) for s in range(32) if mask[s]]
+    if dim > 352:
+        cols += [352 + np.arange(s * 31, (s + 1) * 31)
+                 for s in range(32) if mask[s]]
+    return np.concatenate(cols)
+
+
 def cast_votes(
     cb: TrainedCodebook,         # arrays may be np or jnp (weak-type ok)
     descriptors: jnp.ndarray,    # [F, D]
@@ -401,6 +447,17 @@ def cast_votes(
     cw = jnp.asarray(cb.codewords)
     cw_mask_j = jnp.asarray(cb.cw_mask)
     strategy = params.activation_type
+
+    # partial SHOT: reduce scene descriptors AND codewords to the masked
+    # signature bins before matching (detection only; codebook.cpp:416-475
+    # reduces the features, :614-617 swaps in the partial codewords)
+    dim = int(descriptors.shape[1])
+    if params.use_partial_shot and dim in (352, 1344):
+        smask = signature_mask(params.partial_shot_type)
+        if not smask.all():
+            cols = jnp.asarray(partial_shot_columns(smask, dim))
+            descriptors = descriptors[:, cols]
+            cw = cw[:, cols]
 
     if strategy == "KNNRule":
         # detection-time 3-NN class-consistency rule

@@ -18,6 +18,7 @@ same `.ism` JSON plus an `.ismd.npz` numpy archive.
 from __future__ import annotations
 
 import json
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
@@ -89,6 +90,8 @@ def _codebook_params(cfg: ComponentConfig) -> CodebookParams:
         threshold_capacity=act.get("TpuThresholdCapacity", 64),
         inn_iterations=act.get("Iterations", 5),
         inn_residual_weight=act.get("ResidualWeight", 0.01),
+        use_partial_shot=cfg.get("UsePartialShot", False),
+        partial_shot_type=cfg.get("PartialShotType", "front"),
     )
 
 
@@ -244,6 +247,37 @@ class ImplicitShapeModel:
         sel = np.all(np.abs(local) <= half[None, :] + 1e-6, axis=1)
         return cloud.select(sel)
 
+    def _cached_local_features(self, filename, xyz, normals, fcfg, kp_cfg,
+                               normal_radius, cn_method, rgb) -> FeatureSet:
+        """Training-feature cache (the reference's writeFeaturesToDisk /
+        readFeaturesFromDisk path, implicit_shape_model.cpp:1360-1644):
+        enabled by CacheFeatures + CacheFeaturesFolder; keyed on the file
+        and the descriptor config so stale entries never match."""
+        import hashlib
+        from .types import FeatureSet as FS
+        if not self.root.get("CacheFeatures", False):
+            return extract_local_features(xyz, normals, fcfg, kp_cfg,
+                                          normal_radius, cn_method,
+                                          rgb=rgb, is_training=True)
+        folder = self.root.get("CacheFeaturesFolder", "ism_feature_cache")
+        os.makedirs(folder, exist_ok=True)
+        key = hashlib.sha1(repr((os.path.abspath(filename), fcfg,
+                                 kp_cfg.to_json(), normal_radius, cn_method,
+                                 len(xyz))).encode()).hexdigest()[:20]
+        path = os.path.join(folder, key + ".npz")
+        if os.path.exists(path):
+            z = np.load(path)
+            return FS(z["descriptors"], z["positions"], z["frames"],
+                      z["mask"], z["center_dist"], z["global_radius"])
+        fs = extract_local_features(xyz, normals, fcfg, kp_cfg,
+                                    normal_radius, cn_method,
+                                    rgb=rgb, is_training=True)
+        np.savez_compressed(path, descriptors=fs.descriptors,
+                            positions=fs.positions, frames=fs.frames,
+                            mask=fs.mask, center_dist=fs.center_dist,
+                            global_radius=fs.global_radius)
+        return fs
+
     def train(self) -> None:
         fcfg = self._feature_cfg()
         gcfg = self._global_feature_cfg()
@@ -285,9 +319,9 @@ class ImplicitShapeModel:
                                   np.asarray(box.quat))
             radius = float(geo.cloud_radius(pts_j, m_j))
 
-            fs = extract_local_features(xyz, normals, fcfg, kp_cfg,
-                                        normal_radius, cn_method,
-                                        rgb=rgb, is_training=True)
+            fs = self._cached_local_features(
+                filename, xyz, normals, fcfg, kp_cfg, normal_radius,
+                cn_method, rgb)
             features_per_model.append(fs)
             class_per_model.append(class_id)
             instance_per_model.append(instance_id)

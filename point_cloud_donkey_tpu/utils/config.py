@@ -126,6 +126,37 @@ class IsmConfig:
         with open(path, "w") as f:
             json.dump({"ObjectConfig": self.root.to_json()}, f, indent=3, sort_keys=True)
 
+    @classmethod
+    def template(cls) -> "IsmConfig":
+        """Fully-populated default config (the reference emits one when an
+        empty model is written, implicit_shape_model.h:78-80): every root
+        parameter at its default plus a default child per component family."""
+        root = ComponentConfig(params=dict(ROOT_SCHEMA))
+        root.children = {
+            "Codebook": ComponentConfig(params={
+                "UseClassWeight": False, "UseVoteWeight": False,
+                "UseMatchingWeight": False, "UseCodewordWeight": False,
+                "UsePartialShot": False, "PartialShotType": "front",
+            }, children={"ActivationStrategy": ComponentConfig(
+                type="KNN", params={"K": 1, "UseDistanceRatio": False,
+                                    "DistanceRatioThreshold": 0.8})}),
+            "Keypoints": ComponentConfig(type="VoxelGrid",
+                                         params={"LeafSize": 0.02}),
+            "Features": ComponentConfig(type="SHOT", params={
+                "Radius": 0.1, "ReferenceFrameRadius": 0.2,
+                "ReferenceFrameType": "SHOT"}),
+            "GlobalFeatures": ComponentConfig(type="Dummy"),
+            "Clustering": ComponentConfig(type="None"),
+            "Voting": ComponentConfig(type="MeanShift", params={
+                "Bandwidth": 0.1, "Kernel": "Gaussian", "Threshold": 1e-3,
+                "MaxIter": 1000, "MinWeight": 0.0, "MaxFilterType": "None",
+                "SingleObjectMaxType": "None", "UseGlobalFeatures": False,
+                "GlobalFeatureInfluenceType": 4, "MinVotesThreshold": 1}),
+            "FeatureWeighting": ComponentConfig(type="Uniform", params={
+                "ExtractFromList": "none", "Factor": 1.0}),
+        }
+        return cls(root=root)
+
     # convenience accessors -------------------------------------------------
     @property
     def params(self) -> ComponentConfig:

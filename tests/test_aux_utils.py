@@ -1,0 +1,144 @@
+"""Aux subsystems: partial-SHOT masking, debug dumps, resizing, exceptions,
+feature cache, template config (reference utils/* + codebook.cpp:952-1036)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from point_cloud_donkey_tpu.models.codebook import (signature_mask,
+                                                    partial_shot_columns)
+from point_cloud_donkey_tpu.utils.config import IsmConfig
+from point_cloud_donkey_tpu.utils.debug_utils import (write_ranked_indices,
+                                                      write_feature_cloud,
+                                                      write_voting_space)
+from point_cloud_donkey_tpu.utils.exceptions import (IsmError, BadParamError,
+                                                     JSONError)
+from point_cloud_donkey_tpu.utils.io import PointCloud
+from point_cloud_donkey_tpu.utils.resizing import resize_cloud, resize_to_radius
+
+
+def test_signature_masks_match_reference_bins():
+    # codebook.cpp:952-1036
+    assert signature_mask("front")[8:24].all() and signature_mask("front").sum() == 16
+    assert (signature_mask("back") == ~signature_mask("front")).all()
+    assert signature_mask("left")[16:].all()
+    assert (signature_mask("right") == ~signature_mask("left")).all()
+    assert signature_mask("top")[1::2].all() and not signature_mask("top")[0::2].any()
+    assert (signature_mask("bottom") == ~signature_mask("top")).all()
+    assert signature_mask("dense_x_or_z").sum() == 24  # union of front+top
+    assert signature_mask("dense_x_and_z").sum() == 8  # intersection
+    assert signature_mask("front_turn_left")[12:28].all()
+    assert signature_mask("front_turn_right")[4:20].all()
+    assert signature_mask("bogus").all()  # unknown -> complete descriptor
+    # aliases
+    assert (signature_mask("dense_x") == signature_mask("front")).all()
+    assert (signature_mask("sparse_z") == signature_mask("bottom")).all()
+
+
+def test_partial_shot_columns():
+    m = signature_mask("front")
+    c = partial_shot_columns(m, 352)
+    assert len(c) == 16 * 11 and c.min() == 88 and c.max() == 263
+    c2 = partial_shot_columns(m, 1344)
+    assert len(c2) == 16 * 11 + 16 * 31
+    assert (c2[:176] == c).all() and c2[176] == 352 + 8 * 31
+
+
+def test_partial_shot_cast_votes_shape():
+    import jax.numpy as jnp
+    from point_cloud_donkey_tpu.models.codebook import (TrainedCodebook,
+                                                        CodebookParams,
+                                                        cast_votes)
+    rng = np.random.default_rng(0)
+    C, MV, D, F = 6, 4, 352, 10
+    cb = TrainedCodebook(
+        codewords=rng.random((C, D), np.float32),
+        cw_mask=np.ones(C, bool),
+        cw_weight=np.ones(C, np.float32),
+        cw_position=rng.random((C, 3), np.float32),
+        votes=rng.random((C, MV, 3), np.float32),
+        vote_mask=np.ones((C, MV), bool),
+        vote_class=np.zeros((C, MV), np.int32),
+        vote_instance=np.zeros((C, MV), np.int32),
+        vote_weight=np.ones((C, MV), np.float32),
+        class_weight=np.ones((C, MV), np.float32),
+        bbox_size=np.ones((C, MV, 3), np.float32),
+        bbox_quat=np.tile(np.array([1., 0, 0, 0], np.float32), (C, MV, 1)),
+        class_sigma=np.full(2, 100.0, np.float32))
+    params = CodebookParams(use_partial_shot=True, partial_shot_type="front")
+    out = cast_votes(cb, jnp.asarray(rng.random((F, D), np.float32)),
+                     jnp.asarray(rng.random((F, 3), np.float32)),
+                     jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (F, 1, 1))),
+                     jnp.ones(F, bool), params, "l2")
+    assert bool(out.valid.any())
+
+
+def test_debug_dumps(tmp_path):
+    scores = np.array([0.3, 0.9, 0.1], np.float32)
+    ranking = np.argsort(-scores)
+    f = tmp_path / "ranked.txt"
+    write_ranked_indices(str(f), scores, ranking, np.array([1, 0, 1]))
+    lines = f.read_text().splitlines()
+    rank0 = lines[1].split()
+    assert rank0[0] == "0" and rank0[1] == "1"
+    assert abs(float(rank0[2]) - 0.9) < 1e-6
+    write_feature_cloud(str(tmp_path / "fc.npz"), np.zeros((3, 3)),
+                        np.ones((3, 8)), extra={"classId": 2})
+    z = np.load(tmp_path / "fc.npz")
+    assert z["descriptors"].shape == (3, 8)
+    assert json.load(open(tmp_path / "fc.npz.json"))["classId"] == 2
+    write_voting_space(str(tmp_path / "vs.npz"), np.zeros((5, 3)),
+                       np.ones(5), np.zeros(5, np.int32))
+    assert np.load(tmp_path / "vs.npz")["weights"].sum() == 5
+
+
+def test_resizing():
+    pc = PointCloud(xyz=np.array([[1., 0, 0], [-1., 0, 0]], np.float32))
+    out = resize_cloud(pc, 2.0)
+    assert np.allclose(out.xyz, pc.xyz * 2)
+    out2 = resize_to_radius(pc, 5.0)
+    c = out2.xyz.mean(0)
+    assert np.isclose(np.linalg.norm(out2.xyz - c, axis=1).max(), 5.0)
+
+
+def test_exceptions_hierarchy():
+    with pytest.raises(IsmError):
+        raise BadParamError("Radius", -1)
+    assert issubclass(JSONError, IsmError)
+    e = BadParamError("K", 0)
+    assert "K" in str(e)
+
+
+def test_template_config_roundtrip(tmp_path):
+    p = tmp_path / "tpl.ism"
+    IsmConfig.template().save(str(p))
+    c = IsmConfig.load(str(p))
+    assert c.child("Features").type == "SHOT"
+    assert c.child("Voting").get("Bandwidth", 0.0) == 0.1
+    assert c.root.get("NormalRadius", 0.0) == 0.05
+
+
+def test_feature_cache(tmp_path, monkeypatch):
+    import shapes
+    from point_cloud_donkey_tpu.models.features import FeatureConfig
+    from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+    from point_cloud_donkey_tpu.utils.config import ComponentConfig
+    cfg = IsmConfig.template()
+    cfg.root.params["CacheFeatures"] = True
+    cfg.root.params["CacheFeaturesFolder"] = str(tmp_path / "cache")
+    cfg.child("Features").params["Radius"] = 0.5
+    cfg.child("Features").params["ReferenceFrameRadius"] = 0.4
+    cfg.child("Keypoints").params["LeafSize"] = 0.3
+    ism = ImplicitShapeModel(cfg)
+    rng = np.random.default_rng(0)
+    xyz = np.asarray(shapes.ellipsoid(rng, 900), np.float32)
+    fs1 = ism._cached_local_features("mem://a", xyz, None,
+                                     ism._feature_cfg(),
+                                     cfg.child("Keypoints"), 0.25, 1, None)
+    files = list((tmp_path / "cache").glob("*.npz"))
+    assert len(files) == 1
+    fs2 = ism._cached_local_features("mem://a", xyz, None,
+                                     ism._feature_cfg(),
+                                     cfg.child("Keypoints"), 0.25, 1, None)
+    assert np.allclose(fs1.descriptors, fs2.descriptors)
