@@ -480,6 +480,19 @@ class ImplicitShapeModel:
         votes = jax.tree_util.tree_map(np.asarray, votes)
         self.processing_times["voting"] += time.perf_counter() - t_vote
 
+        # voting analysis dump (EnableVotingAnalysis / VotingAnalysisOutputPath,
+        # implicit_shape_model.cpp:105-107; the GUI renders these live, here
+        # they go to disk for offline visualization via viz/)
+        if self.root.get("EnableVotingAnalysis", False):
+            from ..utils.debug_utils import write_voting_space
+            out = self.root.get("VotingAnalysisOutputPath", "voting_analysis")
+            os.makedirs(out, exist_ok=True)
+            self._voting_dump_idx = getattr(self, "_voting_dump_idx", 0) + 1
+            v = votes.valid
+            write_voting_space(
+                os.path.join(out, f"votes_{self._voting_dump_idx:04d}.npz"),
+                votes.position[v], votes.weight[v], votes.class_id[v])
+
         t_max = time.perf_counter()
         pts_pad = xyz.astype(np.float32)
         mask = np.ones(len(xyz), bool)
