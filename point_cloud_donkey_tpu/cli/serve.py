@@ -1,0 +1,107 @@
+"""Batched / sharded serving CLI: classify a '# test' file list through the
+fully-jitted forward step (models/pipeline_jit.classify_scores), batched over
+clouds and sharded across every available chip via the data x model Mesh
+(parallel/sharded.py).
+
+This is the TPU-native serving path (SURVEY.md §2.4) — the parity eval tool
+(cli/eval_classification.py) keeps the reference's host-orchestrated flow; this
+one trades per-cloud keypoint compaction for one static program and prints
+throughput alongside the accuracy."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.ism import ImplicitShapeModel
+from ..models.pipeline_jit import JitPipelineConfig
+from ..models.codebook import CodebookParams
+from ..parallel.sharded import make_mesh, shard_codebook, batched_classify
+from ..utils.config import IsmConfig
+from ..utils.io import load_cloud, parse_file_list
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="serve", description="Batched sharded classification")
+    p.add_argument("-d", "--detect", required=True, help="trained .ism model")
+    p.add_argument("-f", "--file", required=True, help="'# test' file list")
+    p.add_argument("--batch", type=int, default=16,
+                   help="clouds per device step")
+    p.add_argument("--points", type=int, default=2048,
+                   help="pad/subsample clouds to this many points")
+    args = p.parse_args(argv)
+
+    ism = ImplicitShapeModel.load(args.detect)
+    cb = ism.state.codebook
+    fcfg = ism._feature_cfg()
+    kp_cfg = ism.config.child("Keypoints")
+    vcfg = ism.config.child("Voting")
+    cfg = JitPipelineConfig(
+        descriptor=fcfg.type,
+        radius=fcfg.radius,
+        ref_frame_radius=fcfg.ref_frame_radius,
+        leaf_size=kp_cfg.get("LeafSize", 0.02),
+        normal_radius=ism.root.get("NormalRadius", 0.05),
+        normals_method=ism.root.get("ConsistentNormalsMethod", 2),
+        metric="chisq" if ism.root.get("DistanceType",
+                                       "Euclidean") == "ChiSquared" else "l2",
+        bandwidth=vcfg.get("Bandwidth", 0.1),
+        num_classes=int(cb.class_sigma.shape[0]))
+
+    fl = parse_file_list(args.file)
+    labels = fl.instance_labels if fl.using_instances else fl.class_labels
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_data=n_dev, n_model=1)
+    cb_sharded = shard_codebook(cb, mesh)
+    step = batched_classify(mesh, cb_sharded, cfg, CodebookParams())
+
+    # load + pad/subsample all clouds to a fixed shape
+    P = args.points
+    clouds, masks = [], []
+    for fn in fl.filenames:
+        xyz = load_cloud(fn).remove_nan().xyz
+        if len(xyz) > P:
+            sel = np.random.default_rng(0).choice(len(xyz), P, replace=False)
+            xyz = xyz[sel]
+        pad = np.full((P, 3), 1e9, np.float32)
+        pad[:len(xyz)] = xyz
+        clouds.append(pad)
+        m = np.zeros(P, bool)
+        m[:len(xyz)] = True
+        masks.append(m)
+
+    B = args.batch * n_dev
+    n = len(clouds)
+    n_pad = (-n) % B
+    clouds += [clouds[0]] * n_pad
+    masks += [masks[0]] * n_pad
+    clouds_np = np.stack(clouds)
+    masks_np = np.stack(masks)
+
+    preds = []
+    t0 = time.perf_counter()
+    for i in range(0, len(clouds_np), B):
+        scores = step(jnp.asarray(clouds_np[i:i + B]),
+                      jnp.asarray(masks_np[i:i + B]))
+        preds.extend(np.asarray(scores).argmax(axis=1).tolist())
+    dt = time.perf_counter() - t0
+    preds = preds[:n]
+
+    correct = sum(int(p == g) for p, g in zip(preds, labels))
+    for fn, pr, gt in zip(fl.filenames, preds, labels):
+        print(f"{fn}: predicted {pr}, ground truth {gt} "
+              f"{'OK' if pr == gt else 'WRONG'}")
+    print(f"\n Accuracy: {100.0 * correct / max(n, 1):.0f} % ({correct}/{n})")
+    print(f" Throughput: {n / dt:.1f} clouds/sec over {n_dev} device(s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
