@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..ops.lrf import shot_lrf
 from ..ops.neighbors import gather_radius_neighbors, knn
 from ..ops.normals import compute_normals
-from ..ops.shot import shot_descriptor
+from ..ops.shot import shot_descriptor_dense
 from ..ops.short_shot import short_shot_descriptor
 from ..ops.voxel_grid import voxel_grid
 from ..ops import mean_shift as ms
@@ -65,12 +65,14 @@ def extract_features_jit(points: jnp.ndarray, mask: jnp.ndarray,
     kp = jnp.where(kp_mask[:, None], kp, 1e9)
 
     lrf = shot_lrf(kp, kp_mask, points, mask, cfg.ref_frame_radius)
-    nbr = gather_radius_neighbors(kp, points, mask, cfg.radius,
-                                  cfg.neighbor_capacity)
     if cfg.descriptor == "SHOT":
-        res = shot_descriptor(kp, lrf.frames, lrf.valid, points, normals,
-                              nbr, cfg.radius)
+        # dense gather-free SHOT: the serving path never touches a random-
+        # access neighbor gather (ops/shot.shot_descriptor_dense)
+        res = shot_descriptor_dense(kp, lrf.frames, lrf.valid, points,
+                                    normals, mask, cfg.radius)
     elif cfg.descriptor == "SHORT_SHOT":
+        nbr = gather_radius_neighbors(kp, points, mask, cfg.radius,
+                                      cfg.neighbor_capacity)
         res = short_shot_descriptor(kp, lrf.frames, lrf.valid, points, nbr,
                                     cfg.radius)
     else:

@@ -111,17 +111,49 @@ def shot_descriptor(
     radius: float,
     min_neighbors: int = 5,
 ) -> ShotResult:
-    K, M = nbr.idx.shape
-    dtype = points.dtype
-
     npos = points[nbr.idx]     # [K, M, 3]
     nnrm = normals[nbr.idx]    # [K, M, 3]
     use = nbr.valid & (nbr.dist > 1e-15) & jnp.isfinite(nbr.dist)
+    delta = npos - keypoints[:, None, :]
+    return _shot_core(keypoints, frames, frame_valid, delta, nbr.dist, nnrm,
+                      use, radius, min_neighbors)
+
+
+def shot_descriptor_dense(
+    keypoints: jnp.ndarray,    # [K, 3]
+    frames: jnp.ndarray,       # [K, 3, 3]
+    frame_valid: jnp.ndarray,  # [K]
+    points: jnp.ndarray,       # [N, 3]
+    normals: jnp.ndarray,      # [N, 3]
+    mask: jnp.ndarray,         # [N]
+    radius: float,
+    min_neighbors: int = 5,
+) -> ShotResult:
+    """Gather-free SHOT over dense [K, N] masked arrays: the in-radius set
+    comes straight from the pairwise distance matmul, so no random-access
+    neighbor gather touches HBM (the serving hot path; random gathers of
+    [K, M, 3] blocks cost ~18ms per 16-cloud batch on v5e).  Distances are
+    the matmul identity (HIGHEST) -- exact-zero self-pairs can slip the
+    1e-15 exclusion (error ~1e-7 * scale^2), which never occurs for
+    voxel-centroid keypoints; the parity path (shot_descriptor over a
+    gathered block with exact recomputed distances) is unchanged."""
+    from .neighbors import pairwise_sqdist
+    d2 = pairwise_sqdist(keypoints, points)
+    use = (d2 <= radius * radius) & (d2 > 1e-15) & mask[None, :]
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+    delta = points[None, :, :] - keypoints[:, None, :]
+    nnrm = jnp.broadcast_to(normals[None, :, :], delta.shape)
+    return _shot_core(keypoints, frames, frame_valid, delta, d, nnrm,
+                      use, radius, min_neighbors)
+
+
+def _shot_core(keypoints, frames, frame_valid, delta, dist, nnrm, use,
+               radius, min_neighbors):
+    """Shared SHOT math over [K, M] neighbor blocks (M = capacity or N)."""
+    dtype = keypoints.dtype
     # sanitize distances of unused entries so no inf/NaN leaks through
     # masked arithmetic (0 * inf = NaN)
-    d = jnp.where(use, nbr.dist, radius * 0.5)
-
-    delta = npos - keypoints[:, None, :]
+    d = jnp.where(use, dist, radius * 0.5)
     x_l = jnp.einsum("kmd,kd->km", delta, frames[:, 0, :])
     y_l = jnp.einsum("kmd,kd->km", delta, frames[:, 1, :])
     z_l = jnp.einsum("kmd,kd->km", delta, frames[:, 2, :])
