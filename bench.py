@@ -37,7 +37,7 @@ def main():
 
     N = 2048
     NUM_CLASSES = 5
-    BATCH = 16
+    BATCH = 32
     ROUNDS = 8
 
     rng = np.random.default_rng(42)
