@@ -85,6 +85,10 @@ def main(argv=None) -> int:
     clouds_np = np.stack(clouds)
     masks_np = np.stack(masks)
 
+    # warm the jit cache so the reported throughput is steady-state
+    step(jnp.asarray(clouds_np[:B]), jnp.asarray(masks_np[:B])
+         ).block_until_ready()
+
     preds = []
     t0 = time.perf_counter()
     for i in range(0, len(clouds_np), B):

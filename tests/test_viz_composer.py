@@ -91,3 +91,36 @@ def test_voting_analysis_dump(tmp_path):
     assert len(dumps) == 1
     z = np.load(dumps[0])
     assert len(z["votes"]) > 0 and z["votes"].shape[1] == 3
+
+
+def test_serve_cli(tmp_path, capsys):
+    # batched/sharded serving CLI end-to-end on a tiny trained model
+    from point_cloud_donkey_tpu.cli import serve
+    from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+    from point_cloud_donkey_tpu.utils.config import IsmConfig
+    import json
+    cfg = IsmConfig.template()
+    cfg.child("Features").params.update(
+        {"Radius": 0.6, "ReferenceFrameRadius": 0.5})
+    cfg.child("Keypoints").params["LeafSize"] = 0.35
+    cfg.root.params["NormalRadius"] = 0.25
+    cfg.root.params["DistanceType"] = "ChiSquared"
+    cfg.child("Voting").params["Bandwidth"] = 0.5
+    rng = np.random.default_rng(4)
+    ism = ImplicitShapeModel(cfg)
+    names = []
+    for c, mk in enumerate([shapes.ellipsoid, shapes.box]):
+        f = str(tmp_path / f"m{c}.pcd")
+        save_pcd(f, PointCloud(xyz=np.asarray(mk(rng, 1000), np.float32)))
+        ism.add_training_model(f, c, c)
+        names.append(f)
+    ism.train()
+    model = str(tmp_path / "model.ism")
+    ism.save(model)
+    lst = tmp_path / "test.txt"
+    lst.write_text("# test\n" + "\n".join(
+        f"{f} {c}" for c, f in enumerate(names)) + "\n")
+    rc = serve.main(["-d", model, "-f", str(lst), "--points", "1024"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Accuracy: 100 %" in out
