@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..ops.lrf import shot_lrf
 from ..ops.neighbors import gather_radius_neighbors, knn
-from ..ops.normals import compute_normals
+from ..ops.normals import compute_normals, compute_normals_fast
 from ..ops.shot import shot_descriptor_dense
 from ..ops.short_shot import short_shot_descriptor
 from ..ops.voxel_grid import voxel_grid
@@ -52,11 +52,14 @@ def extract_features_jit(points: jnp.ndarray, mask: jnp.ndarray,
     """points [N,3], mask [N] -> (keypoints [K,3], frames [K,3,3],
     descriptors [K,D], valid [K])."""
     needs_normals = not cfg.descriptor.startswith("SHORT_SHOT")
-    if needs_normals:
-        nres = compute_normals(points, mask, cfg.normal_radius, cfg.normals_method)
-        normals = nres.normals
-    else:
+    if not needs_normals:
         normals = jnp.zeros_like(points)
+    elif cfg.normals_method == 2:
+        # serving fast path: skip the PCA pass (only the normal is consumed)
+        normals = compute_normals_fast(points, mask, cfg.normal_radius)
+    else:
+        normals = compute_normals(points, mask, cfg.normal_radius,
+                                  cfg.normals_method).normals
 
     kres = voxel_grid(points, mask, cfg.leaf_size, capacity=cfg.keypoint_capacity)
     kp, kp_mask = kres.centroids, kres.mask

@@ -65,6 +65,22 @@ def orient_away_from_centroid(points, normals, mask):
     return jnp.where(flip[:, None], -normals, normals)
 
 
+def compute_normals_fast(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    radius: float,
+) -> jnp.ndarray:
+    """Serving fast path for ConsistentNormalsMethod 2: only the oriented
+    normal (no curvature/eigenvalues), skipping the whole PCA pass -- one
+    [N, N] sweep instead of two.  Points with invalid LRFs (< 5 in-radius
+    neighbors; rare in dense clouds) fall back to +z instead of the PCA
+    normal (parity path: compute_normals)."""
+    lrf = shot_lrf(points, mask, points, mask, radius)
+    z = -lrf.frames[:, 2, :]
+    up = jnp.zeros_like(z).at[:, 2].set(1.0)
+    return jnp.where(lrf.valid[:, None], z, up)
+
+
 def compute_normals(
     points: jnp.ndarray,
     mask: jnp.ndarray,
