@@ -21,10 +21,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.lrf import shot_lrf
-from ..ops.neighbors import gather_radius_neighbors, knn
+from ..ops.neighbors import knn
 from ..ops.normals import compute_normals, compute_normals_fast
 from ..ops.shot import shot_descriptor_dense
-from ..ops.short_shot import short_shot_descriptor
+from ..ops.short_shot import short_shot_descriptor_dense
 from ..ops.voxel_grid import voxel_grid
 from ..ops import mean_shift as ms
 from .codebook import CastVotes, CodebookParams, cast_votes
@@ -74,10 +74,8 @@ def extract_features_jit(points: jnp.ndarray, mask: jnp.ndarray,
         res = shot_descriptor_dense(kp, lrf.frames, lrf.valid, points,
                                     normals, mask, cfg.radius)
     elif cfg.descriptor == "SHORT_SHOT":
-        nbr = gather_radius_neighbors(kp, points, mask, cfg.radius,
-                                      cfg.neighbor_capacity)
-        res = short_shot_descriptor(kp, lrf.frames, lrf.valid, points, nbr,
-                                    cfg.radius)
+        res = short_shot_descriptor_dense(kp, lrf.frames, lrf.valid, points,
+                                          mask, cfg.radius)
     else:
         raise ValueError(cfg.descriptor)
     valid = res.valid & jnp.all(jnp.isfinite(res.descriptors), axis=1)

@@ -86,13 +86,43 @@ def short_shot_descriptor(
     min_radius: float = 0.0,
     log_radius: bool = False,
 ) -> ShortShotResult:
-    dims = r_bins * e_bins * a_bins
-    dtype = points.dtype
-    K, M = nbr.idx.shape
-
     use = nbr.valid & (nbr.dist > 1e-15) & jnp.isfinite(nbr.dist)
     npos = points[nbr.idx]
     delta = npos - keypoints[:, None, :]
+    return _short_shot_core(keypoints, frames, frame_valid, delta, use,
+                            radius, r_bins, e_bins, a_bins, min_radius,
+                            log_radius)
+
+
+def short_shot_descriptor_dense(
+    keypoints: jnp.ndarray,    # [K, 3]
+    frames: jnp.ndarray,       # [K, 3, 3]
+    frame_valid: jnp.ndarray,  # [K]
+    points: jnp.ndarray,       # [N, 3]
+    mask: jnp.ndarray,         # [N]
+    radius: float,
+    r_bins: int = 2,
+    e_bins: int = 2,
+    a_bins: int = 8,
+    min_radius: float = 0.0,
+    log_radius: bool = False,
+) -> ShortShotResult:
+    """Gather-free SHORT_SHOT over dense [K, N] masked arrays (serving path;
+    same dense-over-gather rationale as ops/shot.shot_descriptor_dense)."""
+    from .neighbors import pairwise_sqdist
+    d2 = pairwise_sqdist(keypoints, points)
+    use = (d2 <= radius * radius) & (d2 > 1e-15) & mask[None, :]
+    delta = points[None, :, :] - keypoints[:, None, :]
+    return _short_shot_core(keypoints, frames, frame_valid, delta, use,
+                            radius, r_bins, e_bins, a_bins, min_radius,
+                            log_radius)
+
+
+def _short_shot_core(keypoints, frames, frame_valid, delta, use, radius,
+                     r_bins, e_bins, a_bins, min_radius, log_radius):
+    dims = r_bins * e_bins * a_bins
+    dtype = keypoints.dtype
+    K = delta.shape[0]
     x_l = jnp.einsum("kmd,kd->km", delta, frames[:, 0, :])
     y_l = jnp.einsum("kmd,kd->km", delta, frames[:, 1, :])
     z_l = jnp.einsum("kmd,kd->km", delta, frames[:, 2, :])
