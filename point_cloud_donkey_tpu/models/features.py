@@ -398,8 +398,9 @@ def extract_local_features(
     else:
         nrm_j = jnp.zeros((n, 3), jnp.float32)
 
-    # keypoints (VoxelGrid or VoxelGridCulling)
-    if kp_params.type not in ("VoxelGrid", "VoxelGridCulling"):
+    # keypoints (VoxelGrid / VoxelGridCulling / Harris3D / ISS3D / SIFT3D)
+    if kp_params.type not in ("VoxelGrid", "VoxelGridCulling", "Harris3D",
+                              "ISS3D", "SIFT3D"):
         raise ValueError(f"unsupported keypoint type {kp_params.type!r}")
     kp, kp_rgb = detect_keypoints(xyz, cloud_normals, rgb, kp_params,
                                   is_training=is_training, return_colors=True)

@@ -58,6 +58,18 @@ class KeypointParams:
     disable_filter_in_training: bool = True
     combine_filters: str = "RequireCombinedList"
     refine_position: bool = False
+    # Harris3D (keypoints_harris3d.cpp:7-11)
+    harris_threshold: float = 1e-4
+    harris_nonmax: bool = True
+    harris_refine: bool = True
+    # ISS3D (keypoints_iss3d.cpp:7-13)
+    iss_salient_radius: float = 0.1
+    iss_nonmax_radius: float = 0.05
+    iss_gamma21: float = 0.975
+    iss_gamma32: float = 0.975
+    iss_min_neighbors: int = 5
+    # Harris3D / SIFT3D support radius (both call it "Radius")
+    radius: float = 0.05
 
     @classmethod
     def from_config(cls, cfg: ComponentConfig) -> "KeypointParams":
@@ -75,7 +87,67 @@ class KeypointParams:
             disable_filter_in_training=cfg.get("DisableFilterInTraining", True),
             combine_filters=cfg.get("CombineFilters", "RequireCombinedList"),
             refine_position=cfg.get("RefineKeypointPosition", False),
+            harris_threshold=cfg.get("Threshold", 1e-4),
+            harris_nonmax=cfg.get("NonMaxSupression", True),
+            harris_refine=cfg.get("Refine", True),
+            iss_salient_radius=cfg.get("SalientRadius", 0.1),
+            iss_nonmax_radius=cfg.get("NonMaxRadius", 0.05),
+            iss_gamma21=cfg.get("Gamma21", 0.975),
+            iss_gamma32=cfg.get("Gamma32", 0.975),
+            iss_min_neighbors=cfg.get("MinNeighbors", 5),
+            radius=cfg.get("Radius", 0.05),
         )
+
+
+@functools.lru_cache(maxsize=None)
+def _detector_stage(n: int, kind: str, p1: float, p2: float, p3: float,
+                    p4: float, p5: int, flag1: bool, flag2: bool):
+    from ..ops.keypoint_detectors import harris3d, iss3d, sift3d
+
+    @jax.jit
+    def run(points, normals, intensity, mask):
+        if kind == "Harris3D":
+            return harris3d(points, normals, mask, p1, threshold=p2,
+                            nonmax=flag1, refine=flag2)
+        if kind == "ISS3D":
+            return iss3d(points, mask, p1, p2, p3, p4, p5)
+        return sift3d(points, intensity, mask, p1)
+    return run
+
+
+def _detector_keypoints(points: np.ndarray, normals: Optional[np.ndarray],
+                        params: KeypointParams) -> np.ndarray:
+    """Harris3D / ISS3D / SIFT3D dispatch (PCL-wrapper keypoint types)."""
+    from .features import pad_cloud
+    pts, mask = pad_cloud(points)
+    n = pts.shape[0]
+    pts_j, mask_j = jnp.asarray(pts), jnp.asarray(mask)
+    if params.type == "Harris3D" or params.type == "SIFT3D":
+        # both need normals/curvature at the support radius
+        nres = pca_normals(pts_j, mask_j, params.radius)
+        nrm = nres.normals if normals is None or len(normals) != len(points)             else jnp.asarray(np.concatenate(
+                [normals, np.zeros((n - len(points), 3), np.float32)]))
+        intensity = nres.curvature
+    else:
+        nrm = jnp.zeros((n, 3), jnp.float32)
+        intensity = jnp.zeros(n, jnp.float32)
+    if params.type == "Harris3D":
+        stage = _detector_stage(n, "Harris3D", float(params.radius),
+                                float(params.harris_threshold), 0.0, 0.0, 0,
+                                bool(params.harris_nonmax),
+                                bool(params.harris_refine))
+    elif params.type == "ISS3D":
+        stage = _detector_stage(n, "ISS3D", float(params.iss_salient_radius),
+                                float(params.iss_nonmax_radius),
+                                float(params.iss_gamma21),
+                                float(params.iss_gamma32),
+                                int(params.iss_min_neighbors), False, False)
+    else:
+        stage = _detector_stage(n, "SIFT3D", float(params.radius),
+                                0.0, 0.0, 0.0, 0, False, False)
+    res = stage(pts_j, nrm, intensity, mask_j)
+    keep = np.asarray(res.is_keypoint)
+    return np.asarray(res.positions)[keep]
 
 
 def detect_keypoints(
@@ -88,6 +160,12 @@ def detect_keypoints(
 ):
     """Returns keypoint positions [K, 3] (host-side, compact); with
     return_colors=True returns (positions, voxel-averaged colors or None)."""
+    if params.type in ("Harris3D", "ISS3D", "SIFT3D"):
+        kp = _detector_keypoints(points, normals, params)
+        if return_colors:
+            return kp, None
+        return kp
+
     geo = params.filter_method_geometry.lower()
     col = params.filter_method_color.lower()
     plain = (params.type == "VoxelGrid"
