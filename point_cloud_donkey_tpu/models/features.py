@@ -353,6 +353,13 @@ def compute_cloud_normals(
     if normals_in is not None and len(normals_in) == len(xyz):
         return np.asarray(normals_in, np.float32)
     pts, mask = pad_cloud(xyz)
+    if method == 3:
+        # EMST orientation runs on the host over PCA normals
+        from ..ops.normals import orient_emst
+        nres = _normals_stage(pts.shape[0], float(normal_radius), 0)(
+            jnp.asarray(pts), jnp.asarray(mask))
+        pca = np.asarray(nres.normals)[:len(xyz)]
+        return orient_emst(xyz, pca).astype(np.float32)
     nres = _normals_stage(pts.shape[0], float(normal_radius), int(method))(
         jnp.asarray(pts), jnp.asarray(mask))
     return np.asarray(nres.normals)[:len(xyz)]

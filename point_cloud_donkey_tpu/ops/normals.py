@@ -81,6 +81,58 @@ def compute_normals_fast(
     return jnp.where(lrf.valid[:, None], z, up)
 
 
+def orient_emst(points, normals, k: int = 10):
+    """ConsistentNormalsMethod 3: Hoppe-style orientation propagation over a
+    Euclidean MST (the reference does this via VCGlib,
+    implicit_shape_model.cpp:1016-1029; optional and off by default).
+    Host-side: Prim MST over the kNN graph with edge weight 1 - |n_i.n_j|,
+    BFS flip propagation from the highest point (oriented +z).  Inherently
+    sequential -- runs once per cloud on the host."""
+    import heapq
+    import numpy as np
+    pts = np.asarray(points)
+    nrm = np.asarray(normals).copy()
+    n = len(pts)
+    if n == 0:
+        return nrm
+    # kNN graph on the host (n is the true cloud size; no padding here)
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1) if n <= 4096 else None
+    if d2 is None:
+        # chunked for big clouds
+        idxs = np.empty((n, k + 1), np.int64)
+        for i0 in range(0, n, 1024):
+            dd = ((pts[i0:i0 + 1024, None, :] - pts[None, :, :]) ** 2).sum(-1)
+            idxs[i0:i0 + 1024] = np.argpartition(dd, k + 1, axis=1)[:, :k + 1]
+    else:
+        idxs = np.argpartition(d2, min(k + 1, n - 1), axis=1)[:, :k + 1]
+
+    root = int(np.argmax(pts[:, 2]))
+    if nrm[root, 2] < 0:
+        nrm[root] = -nrm[root]
+    visited = np.zeros(n, bool)
+    visited[root] = True
+    heap = []
+    for j in idxs[root]:
+        j = int(j)
+        if j != root:
+            w = 1.0 - abs(float(nrm[root] @ nrm[j]))
+            heapq.heappush(heap, (w, root, j))
+    while heap:
+        w, par, cur = heapq.heappop(heap)
+        if visited[cur]:
+            continue
+        visited[cur] = True
+        if nrm[par] @ nrm[cur] < 0:
+            nrm[cur] = -nrm[cur]
+        for j in idxs[cur]:
+            j = int(j)
+            if not visited[j]:
+                heapq.heappush(heap, (1.0 - abs(float(nrm[cur] @ nrm[j])),
+                                      cur, j))
+    # disconnected kNN components keep their PCA orientation
+    return nrm
+
+
 def compute_normals(
     points: jnp.ndarray,
     mask: jnp.ndarray,

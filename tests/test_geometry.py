@@ -101,3 +101,19 @@ def test_quat_weighted_average_identity(rng):
     avg = np.asarray(geo.quat_weighted_average(q, w))
     avg = avg * np.sign(avg[0])
     np.testing.assert_allclose(avg, [1, 0, 0, 0], atol=1e-5)
+
+
+def test_emst_normal_orientation():
+    # a plane with randomly flipped PCA normals: EMST propagation should make
+    # them globally consistent (ConsistentNormalsMethod 3)
+    from point_cloud_donkey_tpu.ops.normals import orient_emst
+    rng = np.random.default_rng(0)
+    pts = np.concatenate([rng.uniform(-1, 1, (600, 2)),
+                          np.zeros((600, 1))], axis=1).astype(np.float32)
+    nrm = np.tile(np.array([0., 0, 1], np.float32), (600, 1))
+    flip = rng.random(600) < 0.5
+    nrm[flip] *= -1.0
+    out = orient_emst(pts, nrm)
+    s = np.sign(out[:, 2])
+    assert np.all(s == s[0])        # all consistent
+    assert s[0] > 0                 # root oriented +z
