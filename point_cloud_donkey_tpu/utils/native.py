@@ -46,6 +46,10 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.pcd_parse_floats.argtypes = [
                 ctypes.c_char_p, ctypes.c_size_t,
                 ctypes.c_void_p, ctypes.c_size_t]
+            lib.pcd_lzf_compress.restype = ctypes.c_size_t
+            lib.pcd_lzf_compress.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.c_void_p, ctypes.c_size_t]
             _lib = lib
         except Exception:
             _lib = None
@@ -65,6 +69,22 @@ def lzf_decompress(data: bytes, expected_size: int) -> Optional[bytes]:
     if n != expected_size:
         return None
     return out.tobytes()
+
+
+def lzf_compress(data: bytes) -> Optional[bytes]:
+    """Native LZF compression (the reference's CGF dump path links liblzf);
+    None when unavailable or when the data is incompressible past the
+    allocated budget (callers store uncompressed then)."""
+    lib = _load()
+    if lib is None or len(data) == 0:
+        return None
+    budget = len(data) + len(data) // 16 + 64
+    out = np.empty(budget, np.uint8)
+    n = lib.pcd_lzf_compress(data, len(data),
+                             out.ctypes.data_as(ctypes.c_void_p), budget)
+    if n == 0:
+        return None
+    return out[:n].tobytes()
 
 
 def parse_floats(text: bytes, max_count: int) -> Optional[np.ndarray]:

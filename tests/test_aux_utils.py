@@ -142,3 +142,19 @@ def test_feature_cache(tmp_path, monkeypatch):
                                      ism._feature_cfg(),
                                      cfg.child("Keypoints"), 0.25, 1, None)
     assert np.allclose(fs1.descriptors, fs2.descriptors)
+
+
+def test_native_lzf_compress_roundtrip():
+    from point_cloud_donkey_tpu.utils.native import (lzf_compress,
+                                                     lzf_decompress)
+    data = (np.arange(30000, dtype=np.uint8) // 50).tobytes()
+    c = lzf_compress(data)
+    if c is None:   # native toolchain unavailable: graceful degradation
+        pytest.skip("native lib unavailable")
+    assert len(c) < len(data)
+    assert lzf_decompress(c, len(data)) == data
+    rng = np.random.default_rng(1)
+    rnd = rng.integers(0, 256, 5000, dtype=np.uint8).tobytes()
+    c2 = lzf_compress(rnd)
+    if c2 is not None:
+        assert lzf_decompress(c2, len(rnd)) == rnd
