@@ -158,3 +158,21 @@ def test_native_lzf_compress_roundtrip():
     c2 = lzf_compress(rnd)
     if c2 is not None:
         assert lzf_decompress(c2, len(rnd)) == rnd
+
+
+def test_reference_configs_parse():
+    """The reference's shipped configs load unchanged (schema parity)."""
+    import os
+    base = "/root/reference/config"
+    if not os.path.isdir(base):
+        pytest.skip("reference configs not mounted")
+    for f in ("qs_input_config.ism", "default.ism",
+              "default_config_kinect.ism"):
+        c = IsmConfig.load(os.path.join(base, f))
+        assert c.child("Features").type in ("SHOT", "CSHOT")
+        assert c.child("Voting").type == "MeanShift"
+        assert c.child("Features").get("Radius", 0.0) > 0
+    # quick-start: SHOT at radius 60 (mm-scale clouds), Dummy global
+    qs = IsmConfig.load(os.path.join(base, "qs_input_config.ism"))
+    assert qs.child("GlobalFeatures").type == "Dummy"
+    assert qs.child("Features").get("Radius", 0.0) == 60.0

@@ -133,3 +133,41 @@ def test_save_load_roundtrip(trained_model, tmp_path):
     m2, _ = ism2.detect(pts)
     assert m1[0].class_id == m2[0].class_id
     np.testing.assert_allclose(m1[0].weight, m2[0].weight, rtol=1e-5)
+
+
+def test_quickstart_scale_config(tmp_path):
+    """The reference quick-start runs at mm scale (SHOT radius 60): verify
+    the pipeline holds at large coordinate magnitudes (matmul-distance
+    conditioning) with the qs parameter ratios."""
+    import shapes
+    from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+    from point_cloud_donkey_tpu.utils.config import IsmConfig
+    from point_cloud_donkey_tpu.utils.io import PointCloud, save_pcd
+
+    cfg = IsmConfig.template()
+    cfg.child("Features").params.update(
+        {"Radius": 60.0, "ReferenceFrameRadius": 50.0})
+    cfg.child("Keypoints").params["LeafSize"] = 35.0
+    cfg.root.params["NormalRadius"] = 25.0
+    cfg.root.params["DistanceType"] = "ChiSquared"
+    cfg.child("Voting").params.update(
+        {"Bandwidth": 50.0, "SingleObjectMode": True,
+         "SingleObjectMaxType": "BandwidthVotes"})
+    rng = np.random.default_rng(7)
+    ism = ImplicitShapeModel(cfg)
+    makers = [shapes.ellipsoid, shapes.box, shapes.torus]
+    for c, mk in enumerate(makers):
+        pts = np.asarray(mk(rng, 1200), np.float32) * 100.0   # mm scale
+        f = str(tmp_path / f"qs{c}.pcd")
+        save_pcd(f, PointCloud(xyz=pts))
+        ism.add_training_model(f, c, c)
+    ism.train()
+    correct = 0
+    for c, mk in enumerate(makers):
+        pts = np.asarray(mk(rng, 1200), np.float32) * 100.0
+        f = str(tmp_path / f"qt{c}.pcd")
+        save_pcd(f, PointCloud(xyz=pts))
+        maxima, _ = ism.detect_file(f)
+        if maxima and maxima[0].class_id == c:
+            correct += 1
+    assert correct == 3
