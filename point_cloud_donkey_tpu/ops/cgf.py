@@ -17,7 +17,6 @@ the reference hard-requires the downloaded TF checkpoint).
 
 from __future__ import annotations
 
-import math
 from typing import List, Optional, Tuple
 
 import jax

@@ -35,7 +35,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .global_descriptors import vfh_descriptor, VFH_BINS, VFH_VP_BINS, VFH_LEN
+from .global_descriptors import vfh_descriptor, VFH_BINS
 
 SHAPE_DIST_BINS = 13
 SHAPE_DIST_OCTANTS = 8

@@ -5,7 +5,6 @@ All batched over fixed-capacity neighbor blocks, jit-friendly.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .fpfh import _pair_features

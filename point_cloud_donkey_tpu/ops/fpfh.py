@@ -17,10 +17,9 @@ masked gather + einsum.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
-from .neighbors import NeighborBlock, gather_radius_neighbors
+from .neighbors import gather_radius_neighbors
 from .shot import ShotResult, _histogram_from_slots
 
 FPFH_BINS = 11

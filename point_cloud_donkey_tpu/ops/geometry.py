@@ -18,7 +18,7 @@ All functions are mask-aware so they compose with padded clouds under jit.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -10,9 +10,8 @@ compacts it)."""
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from .eigh3 import eigh3x3

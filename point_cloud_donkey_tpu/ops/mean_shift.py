@@ -25,8 +25,7 @@ iteration is one masked [S, V] distance product; convergence is a batched
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ new padded cloud.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ dense masked tensor ops.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .eigh3 import eigh3x3
