@@ -63,19 +63,29 @@ def main(argv=None) -> int:
     step = batched_classify(mesh, cb_sharded, cfg, CodebookParams())
 
     # load + pad/subsample all clouds to a fixed shape
+    with_rgb = cfg.descriptor == "CSHOT"
     P = args.points
-    clouds, masks = [], []
+    clouds, masks, rgbs = [], [], []
     for fn in fl.filenames:
-        xyz = load_cloud(fn).remove_nan().xyz
+        pc = load_cloud(fn).remove_nan()
+        xyz, rgb = pc.xyz, pc.rgb
+        if with_rgb and rgb is None:
+            print(f"{fn}: CSHOT needs RGB data", file=sys.stderr)
+            return 1
         if len(xyz) > P:
             sel = np.random.default_rng(0).choice(len(xyz), P, replace=False)
             xyz = xyz[sel]
+            rgb = rgb[sel] if rgb is not None else None
         pad = np.full((P, 3), 1e9, np.float32)
         pad[:len(xyz)] = xyz
         clouds.append(pad)
         m = np.zeros(P, bool)
         m[:len(xyz)] = True
         masks.append(m)
+        if with_rgb:
+            rp = np.zeros((P, 3), np.float32)
+            rp[:len(xyz)] = rgb
+            rgbs.append(rp)
 
     B = args.batch * n_dev
     n = len(clouds)
@@ -84,16 +94,23 @@ def main(argv=None) -> int:
     masks += [masks[0]] * n_pad
     clouds_np = np.stack(clouds)
     masks_np = np.stack(masks)
+    if with_rgb:
+        rgbs += [rgbs[0]] * n_pad
+        rgb_np = np.stack(rgbs)
+
+    def call(i):
+        a = (jnp.asarray(clouds_np[i:i + B]), jnp.asarray(masks_np[i:i + B]))
+        if with_rgb:
+            a = a + (jnp.asarray(rgb_np[i:i + B]),)
+        return step(*a)
 
     # warm the jit cache so the reported throughput is steady-state
-    step(jnp.asarray(clouds_np[:B]), jnp.asarray(masks_np[:B])
-         ).block_until_ready()
+    call(0).block_until_ready()
 
     preds = []
     t0 = time.perf_counter()
     for i in range(0, len(clouds_np), B):
-        scores = step(jnp.asarray(clouds_np[i:i + B]),
-                      jnp.asarray(masks_np[i:i + B]))
+        scores = call(i)
         preds.extend(np.asarray(scores).argmax(axis=1).tolist())
     dt = time.perf_counter() - t0
     preds = preds[:n]

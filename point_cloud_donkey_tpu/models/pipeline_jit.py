@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..ops.lrf import shot_lrf
 from ..ops.neighbors import knn
 from ..ops.normals import compute_normals, compute_normals_fast
-from ..ops.shot import shot_descriptor_dense
+from ..ops.shot import cshot_descriptor_dense, shot_descriptor_dense
 from ..ops.short_shot import short_shot_descriptor_dense
 from ..ops.voxel_grid import voxel_grid
 from ..ops import mean_shift as ms
@@ -48,9 +48,9 @@ class JitPipelineConfig(NamedTuple):
 
 
 def extract_features_jit(points: jnp.ndarray, mask: jnp.ndarray,
-                         cfg: JitPipelineConfig):
+                         cfg: JitPipelineConfig, rgb: jnp.ndarray = None):
     """points [N,3], mask [N] -> (keypoints [K,3], frames [K,3,3],
-    descriptors [K,D], valid [K])."""
+    descriptors [K,D], valid [K]).  rgb [N,3] required for CSHOT."""
     needs_normals = not cfg.descriptor.startswith("SHORT_SHOT")
     if not needs_normals:
         normals = jnp.zeros_like(points)
@@ -61,8 +61,13 @@ def extract_features_jit(points: jnp.ndarray, mask: jnp.ndarray,
         normals = compute_normals(points, mask, cfg.normal_radius,
                                   cfg.normals_method).normals
 
-    kres = voxel_grid(points, mask, cfg.leaf_size, capacity=cfg.keypoint_capacity)
-    kp, kp_mask = kres.centroids, kres.mask
+    with_rgb = cfg.descriptor == "CSHOT"
+    kres = voxel_grid(points, mask, cfg.leaf_size,
+                      capacity=cfg.keypoint_capacity,
+                      features=rgb if with_rgb else None)
+    kp = kres.centroids[:, :3]
+    kp_rgb = kres.centroids[:, 3:6] if with_rgb else None
+    kp_mask = kres.mask
     # park invalid keypoints far away (mask-aware ops don't need it, but it
     # keeps any numerical noise out of radius windows)
     kp = jnp.where(kp_mask[:, None], kp, 1e9)
@@ -73,6 +78,9 @@ def extract_features_jit(points: jnp.ndarray, mask: jnp.ndarray,
         # access neighbor gather (ops/shot.shot_descriptor_dense)
         res = shot_descriptor_dense(kp, lrf.frames, lrf.valid, points,
                                     normals, mask, cfg.radius)
+    elif cfg.descriptor == "CSHOT":
+        res = cshot_descriptor_dense(kp, kp_rgb, lrf.frames, lrf.valid,
+                                     points, normals, rgb, mask, cfg.radius)
     elif cfg.descriptor == "SHORT_SHOT":
         res = short_shot_descriptor_dense(kp, lrf.frames, lrf.valid, points,
                                           mask, cfg.radius)
@@ -84,10 +92,11 @@ def extract_features_jit(points: jnp.ndarray, mask: jnp.ndarray,
 
 def classify_scores(points: jnp.ndarray, mask: jnp.ndarray, cb,
                     cfg: JitPipelineConfig,
-                    cb_params: CodebookParams) -> jnp.ndarray:
+                    cb_params: CodebookParams,
+                    rgb: jnp.ndarray = None) -> jnp.ndarray:
     """Forward step: per-class scores [num_classes] for one cloud via the
     centroid density query (single-object mode)."""
-    kp, frames, desc, valid = extract_features_jit(points, mask, cfg)
+    kp, frames, desc, valid = extract_features_jit(points, mask, cfg, rgb)
     votes = cast_votes(cb, desc, kp, frames, valid, cb_params, cfg.metric)
 
     m = mask.astype(points.dtype)

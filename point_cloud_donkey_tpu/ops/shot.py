@@ -290,17 +290,50 @@ def cshot_descriptor(
     distance between each neighbor's color and the keypoint color over 31
     slots per spatial volume; the spatial (radial/elevation/azimuth)
     interpolation weights apply to both channels."""
-    from .color import color_distance, rgb_to_cielab_normalized
-
-    K, M = nbr.idx.shape
-    dtype = points.dtype
+    from .color import rgb_to_cielab_normalized
 
     npos = points[nbr.idx]
     nnrm = normals[nbr.idx]
     use = nbr.valid & (nbr.dist > 1e-15) & jnp.isfinite(nbr.dist)
-    d = jnp.where(use, nbr.dist, radius * 0.5)
-
     delta = npos - keypoints[:, None, :]
+    lab_n = rgb_to_cielab_normalized(rgb)[nbr.idx]      # [K, M, 3]
+    return _cshot_core(keypoints, kp_rgb, frames, frame_valid, delta,
+                       nbr.dist, nnrm, lab_n, use, radius, min_neighbors)
+
+
+def cshot_descriptor_dense(
+    keypoints: jnp.ndarray,
+    kp_rgb: jnp.ndarray,
+    frames: jnp.ndarray,
+    frame_valid: jnp.ndarray,
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    rgb: jnp.ndarray,
+    mask: jnp.ndarray,
+    radius: float,
+    min_neighbors: int = 5,
+) -> ShotResult:
+    """Gather-free CSHOT over dense [K, N] masked arrays (serving path; see
+    shot_descriptor_dense for the distance-precision caveat)."""
+    from .color import rgb_to_cielab_normalized
+    from .neighbors import pairwise_sqdist
+    d2 = pairwise_sqdist(keypoints, points)
+    use = (d2 <= radius * radius) & (d2 > 1e-15) & mask[None, :]
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+    delta = points[None, :, :] - keypoints[:, None, :]
+    nnrm = jnp.broadcast_to(normals[None, :, :], delta.shape)
+    lab_n = jnp.broadcast_to(rgb_to_cielab_normalized(rgb)[None, :, :],
+                             delta.shape)
+    return _cshot_core(keypoints, kp_rgb, frames, frame_valid, delta, d,
+                       nnrm, lab_n, use, radius, min_neighbors)
+
+
+def _cshot_core(keypoints, kp_rgb, frames, frame_valid, delta, dist, nnrm,
+                lab_n, use, radius, min_neighbors):
+    from .color import color_distance, rgb_to_cielab_normalized
+    dtype = keypoints.dtype
+    d = jnp.where(use, dist, radius * 0.5)
+
     x_l = jnp.einsum("kmd,kd->km", delta, frames[:, 0, :])
     y_l = jnp.einsum("kmd,kd->km", delta, frames[:, 1, :])
     z_l = jnp.einsum("kmd,kd->km", delta, frames[:, 2, :])
@@ -314,7 +347,6 @@ def cshot_descriptor(
 
     # color channel coordinate (cshot.hpp: colorDistance * nr_color_bins)
     lab_kp = rgb_to_cielab_normalized(kp_rgb)           # [K, 3]
-    lab_n = rgb_to_cielab_normalized(rgb)[nbr.idx]      # [K, M, 3]
     cdist = color_distance(lab_kp[:, None, :], lab_n)
     bin_color = cdist * NR_COLOR_BINS
     step_c = jnp.floor(bin_color + 0.5).astype(jnp.int32)

@@ -71,11 +71,20 @@ def batched_classify(mesh: Mesh, cb: TrainedCodebook, cfg: JitPipelineConfig,
     """Build the jitted batched forward step: [B, N, 3] clouds (B sharded over
     'data') -> [B, num_classes] scores."""
     fwd = classify_scores_mean_shift if use_mean_shift else classify_scores
+    with_rgb = cfg.descriptor == "CSHOT"
+
+    data_sharding = NamedSharding(mesh, P("data"))
+    if with_rgb:
+        def step(points, mask, rgb):
+            return jax.vmap(lambda p, m, r: fwd(p, m, cb, cfg, cb_params,
+                                                rgb=r))(points, mask, rgb)
+        return jax.jit(step,
+                       in_shardings=(data_sharding,) * 3,
+                       out_shardings=data_sharding)
 
     def step(points, mask):
         return jax.vmap(lambda p, m: fwd(p, m, cb, cfg, cb_params))(points, mask)
 
-    data_sharding = NamedSharding(mesh, P("data"))
     return jax.jit(step,
                    in_shardings=(data_sharding, data_sharding),
                    out_shardings=data_sharding)

@@ -228,3 +228,29 @@ def test_native_loader_kernels(rng, tmp_path):
     nat = native.lzf_decompress(comp, len(payload))
     if nat is not None:
         assert nat == payload
+
+
+def test_cshot_dense_jit_pipeline():
+    """CSHOT (the reference's default.ism descriptor) through the dense
+    serving path, incl. the sharded batched_classify wrapper with RGB."""
+    import shapes
+    import jax
+    import jax.numpy as jnp
+    from point_cloud_donkey_tpu.models.pipeline_jit import (
+        JitPipelineConfig, extract_features_jit)
+    rng = np.random.default_rng(0)
+    pts = np.asarray(shapes.torus(rng, 1024), np.float32)
+    rgb = ((pts - pts.min(0)) / (pts.max(0) - pts.min(0))).astype(np.float32)
+    cfg = JitPipelineConfig(descriptor="CSHOT", radius=0.6,
+                            ref_frame_radius=0.5, leaf_size=0.35,
+                            normal_radius=0.25, keypoint_capacity=128,
+                            neighbor_capacity=512)
+    kp, fr, desc, valid = jax.jit(
+        lambda p, m, r: extract_features_jit(p, m, cfg, r))(
+        jnp.asarray(pts), jnp.ones(len(pts), bool), jnp.asarray(rgb))
+    assert desc.shape[1] == 1344
+    assert int(valid.sum()) > 5
+    assert bool(jnp.all(jnp.isfinite(desc)))
+    # color part is populated (slots 352+)
+    d = np.asarray(desc)[np.asarray(valid)]
+    assert d[:, 352:].sum() > 0
