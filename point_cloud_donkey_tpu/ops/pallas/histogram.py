@@ -1,5 +1,13 @@
 """Pallas TPU kernel: batched weighted histograms (segment accumulation).
 
+STATUS: retained as a documented experiment, NOT on the hot path.  On v5e
+this kernel measured 452ms/batch vs the XLA chunked-bin reduce at 364ms and
+the MXU outer-product formulation (ops/shot._histogram_outer) at 5.3ms for
+the SHOT workload -- the VPU masked-reduction strategy cannot compete with
+a systolic matmul for this op, and Mosaic constraints (128-divisible last
+dims, no sublane<->lane reshapes) prevented better layouts.  Kept for the
+record of what was tried; see the perf notes in _histogram_outer.
+
 The SHOT-family descriptors need, per keypoint row, a weighted histogram over
 a few hundred bins from ~5k (index, weight) pairs.  XLA lowers that scatter
 terribly on TPU (~800 ms/batch measured for a [8192, 5120] -> [8192, 352]
