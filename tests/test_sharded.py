@@ -1,0 +1,90 @@
+"""Multi-chip sharding equality tests on the virtual 8-CPU mesh.
+
+Asserts the sharded paths in parallel/sharded.py produce bit-identical
+outputs to the single-device pipeline (SURVEY.md section 2.4: DP over the
+'data' axis is the reference's per-cloud OpenMP loop; 'model' shards the
+codebook, the framework's weights).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from __graft_entry__ import _pipeline_cfg, _synthetic_codebook
+from point_cloud_donkey_tpu.models.codebook import CodebookParams
+from point_cloud_donkey_tpu.models.pipeline_jit import classify_scores
+from point_cloud_donkey_tpu.parallel.sharded import (
+    batched_classify, batched_training_step, make_mesh, shard_codebook)
+
+
+def _batch(B=8, N=256, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(size=(B, N, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=2, keepdims=True)
+    pts *= rng.uniform(0.5, 1.5, size=(B, 1, 3)).astype(np.float32)
+    mask = np.ones((B, N), bool)
+    mask[:, N - 16:] = False  # exercise padding masks
+    return pts, mask
+
+
+@pytest.mark.parametrize("n_data,n_model", [(8, 1), (4, 2)])
+def test_batched_classify_matches_single_device(n_data, n_model):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    cfg = _pipeline_cfg(keypoint_capacity=64, neighbor_capacity=128)
+    cb_host = _synthetic_codebook(num_codewords=64)
+    params = CodebookParams(knn_k=1)
+
+    pts, mask = _batch(B=n_data)
+    # single-device reference: the SAME vmapped program, unsharded (isolates
+    # the sharding as the only variable; vmap-vs-scalar fp reassociation is a
+    # separate, looser comparison below)
+    single_step = jax.jit(jax.vmap(
+        lambda p, m: classify_scores(p, m, cb_host, cfg, params)))
+    single = np.asarray(single_step(jnp.asarray(pts), jnp.asarray(mask)))
+
+    cb = shard_codebook(cb_host, mesh)
+    with mesh:
+        step = batched_classify(mesh, cb, cfg, params)
+        sharded = np.asarray(step(jnp.asarray(pts), jnp.asarray(mask)))
+
+    assert sharded.shape == single.shape
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_sharded_codebook_pads_to_model_axis():
+    mesh = make_mesh(n_data=4, n_model=2)
+    cb = _synthetic_codebook(num_codewords=63)  # not divisible by 2
+    scb = shard_codebook(cb, mesh)
+    assert scb.codewords.shape[0] == 64
+    # padding rows are masked out
+    assert not np.asarray(scb.cw_mask)[63:].any()
+
+
+def test_batched_training_step_matches_per_cloud():
+    mesh = make_mesh(n_data=8, n_model=1)
+    cfg = _pipeline_cfg(keypoint_capacity=64, neighbor_capacity=128)
+    pts, mask = _batch(B=8, seed=3)
+    labels = np.arange(8, dtype=np.int32) % cfg.num_classes
+
+    with mesh:
+        step = batched_training_step(mesh, cfg)
+        desc_sum, desc_cnt = step(jnp.asarray(pts), jnp.asarray(mask),
+                                  jnp.asarray(labels))
+    desc_sum, desc_cnt = np.asarray(desc_sum), np.asarray(desc_cnt)
+
+    # reference: unsharded jit of the same step
+    from point_cloud_donkey_tpu.models.pipeline_jit import extract_features_jit
+
+    ref_sum = np.zeros_like(desc_sum)
+    ref_cnt = np.zeros_like(desc_cnt)
+    for i in range(pts.shape[0]):
+        _, _, desc, valid = jax.jit(extract_features_jit, static_argnums=2)(
+            jnp.asarray(pts[i]), jnp.asarray(mask[i]), cfg)
+        d = np.where(np.asarray(valid)[:, None], np.asarray(desc), 0.0)
+        ref_sum[labels[i]] += d.sum(axis=0)
+        ref_cnt[labels[i]] += np.asarray(valid).sum()
+
+    np.testing.assert_allclose(desc_sum, ref_sum, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(desc_cnt, ref_cnt)
