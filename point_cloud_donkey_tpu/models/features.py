@@ -39,11 +39,15 @@ from .types import FeatureSet, make_feature_set
 
 def bucket_size(n: int, minimum: int = 256) -> int:
     """Round up to the next power of two (bounded below) so jit programs are
-    reused across clouds of similar size."""
+    reused across clouds of similar size.  Above 64k (scene scale) pow2
+    padding wastes up to 2x memory, so buckets switch to multiples of 32768
+    (still few distinct programs, far less padding)."""
     b = minimum
-    while b < n:
+    while b < n and b < 65536:
         b *= 2
-    return b
+    if n <= b:
+        return b
+    return -(-n // 32768) * 32768
 
 
 @dataclass(frozen=True)
@@ -200,7 +204,12 @@ def _keypoint_stage(n: int, leaf: float, capacity: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _descriptor_stage(n: int, k: int, fcfg: FeatureConfig):
+def _descriptor_fn(n: int, fcfg: FeatureConfig):
+    """The raw (unjitted) descriptor-stage body over a cloud of n points:
+    run(keypoints, kp_mask, points, mask, normals, rgb, kp_rgb, radius,
+    frame_radius) -> (descriptors, valid, frames, frame_valid).  Shared by
+    the single-block jit (_descriptor_stage) and the scene-tiled lax.map
+    (_descriptor_stage_tiled), where `points` is a window slab."""
     min_radius = 0.0
     if fcfg.type.startswith("SHORT_"):
         if fcfg.use_min_radius:
@@ -222,7 +231,6 @@ def _descriptor_stage(n: int, k: int, fcfg: FeatureConfig):
 
     cap = min(fcfg.neighbor_capacity, n)
 
-    @jax.jit
     def run(keypoints, kp_mask, points, mask, normals, rgb, kp_rgb,
             radius, frame_radius):
         rf_type = fcfg.ref_frame_type
@@ -307,6 +315,17 @@ def _descriptor_stage(n: int, k: int, fcfg: FeatureConfig):
             intensity = jnp.mean(rgb, axis=1)  # PCL PointXYZI conversion
             grads = intensity_gradients(points, normals, intensity, mask, radius)
             res = rift_descriptor(keypoints, kp_mask, points, grads, nbr, radius)
+        elif fcfg.type == "ESF_LOCAL":
+            # ESF over each keypoint's radius neighborhood
+            # (features_esf_local.cpp:36-83: flann radius search -> PCL ESF
+            # per sub-cloud); here the gathered neighbor block IS the
+            # sub-cloud and ESF is vmapped over keypoints
+            from ..ops.global_descriptors import esf_descriptor
+            from ..ops.shot import ShotResult
+            npos = points[nbr.idx]
+            desc = jax.vmap(lambda p, m: esf_descriptor(p, m))(npos, nbr.valid)
+            cnt = jnp.sum(nbr.valid, axis=1)
+            res = ShotResult(descriptors=desc, valid=kp_mask & (cnt >= 3))
         elif fcfg.type == "CGF":
             from ..ops.cgf import cgf_descriptor
             # the reference computes the CGF LRF with radius = 0.75 * support
@@ -320,6 +339,36 @@ def _descriptor_stage(n: int, k: int, fcfg: FeatureConfig):
         else:
             raise ValueError(f"unsupported descriptor type {fcfg.type!r}")
         return res.descriptors, res.valid, lrf.frames, lrf.valid
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _descriptor_stage(n: int, k: int, fcfg: FeatureConfig):
+    return jax.jit(_descriptor_fn(n, fcfg))
+
+
+@functools.lru_cache(maxsize=None)
+def _descriptor_stage_tiled(window: int, k_chunk: int, n_chunks: int,
+                            fcfg: FeatureConfig):
+    """Scene-scale descriptor stage: keypoints (z-sorted, padded to
+    n_chunks*k_chunk) processed in chunks, each against a contiguous window
+    of the z-sorted cloud (ops/tiled.py).  Same math as _descriptor_stage,
+    memory O(k_chunk * window)."""
+    from ..ops.tiled import _map_chunks
+    inner_fn = _descriptor_fn(window, fcfg)
+
+    @jax.jit
+    def run(keypoints, kp_mask, points, mask, normals, rgb, kp_rgb,
+            radius, frame_radius, starts):
+        def inner(qs, ps, s):
+            kp, kpm, kprgb = qs
+            p, m, nrm, rg = ps
+            return inner_fn(kp, kpm, p, m, nrm, rg, kprgb,
+                            radius, frame_radius)
+
+        return _map_chunks(inner, (keypoints, kp_mask, kp_rgb),
+                           (points, mask, normals, rgb),
+                           starts, k_chunk, window, n_chunks)
     return run
 
 
@@ -352,6 +401,9 @@ def compute_cloud_normals(
     consistent-orientation method."""
     if normals_in is not None and len(normals_in) == len(xyz):
         return np.asarray(normals_in, np.float32)
+    from ..ops.tiled import SCENE_TILE_THRESHOLD
+    if len(xyz) > SCENE_TILE_THRESHOLD:
+        return _compute_normals_scene(xyz, normal_radius, method)
     pts, mask = pad_cloud(xyz)
     if method == 3:
         # EMST orientation runs on the host over PCA normals
@@ -363,6 +415,31 @@ def compute_cloud_normals(
     nres = _normals_stage(pts.shape[0], float(normal_radius), int(method))(
         jnp.asarray(pts), jnp.asarray(mask))
     return np.asarray(nres.normals)[:len(xyz)]
+
+
+def _compute_normals_scene(xyz: np.ndarray, normal_radius: float,
+                           method: int) -> np.ndarray:
+    """Scene-scale normals: sort along the longest axis, window-tiled
+    moments/LRFs (ops/tiled.py), un-permute.  Memory O(chunk * window)
+    instead of O(N^2); exact up to fp summation order."""
+    from ..ops.tiled import (NORMALS_CHUNK, plan_tiles, sort_key_axis,
+                             tiled_compute_normals)
+    n_real = len(xyz)
+    axis = sort_key_axis(xyz)
+    order = np.argsort(xyz[:, axis], kind="stable")
+    xyz_s = xyz[order]
+    pts, mask = pad_cloud(xyz_s)  # padding at 1e9 keeps ascending order
+    key = pts[:, axis]
+    plan = plan_tiles(key, mask, key, normal_radius, NORMALS_CHUNK)
+    m = 0 if method == 3 else method  # EMST orients PCA normals on the host
+    res = tiled_compute_normals(pts, mask, plan, normal_radius, m)
+    nrm_s = np.asarray(res.normals)[:n_real]
+    if method == 3:
+        from ..ops.normals import orient_emst
+        nrm_s = orient_emst(xyz_s, nrm_s).astype(np.float32)
+    out = np.empty_like(nrm_s)
+    out[order] = nrm_s
+    return out
 
 
 def extract_local_features(
@@ -382,6 +459,20 @@ def extract_local_features(
         # NARF ignores the configured keypoints and detects its own from
         # range-image borders (features_narf.cpp:70-81)
         return _narf_features(xyz, fcfg)
+
+    if fcfg.type == "GASD":
+        # GASD used as a *local* feature computes over the whole cloud and is
+        # assigned the first valid keypoint's position/LRF (features.cpp:94-115
+        # with features->size()==1; factory features_factory.h:104-105)
+        return _gasd_local_features(xyz, rgb, fcfg, keypoint_cfg,
+                                    normal_radius, consistent_normals_method,
+                                    is_training)
+
+    from ..ops.tiled import SCENE_TILE_THRESHOLD
+    if len(xyz) > SCENE_TILE_THRESHOLD:
+        return _extract_local_features_scene(
+            xyz, normals, fcfg, keypoint_cfg, normal_radius,
+            consistent_normals_method, rgb, is_training)
 
     pts, mask = pad_cloud(xyz)
     n = pts.shape[0]
@@ -443,6 +534,169 @@ def extract_local_features(
     frames = np.asarray(frames)
 
     # NaN-descriptor removal (removeNaNFeatures, implicit_shape_model.cpp:1276-1308)
+    finite = np.all(np.isfinite(desc), axis=1)
+    keep = d_valid & finite & kp_mask
+
+    centroid = xyz.mean(axis=0)
+    center_dist = np.linalg.norm(kp_pad - centroid, axis=1)
+
+    fs = make_feature_set(desc, kp_pad, frames, keep, center_dist)
+    return fs.compact()
+
+
+def _gasd_local_features(
+    xyz: np.ndarray,
+    rgb: Optional[np.ndarray],
+    fcfg: FeatureConfig,
+    keypoint_cfg: ComponentConfig,
+    normal_radius: float,
+    cn_method: int,
+    is_training: bool,
+) -> FeatureSet:
+    """GASD configured as the local descriptor: one whole-cloud GASD-984/512
+    feature carrying the first valid keypoint's position and LRF
+    (features_gasd.cpp:34-100, features.cpp:98-115)."""
+    from .keypoints import KeypointParams, detect_keypoints
+
+    kp_params = KeypointParams.from_config(keypoint_cfg)
+    kp = detect_keypoints(xyz, None, rgb, kp_params, is_training=is_training)
+    pts, mask = pad_cloud(xyz)
+    n = pts.shape[0]
+    k_bucket = bucket_size(max(len(kp), 1), minimum=64)
+    kp_pad = np.full((k_bucket, 3), 1e9, np.float32)
+    kp_pad[:len(kp)] = kp
+    kp_mask = np.zeros(k_bucket, bool)
+    kp_mask[:len(kp)] = True
+    lrf = _lrf_stage(n, k_bucket, float(fcfg.ref_frame_radius))(
+        jnp.asarray(kp_pad), jnp.asarray(kp_mask),
+        jnp.asarray(pts), jnp.asarray(mask))
+    frames = np.asarray(lrf.frames)
+    f_valid = np.asarray(lrf.valid)
+
+    has_rgb = fcfg.gasd_with_color
+    if has_rgb and rgb is None:
+        raise ValueError("GASD with color needs RGB data (set GasdWithColor false)")
+    rgb_pad = np.zeros((n, 3), np.float32)
+    if rgb is not None:
+        rgb_pad[:len(xyz)] = rgb
+    run = _whole_cloud_stage(n, replace(fcfg, type="GASD"))
+    desc = np.asarray(run(jnp.asarray(pts), jnp.asarray(mask),
+                          jnp.zeros((n, 3), jnp.float32),
+                          jnp.asarray(rgb_pad) if has_rgb else None,
+                          jnp.asarray(fcfg.radius, jnp.float32)))[None, :]
+
+    first = int(np.argmax(f_valid & kp_mask)) if (f_valid & kp_mask).any() else 0
+    valid = np.asarray([np.all(np.isfinite(desc))])
+    centroid = xyz.mean(axis=0)
+    cd = np.linalg.norm(kp_pad[first] - centroid, keepdims=True)
+    return make_feature_set(desc, kp_pad[first][None], frames[first][None],
+                            valid, cd.astype(np.float32)).compact()
+
+
+@functools.lru_cache(maxsize=None)
+def _lrf_stage(n: int, k: int, frame_radius: float):
+    @jax.jit
+    def run(keypoints, kp_mask, points, mask):
+        return shot_lrf(keypoints, kp_mask, points, mask, frame_radius)
+    return run
+
+
+def _extract_local_features_scene(
+    xyz: np.ndarray,
+    normals: Optional[np.ndarray],
+    fcfg: FeatureConfig,
+    keypoint_cfg: ComponentConfig,
+    normal_radius: float,
+    consistent_normals_method: int,
+    rgb: Optional[np.ndarray],
+    is_training: bool,
+) -> FeatureSet:
+    """Scene-scale local feature pipeline (reference detection scenes are
+    1e5-1e6-point RGB-D clouds, implicit_shape_model.cpp:739-821): the cloud
+    and keypoints are sorted along the longest axis and every [K, N] stage
+    runs window-tiled (ops/tiled.py), bounding memory to O(chunk * window)."""
+    from ..ops.tiled import KEYPOINT_CHUNK, plan_tiles, sort_key_axis
+    from .keypoints import KeypointParams, detect_keypoints
+
+    axis = sort_key_axis(xyz)
+    order = np.argsort(xyz[:, axis], kind="stable")
+    xyz_s = xyz[order]
+    normals_s = None if normals is None else np.asarray(normals)[order]
+    rgb_s = None if rgb is None else np.asarray(rgb)[order]
+
+    kp_params = KeypointParams.from_config(keypoint_cfg)
+    needs_culling_normals = (
+        kp_params.type == "VoxelGridCulling"
+        and not (is_training and kp_params.disable_filter_in_training)
+        and kp_params.filter_method_geometry.lower() != "none")
+
+    cloud_normals = None
+    if fcfg.needs_normals() or needs_culling_normals:
+        cloud_normals = compute_cloud_normals(
+            xyz_s, normals_s, normal_radius, consistent_normals_method)
+
+    if kp_params.type not in ("VoxelGrid", "VoxelGridCulling"):
+        raise ValueError(
+            f"keypoint type {kp_params.type!r} is not supported at scene "
+            f"scale (> {len(xyz)} points); use VoxelGrid/VoxelGridCulling")
+    kp, kp_rgb = detect_keypoints(xyz_s, cloud_normals, rgb_s, kp_params,
+                                  is_training=is_training, return_colors=True)
+
+    # sort keypoints along the same axis so chunks get tight windows
+    kp_order = np.argsort(kp[:, axis], kind="stable")
+    kp = kp[kp_order]
+    if kp_rgb is not None:
+        kp_rgb = kp_rgb[kp_order]
+
+    pts, mask = pad_cloud(xyz_s)
+    n = pts.shape[0]
+    k_chunk = KEYPOINT_CHUNK
+    n_chunks = max(1, -(-len(kp) // k_chunk))
+    k_bucket = n_chunks * k_chunk
+    kp_pad = np.full((k_bucket, 3), 1e9, np.float32)
+    kp_pad[:len(kp)] = kp
+    kp_mask = np.zeros(k_bucket, bool)
+    kp_mask[:len(kp)] = True
+
+    # FPFH/RIFT compute per-neighbor quantities that need the neighbors'
+    # own neighborhoods -> window margin doubles
+    margin = 2.0 if fcfg.type in ("FPFH", "RIFT") else 1.0
+    r_plan = margin * max(fcfg.radius, fcfg.ref_frame_radius)
+    plan = plan_tiles(kp_pad[:, axis], kp_mask, pts[:, axis], r_plan,
+                      k_chunk, min_window=4096)
+
+    if fcfg.needs_normals() and cloud_normals is not None:
+        nrm = np.zeros((n, 3), np.float32)
+        nrm[:len(xyz_s)] = cloud_normals
+        nrm_j = jnp.asarray(nrm)
+    else:
+        nrm_j = jnp.zeros((n, 3), jnp.float32)
+
+    if fcfg.needs_rgb():
+        if rgb_s is None:
+            raise ValueError(f"{fcfg.type} needs RGB data but the cloud has none")
+        rgb_pad = np.zeros((n, 3), np.float32)
+        rgb_pad[:len(xyz_s)] = rgb_s
+        kp_rgb_pad = np.zeros((k_bucket, 3), np.float32)
+        if kp_rgb is not None:
+            kp_rgb_pad[:len(kp)] = kp_rgb
+        rgb_j = jnp.asarray(rgb_pad)
+        kp_rgb_j = jnp.asarray(kp_rgb_pad)
+    else:
+        rgb_j = jnp.zeros((n, 3), jnp.float32)
+        kp_rgb_j = jnp.zeros((k_bucket, 3), jnp.float32)
+
+    run = _descriptor_stage_tiled(plan.window, k_chunk, plan.n_chunks, fcfg)
+    desc, d_valid, frames, f_valid = run(
+        jnp.asarray(kp_pad), jnp.asarray(kp_mask), jnp.asarray(pts),
+        jnp.asarray(mask), nrm_j, rgb_j, kp_rgb_j,
+        jnp.asarray(fcfg.radius, jnp.float32),
+        jnp.asarray(fcfg.ref_frame_radius, jnp.float32), plan.starts)
+
+    desc = np.asarray(desc)
+    d_valid = np.asarray(d_valid)
+    frames = np.asarray(frames)
+
     finite = np.all(np.isfinite(desc), axis=1)
     keep = d_valid & finite & kp_mask
 

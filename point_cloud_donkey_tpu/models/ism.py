@@ -110,19 +110,54 @@ def preprocess_cloud(cloud: PointCloud, root: ComponentConfig) -> PointCloud:
     if not (use_sor or use_ror or use_mls or use_voxel or z_cut > 0):
         return cloud
 
-    pts, mask = pad_cloud(cloud.xyz)
-    pts_j = jnp.asarray(pts)
-    mask_j = jnp.asarray(mask)
-    if use_sor:
-        mask_j = pp.statistical_outlier_removal(
-            pts_j, mask_j, root.get("OutlierRemovalMeanK", 20),
-            root.get("OutlierRemovalStddevMul", 2.0))
-    if use_ror:
-        mask_j = pp.radius_outlier_removal(
-            pts_j, mask_j, root.get("OutlierRemovalRadius", 0.005),
-            root.get("OutlierRemovalMinNeighbors", 10))
-    if use_mls:
-        pts_j = pp.mls_smooth(pts_j, mask_j, root.get("SmoothingRadius", 0.01))
+    from ..ops.tiled import SCENE_TILE_THRESHOLD
+    scene_scale = len(cloud.xyz) > SCENE_TILE_THRESHOLD
+    if scene_scale and (use_sor or use_ror or use_mls):
+        # scene-scale filters: sort along the longest axis once and run the
+        # windowed variants (ops/tiled.py); xyz order changes, so per-point
+        # attributes are re-ordered alongside
+        from ..ops import tiled as tl
+        order = np.argsort(cloud.xyz[:, tl.sort_key_axis(cloud.xyz)],
+                           kind="stable")
+        cloud = cloud.select(order)
+        pts, mask = pad_cloud(cloud.xyz)
+        axis_key = pts[:, tl.sort_key_axis(cloud.xyz)]
+        pts_j = jnp.asarray(pts)
+        mask_j = jnp.asarray(mask)
+        if use_sor:
+            mean_k = root.get("OutlierRemovalMeanK", 20)
+            # kNN has no fixed radius; the 4096-point slab is a dense
+            # superset of the ~20 nearest in any non-degenerate scene
+            # (documented approximation at scene scale)
+            plan = tl.plan_tiles(axis_key, mask, axis_key, 0.0,
+                                 tl.NORMALS_CHUNK, min_window=4096)
+            mask_j = tl.tiled_statistical_outlier_removal(
+                pts_j, mask_j, plan, mean_k,
+                root.get("OutlierRemovalStddevMul", 2.0))
+        if use_ror:
+            r = root.get("OutlierRemovalRadius", 0.005)
+            plan = tl.plan_tiles(axis_key, mask, axis_key, r, tl.NORMALS_CHUNK)
+            mask_j = tl.tiled_radius_outlier_removal(
+                pts_j, mask_j, plan, r,
+                root.get("OutlierRemovalMinNeighbors", 10))
+        if use_mls:
+            r = root.get("SmoothingRadius", 0.01)
+            plan = tl.plan_tiles(axis_key, mask, axis_key, r, tl.NORMALS_CHUNK)
+            pts_j = tl.tiled_mls_smooth(pts_j, mask_j, plan, r)
+    else:
+        pts, mask = pad_cloud(cloud.xyz)
+        pts_j = jnp.asarray(pts)
+        mask_j = jnp.asarray(mask)
+        if use_sor:
+            mask_j = pp.statistical_outlier_removal(
+                pts_j, mask_j, root.get("OutlierRemovalMeanK", 20),
+                root.get("OutlierRemovalStddevMul", 2.0))
+        if use_ror:
+            mask_j = pp.radius_outlier_removal(
+                pts_j, mask_j, root.get("OutlierRemovalRadius", 0.005),
+                root.get("OutlierRemovalMinNeighbors", 10))
+        if use_mls:
+            pts_j = pp.mls_smooth(pts_j, mask_j, root.get("SmoothingRadius", 0.01))
     if z_cut > 0:
         mask_j = pp.z_cutoff(pts_j, mask_j, z_cut)
 

@@ -150,6 +150,32 @@ def _detector_keypoints(points: np.ndarray, normals: Optional[np.ndarray],
     return np.asarray(res.positions)[keep]
 
 
+def _tiled_keypoint_moments(kp: np.ndarray, points: np.ndarray, leaf: float):
+    """Scene-scale keypoint curvature moments: sort keypoints and cloud along
+    the longest axis and run windowed radius_covariance (ops/tiled.py);
+    results un-permuted back to keypoint order."""
+    from ..ops.tiled import (KEYPOINT_CHUNK, plan_tiles, sort_key_axis,
+                             tiled_radius_moments)
+    axis = sort_key_axis(points)
+    p_order = np.argsort(points[:, axis], kind="stable")
+    pts_s = np.ascontiguousarray(points[p_order], dtype=np.float32)
+    k_order = np.argsort(kp[:, axis], kind="stable")
+    n_chunks = max(1, -(-len(kp) // KEYPOINT_CHUNK))
+    k_bucket = n_chunks * KEYPOINT_CHUNK
+    kp_pad = np.full((k_bucket, 3), 1e9, np.float32)
+    kp_pad[:len(kp)] = kp[k_order]
+    kp_mask = np.zeros(k_bucket, bool)
+    kp_mask[:len(kp)] = True
+    plan = plan_tiles(kp_pad[:, axis], kp_mask, pts_s[:, axis], leaf,
+                      KEYPOINT_CHUNK)
+    mom = tiled_radius_moments(jnp.asarray(kp_pad), jnp.asarray(pts_s),
+                               jnp.ones(len(pts_s), bool), plan, leaf,
+                               weighting="uniform", center="mean")
+    inv = np.argsort(k_order, kind="stable")
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x)[:len(kp)][inv]), mom)
+
+
 def detect_keypoints(
     points: np.ndarray,            # [N, 3] clean points
     normals: Optional[np.ndarray],  # [N, 3] oriented normals (or None)
@@ -207,17 +233,27 @@ def detect_keypoints(
     geo_scores = np.zeros(len(kp), np.float32)
     color_scores = np.zeros(len(kp), np.float32)
 
+    from ..ops.tiled import SCENE_TILE_THRESHOLD
+    scene_scale = n > SCENE_TILE_THRESHOLD
+    if scene_scale and (geo not in ("none", "curvature") or col != "none"):
+        raise ValueError(
+            f"keypoint culling method geometry={geo!r}/color={col!r} is not "
+            f"supported at scene scale ({n} points); use curvature or none")
+
     if geo == "curvature":
         # recompute curvature at keypoints with radius = leaf on the cloud
         # (culling.cpp:156-195)
-        from ..ops.neighbors import radius_covariance
         from ..ops.eigh3 import eigvals3x3
-        mom = radius_covariance(kpj, pts, mask, leaf, weighting="uniform",
-                                center="mean")
+        if scene_scale:
+            mom = _tiled_keypoint_moments(kp, points, leaf)
+        else:
+            from ..ops.neighbors import radius_covariance
+            mom = radius_covariance(kpj, pts, mask, leaf, weighting="uniform",
+                                    center="mean")
         vals = eigvals3x3(mom.cov)
         total = jnp.sum(vals, axis=1)
         curv = jnp.where(total > 0, vals[:, 0] / jnp.maximum(total, 1e-30), 0.0)
-        geo_scores = np.asarray(curv)
+        geo_scores = np.asarray(curv)[:len(kp)]
     elif geo in ("gaussian", "kpq"):
         if normals is None:
             raise ValueError(f"{geo} keypoint culling needs normals")

@@ -34,21 +34,34 @@ class NormalsResult(NamedTuple):
     valid: jnp.ndarray        # [N] finite-normal flag (NaN-normal analogue)
 
 
+def pca_normals_at(
+    queries: jnp.ndarray,  # [Q, 3] where to estimate normals
+    q_mask: jnp.ndarray,   # [Q]
+    points: jnp.ndarray,   # [N, 3] supporting surface
+    mask: jnp.ndarray,     # [N]
+    radius: float,
+    min_neighbors: int = 3,
+) -> NormalsResult:
+    """PCA normals at arbitrary query positions (the tiled scene path calls
+    this with a windowed slab of the sorted cloud as `points`)."""
+    mom = radius_covariance(queries, points, mask, radius,
+                            weighting="uniform", center="mean")
+    vals, vecs = eigh3x3(mom.cov)
+    normals = vecs[:, :, 0]  # smallest eigenvalue
+    total = jnp.sum(vals, axis=1)
+    curvature = jnp.where(total > 0, vals[:, 0] / jnp.maximum(total, 1e-30), 0.0)
+    valid = q_mask & (mom.count >= min_neighbors)
+    return NormalsResult(normals=normals, curvature=curvature,
+                         eigenvalues=vals, valid=valid)
+
+
 def pca_normals(
     points: jnp.ndarray,   # [N, 3]
     mask: jnp.ndarray,     # [N]
     radius: float,
     min_neighbors: int = 3,
 ) -> NormalsResult:
-    mom = radius_covariance(points, points, mask, radius,
-                            weighting="uniform", center="mean")
-    vals, vecs = eigh3x3(mom.cov)
-    normals = vecs[:, :, 0]  # smallest eigenvalue
-    total = jnp.sum(vals, axis=1)
-    curvature = jnp.where(total > 0, vals[:, 0] / jnp.maximum(total, 1e-30), 0.0)
-    valid = mask & (mom.count >= min_neighbors)
-    return NormalsResult(normals=normals, curvature=curvature,
-                         eigenvalues=vals, valid=valid)
+    return pca_normals_at(points, mask, points, mask, radius, min_neighbors)
 
 
 def orient_towards_viewpoint(points, normals, viewpoint=(0.0, 0.0, 0.0)):
@@ -57,9 +70,10 @@ def orient_towards_viewpoint(points, normals, viewpoint=(0.0, 0.0, 0.0)):
     return jnp.where(flip[:, None], -normals, normals)
 
 
-def orient_away_from_centroid(points, normals, mask):
-    m = mask.astype(points.dtype)
-    centroid = jnp.sum(points * m[:, None], axis=0) / jnp.maximum(m.sum(), 1.0)
+def orient_away_from_centroid(points, normals, mask, centroid=None):
+    if centroid is None:
+        m = mask.astype(points.dtype)
+        centroid = jnp.sum(points * m[:, None], axis=0) / jnp.maximum(m.sum(), 1.0)
     flip = jnp.sum((points - centroid) * normals, axis=1) < 0
     return jnp.where(flip[:, None], -normals, normals)
 
@@ -132,6 +146,34 @@ def orient_emst(points, normals, k: int = 10):
     return nrm
 
 
+def compute_normals_at(
+    queries: jnp.ndarray,
+    q_mask: jnp.ndarray,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    radius: float,
+    method: int = 2,
+    centroid=None,  # cloud centroid for method 1 (global, pass in when tiled)
+) -> NormalsResult:
+    """Normal pipeline for ConsistentNormalsMethod 0/1/2 at query positions.
+    `points` may be a windowed slab of the cloud (tiled scene path); method 1
+    then needs the full-cloud centroid passed explicitly."""
+    pca = pca_normals_at(queries, q_mask, points, mask, radius)
+    if method == 0:
+        normals = orient_towards_viewpoint(queries, pca.normals)
+    elif method == 1:
+        normals = orient_away_from_centroid(queries, pca.normals, mask,
+                                            centroid=centroid)
+    elif method == 2:
+        lrf = shot_lrf(queries, q_mask, points, mask, radius)
+        z = lrf.frames[:, 2, :]
+        normals = jnp.where(lrf.valid[:, None], -z, pca.normals)
+    else:
+        normals = pca.normals
+    return NormalsResult(normals=normals, curvature=pca.curvature,
+                         eigenvalues=pca.eigenvalues, valid=pca.valid)
+
+
 def compute_normals(
     points: jnp.ndarray,
     mask: jnp.ndarray,
@@ -139,16 +181,4 @@ def compute_normals(
     method: int = 2,
 ) -> NormalsResult:
     """Full normal pipeline matching ConsistentNormalsMethod 0/1/2."""
-    pca = pca_normals(points, mask, radius)
-    if method == 0:
-        normals = orient_towards_viewpoint(points, pca.normals)
-    elif method == 1:
-        normals = orient_away_from_centroid(points, pca.normals, mask)
-    elif method == 2:
-        lrf = shot_lrf(points, mask, points, mask, radius)
-        z = lrf.frames[:, 2, :]
-        normals = jnp.where(lrf.valid[:, None], -z, pca.normals)
-    else:
-        normals = pca.normals
-    return NormalsResult(normals=normals, curvature=pca.curvature,
-                         eigenvalues=pca.eigenvalues, valid=pca.valid)
+    return compute_normals_at(points, mask, points, mask, radius, method)

@@ -259,3 +259,39 @@ def test_narf_on_depth_scene():
     # keypoints sit near the box edge depth range
     z = fs.positions[:, 2]
     assert np.all((z > 1.5) & (z < 2.7))
+
+
+def test_esf_local_descriptor(cloud):
+    """ESF_LOCAL: one 640-D ESF per keypoint neighborhood
+    (features_esf_local.cpp:36-83)."""
+    pts, rgb = cloud
+    fcfg = FeatureConfig(type="ESF_LOCAL", radius=0.6, ref_frame_radius=0.5,
+                         neighbor_capacity=256)
+    fs = extract_local_features(pts, None, fcfg, KP_CFG, 0.25, 1)
+    assert fs.descriptors.shape[1] == 640 == fcfg.descriptor_dim()
+    assert fs.descriptors.shape[0] > 10
+    assert np.all(np.isfinite(fs.descriptors))
+    # each row is a normalized histogram
+    np.testing.assert_allclose(fs.descriptors.sum(1), 1.0, rtol=1e-3)
+    # neighborhoods differ -> descriptors differ
+    assert np.std(fs.descriptors, axis=0).max() > 1e-4
+
+
+def test_gasd_local_descriptor(cloud):
+    """GASD as the *local* feature type: one whole-cloud descriptor assigned
+    the first valid keypoint's position/LRF (features.cpp:98-115,
+    features_factory.h:104-105)."""
+    pts, rgb = cloud
+    fcfg = FeatureConfig(type="GASD", gasd_with_color=True)
+    fs = extract_local_features(pts, None, fcfg, KP_CFG, 0.25, 1, rgb=rgb)
+    assert fs.descriptors.shape == (1, 984)
+    assert np.all(np.isfinite(fs.descriptors))
+    # position is a keypoint of the cloud, not the origin
+    assert np.linalg.norm(fs.positions[0]) < 1e6
+    # frame is a rotation matrix
+    F = fs.frames[0]
+    np.testing.assert_allclose(F @ F.T, np.eye(3), atol=1e-4)
+
+    fcfg = FeatureConfig(type="GASD", gasd_with_color=False)
+    fs = extract_local_features(pts, None, fcfg, KP_CFG, 0.25, 1)
+    assert fs.descriptors.shape == (1, 512)
