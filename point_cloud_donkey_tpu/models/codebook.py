@@ -93,18 +93,48 @@ def _gauss_dist(sigma_sqr: np.ndarray, dist: np.ndarray) -> np.ndarray:
         -(dist ** 2) / (2.0 * sigma_sqr))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _knn_program(qn: int, c: int, d: int, k: int, metric: str):
+    @jax.jit
+    def run(q, db):
+        return knn(q, db, jnp.ones(c, bool), k=k, metric=metric)
+    return run
+
+
 def activate_knn_batch(descriptors: np.ndarray, codewords: np.ndarray,
                        k: int, metric: str) -> Tuple[np.ndarray, np.ndarray]:
     """Exact k-NN activation for a feature batch (replaces FLANN index
-    queries in activation_strategy_knn.h:42-126)."""
-    c = codewords.shape[0]
+    queries in activation_strategy_knn.h:42-126).  Jitted and query-chunked:
+    the [chunk, C] distance block stays bounded and the compiled program is
+    reused across training models/classes."""
+    c, d = codewords.shape
+    f = descriptors.shape[0]
     if c <= k:
-        idx = np.tile(np.arange(c), (descriptors.shape[0], 1))
-        d = np.zeros_like(idx, np.float32)
-        return d, idx
-    dists, idx = knn(jnp.asarray(descriptors), jnp.asarray(codewords),
-                     jnp.ones(c, bool), k=k, metric=metric)
-    return np.asarray(dists), np.asarray(idx)
+        idx = np.tile(np.arange(c), (f, 1))
+        dd = np.zeros_like(idx, np.float32)
+        return dd, idx
+    # chunk so the [chunk, C] block stays ~64M elements; bucket to pow2
+    chunk = max(64, min(8192, (1 << 26) // max(c, 1)))
+    b = 64
+    while b < chunk:
+        b *= 2
+    chunk = b
+    pad = (-f) % chunk
+    q = np.zeros((f + pad, d), np.float32)
+    q[:f] = descriptors
+    run = _knn_program(chunk, c, d, k, metric)
+    cw_j = jnp.asarray(codewords)
+    outs_d, outs_i = [], []
+    for i0 in range(0, f + pad, chunk):
+        dd, ii = run(jnp.asarray(q[i0:i0 + chunk]), cw_j)
+        outs_d.append(np.asarray(dd))
+        outs_i.append(np.asarray(ii))
+    dists = np.concatenate(outs_d)[:f]
+    idx = np.concatenate(outs_i)[:f]
+    return dists, idx
 
 
 def inn_refine_queries(descriptors: jnp.ndarray, codewords: jnp.ndarray,
@@ -162,6 +192,290 @@ def train_codebook(
     params: CodebookParams,
     metric: str,
 ) -> TrainedCodebook:
+    """Vectorized codebook training (codebook.cpp:64-365): one batched
+    activation + quat/rotation pass per model, numpy-grouped vote recording,
+    batched center weights and statistical weights.  Bit-compatible with the
+    loop oracle train_codebook_loop (tested in test_components.py)."""
+    num_models = len(features_per_model)
+    assert num_models == len(class_per_model) == len(boxes_per_model)
+
+    classes = sorted(set(class_per_model))
+    class_sigmas: Dict[int, float] = {}
+
+    # --- step 1: activation + vote recording (vectorized per model) --------
+    rec_cw: List[np.ndarray] = []
+    rec_vote: List[np.ndarray] = []
+    rec_class: List[np.ndarray] = []
+    rec_inst: List[np.ndarray] = []
+    rec_pos: List[np.ndarray] = []
+    rec_frame: List[np.ndarray] = []
+    rec_center: List[np.ndarray] = []
+    rec_bsize: List[np.ndarray] = []
+    rec_bquat: List[np.ndarray] = []
+
+    for class_id in classes:
+        model_idx = [i for i, c in enumerate(class_per_model) if c == class_id]
+        num_features = sum(int(features_per_model[i].mask.sum()) for i in model_idx)
+        max_elements = int(math.isqrt(max(num_features, 0)))
+
+        sample_feature_descs: List[np.ndarray] = []
+        sample_cw_descs: List[np.ndarray] = []
+        n_feat_acc = 0
+        n_cw_acc = 0
+
+        for mi in model_idx:
+            fs = features_per_model[mi]
+            box = boxes_per_model[mi]
+            instance_id = instance_per_model[mi]
+            n = fs.descriptors.shape[0]
+            if n == 0:
+                continue
+            dists, idx = training_activation(fs.descriptors, codeword_data,
+                                             params, metric)
+            center = np.asarray(box.position, np.float32)
+            box_quat = np.asarray(box.quat, np.float32)
+
+            # batched quats + vote rotation: one device call per model
+            # (vote = (center - keypoint) rotated INTO the LRF; bbox quat
+            # composed with conj(frame), codeword_distribution.cpp:37-71)
+            frames = np.asarray(fs.frames, np.float32)
+            frame_quats = np.asarray(
+                jax.vmap(geo.matrix_to_quat)(jnp.asarray(frames)))
+            vote_world = center[None, :] - np.asarray(fs.positions, np.float32)
+            vote_local = np.einsum("jab,jb->ja", frames, vote_world)
+            new_quat = np.asarray(geo.quat_multiply(
+                jnp.asarray(box_quat)[None, :],
+                geo.quat_conjugate(jnp.asarray(frame_quats))))
+
+            jj, kk = np.nonzero(idx >= 0)  # Threshold: idx -1 outside cut
+            rec_cw.append(idx[jj, kk].astype(np.int64))
+            rec_vote.append(vote_local[jj].astype(np.float32))
+            rec_class.append(np.full(len(jj), class_id, np.int32))
+            rec_inst.append(np.full(len(jj), instance_id, np.int32))
+            rec_pos.append(np.asarray(fs.positions, np.float32)[jj])
+            rec_frame.append(frames[jj])
+            rec_center.append(np.tile(center, (len(jj), 1)))
+            rec_bsize.append(np.tile(np.asarray(box.size, np.float32),
+                                     (len(jj), 1)))
+            rec_bquat.append(new_quat[jj].astype(np.float32))
+
+            # accumulate capped samples for the class sigma
+            if n_feat_acc < max_elements:
+                sample_feature_descs.append(np.asarray(fs.descriptors))
+                n_feat_acc += n
+            if n_cw_acc < max_elements:
+                flat_idx = idx.reshape(-1)
+                sample_cw_descs.append(codeword_data[flat_idx[flat_idx >= 0]])
+                n_cw_acc += idx.size
+
+        # --- class sigma (variance) over sampled feature x codeword pairs --
+        if sample_feature_descs and sample_cw_descs:
+            fd = np.concatenate(sample_feature_descs, axis=0)
+            cd = np.concatenate(sample_cw_descs, axis=0)
+            d = _all_pairs_distance(fd, cd, metric)
+            num = d.size
+            mean = d.sum() / num
+            var = float(((d - mean) ** 2).sum() / max(num - 1, 1))
+            class_sigmas[class_id] = var
+        else:
+            class_sigmas[class_id] = 1.0
+
+    V = sum(len(a) for a in rec_cw)
+    cw_arr = np.concatenate(rec_cw) if V else np.zeros(0, np.int64)
+    vote_arr = np.concatenate(rec_vote) if V else np.zeros((0, 3), np.float32)
+    class_arr = np.concatenate(rec_class) if V else np.zeros(0, np.int32)
+    inst_arr = np.concatenate(rec_inst) if V else np.zeros(0, np.int32)
+    pos_arr = np.concatenate(rec_pos) if V else np.zeros((0, 3), np.float32)
+    frame_arr = np.concatenate(rec_frame) if V else np.zeros((0, 3, 3), np.float32)
+    center_arr = np.concatenate(rec_center) if V else np.zeros((0, 3), np.float32)
+    bsize_arr = np.concatenate(rec_bsize) if V else np.zeros((0, 3), np.float32)
+    bquat_arr = np.concatenate(rec_bquat) if V else np.zeros((0, 4), np.float32)
+
+    # group votes by codeword, preserving insertion order within a group
+    order = np.argsort(cw_arr, kind="stable")
+    cw_s = cw_arr[order]
+    uniq_cw, group_start, group_size = np.unique(
+        cw_s, return_index=True, return_counts=True)
+
+    # --- KNN k=1 / INN cleanup: keep single-vote codewords only ------------
+    clean_up = (params.activation_type == "KNN" and params.knn_k == 1) or \
+               params.activation_type == "INN"
+    if clean_up:
+        keep_g = group_size == 1
+        uniq_cw = uniq_cw[keep_g]
+        group_start = group_start[keep_g]
+        group_size = group_size[keep_g]
+
+    # flat indices of the surviving votes, ordered (codeword asc, insertion)
+    if len(uniq_cw):
+        sel = np.concatenate([order[s:s + z]
+                              for s, z in zip(group_start, group_size)])
+    else:
+        sel = np.zeros(0, np.int64)
+    g_of_vote = np.repeat(np.arange(len(uniq_cw)), group_size)
+    slot_of_vote = (np.arange(len(sel))
+                    - np.repeat(np.cumsum(group_size) - group_size, group_size)) \
+        if len(sel) else np.zeros(0, np.int64)
+
+    vote_arr = vote_arr[sel]
+    class_arr = class_arr[sel]
+    inst_arr = inst_arr[sel]
+    pos_arr = pos_arr[sel]
+    frame_arr = frame_arr[sel]
+    center_arr = center_arr[sel]
+    bsize_arr = bsize_arr[sel]
+    bquat_arr = bquat_arr[sel]
+
+    # --- center weights (median gaussians), batched over groups ------------
+    weight_arr = _center_weights_batched(vote_arr, pos_arr, frame_arr,
+                                         center_arr, g_of_vote, group_size)
+
+    # --- statistical class weights (9 steps), array form --------------------
+    clsw_arr = _statistical_class_weights_arrays(
+        np.repeat(uniq_cw, group_size), class_arr)
+
+    # --- pack to serving arrays --------------------------------------------
+    c_used = len(uniq_cw)
+    mv = int(group_size.max()) if c_used else 1
+    D = codeword_data.shape[1]
+    num_classes = (max(classes) + 1) if classes else 1
+
+    rows = max(c_used, 1)
+    out = TrainedCodebook(
+        codewords=np.zeros((rows, D), np.float32),
+        cw_mask=np.zeros(rows, bool),
+        cw_weight=np.ones(rows, np.float32),
+        cw_position=np.zeros((rows, 3), np.float32),
+        votes=np.zeros((rows, mv, 3), np.float32),
+        vote_mask=np.zeros((rows, mv), bool),
+        vote_class=np.zeros((rows, mv), np.int32),
+        vote_instance=np.zeros((rows, mv), np.int32),
+        vote_weight=np.zeros((rows, mv), np.float32),
+        class_weight=np.ones((rows, mv), np.float32),
+        bbox_size=np.zeros((rows, mv, 3), np.float32),
+        bbox_quat=np.zeros((rows, mv, 4), np.float32),
+        class_sigma=np.ones(num_classes, np.float32),
+    )
+    for cid, var in class_sigmas.items():
+        out.class_sigma[cid] = var
+
+    if c_used:
+        out.codewords[:c_used] = codeword_data[uniq_cw]
+        out.cw_mask[:c_used] = True
+        out.cw_position[:c_used] = codeword_positions[uniq_cw]
+        r, s = g_of_vote, slot_of_vote
+        out.votes[r, s] = vote_arr
+        out.vote_mask[r, s] = True
+        out.vote_class[r, s] = class_arr
+        out.vote_instance[r, s] = inst_arr
+        out.vote_weight[r, s] = weight_arr
+        out.class_weight[r, s] = clsw_arr
+        out.bbox_size[r, s] = bsize_arr
+        out.bbox_quat[r, s] = bquat_arr
+    return out
+
+
+def _center_weights_batched(vote, pos, frame, center, g_of_vote, group_size
+                            ) -> np.ndarray:
+    """Vectorized CodewordDistribution::computeWeights
+    (codeword_distribution.cpp:171-243): weight of vote i = median over the
+    votes j of the same codeword of exp(-|pos_j + R_j^T v_i - center_i|^2
+    / 0.5^2).  Groups are padded to the max group size and batched; NaN
+    padding + nanmedian reproduce numpy's even/odd midpoint rule."""
+    sigma = 0.5
+    V = len(vote)
+    if V == 0:
+        return np.zeros(0, np.float32)
+    m = int(group_size.max())
+    if m == 1:
+        # the common (k=1 cleaned) case: each vote is its own median
+        back = np.einsum("jba,ja->jb", frame, vote)
+        dist = np.linalg.norm(pos + back - center, axis=1)
+        return np.exp(-(dist ** 2) / (sigma ** 2)).astype(np.float32)
+
+    G = len(group_size)
+    gi = np.full((G, m), -1, np.int64)
+    slot = np.arange(V) - np.repeat(np.cumsum(group_size) - group_size,
+                                    group_size)
+    gi[g_of_vote, slot] = np.arange(V)
+    valid = gi >= 0
+    gi0 = np.where(valid, gi, 0)
+
+    out = np.zeros(V, np.float32)
+    # chunk over groups so the [chunk, m, m, 3] intermediate stays bounded
+    gchunk = max(1, (1 << 22) // max(m * m, 1))
+    for g0 in range(0, G, gchunk):
+        gs = slice(g0, min(g0 + gchunk, G))
+        idx = gi0[gs]
+        val = valid[gs]
+        P = pos[idx]        # [g, m, 3] (j)
+        F = frame[idx]      # [g, m, 3, 3] (j)
+        Vv = vote[idx]      # [g, m, 3] (i)
+        Cc = center[idx]    # [g, m, 3] (i)
+        back = np.einsum("gjba,gia->gijb", F, Vv)
+        world = P[:, None, :, :] + back
+        dist = np.linalg.norm(world - Cc[:, :, None, :], axis=3)  # [g, i, j]
+        w = np.exp(-(dist ** 2) / (sigma ** 2))
+        w = np.where(val[:, None, :], w, np.nan)     # mask padded j
+        med = np.nanmedian(w, axis=2)                # [g, i]
+        out[idx[val]] = med[val].astype(np.float32)
+    return out
+
+
+def _statistical_class_weights_arrays(cw_of_vote: np.ndarray,
+                                      class_of_vote: np.ndarray) -> np.ndarray:
+    """Array form of the 9-step statistical weights (codebook.cpp:226-365);
+    returns the per-vote weight term1[class] * term2[cw] * term3[cw, class].
+    Same per-(codeword, class) semantics as _statistical_class_weights (the
+    documented evident-intent divergence from the reference's last-codeword
+    term3 quirk)."""
+    V = len(cw_of_vote)
+    if V == 0:
+        return np.ones(0, np.float32)
+    # compact ids
+    u_cw, cw_id = np.unique(cw_of_vote, return_inverse=True)
+    u_cls, cls_id = np.unique(class_of_vote, return_inverse=True)
+    n_cw, n_cls = len(u_cw), len(u_cls)
+
+    nfeat_cls = np.bincount(cls_id, minlength=n_cls).astype(np.float64)
+    pair_key = cw_id.astype(np.int64) * n_cls + cls_id
+    u_pair, pair_inv, nv_pair = np.unique(pair_key, return_inverse=True,
+                                          return_counts=True)
+    pair_cw = (u_pair // n_cls).astype(np.int64)
+    pair_cls = (u_pair % n_cls).astype(np.int64)
+
+    # sum_cw[cw] = sum over classes of nv(cw, cls) / nfeat(cls)
+    sum_cw = np.zeros(n_cw, np.float64)
+    np.add.at(sum_cw, pair_cw, nv_pair / nfeat_cls[pair_cls])
+
+    # term1: 1 / #codewords voting for class
+    ncw_cls = np.zeros(n_cls, np.int64)
+    np.add.at(ncw_cls, pair_cls, 1)
+    term1 = 1.0 / ncw_cls
+
+    # term2: 1 / #votes of codeword
+    nv_cw = np.bincount(cw_id, minlength=n_cw).astype(np.float64)
+    term2 = 1.0 / nv_cw
+
+    t3_pair = (nv_pair / nfeat_cls[pair_cls]) / sum_cw[pair_cw]
+    w_pair = term1[pair_cls] * term2[pair_cw] * t3_pair
+    return w_pair[pair_inv].astype(np.float32)
+
+
+def train_codebook_loop(
+    features_per_model: List[FeatureSet],      # compacted per training model
+    class_per_model: List[int],
+    instance_per_model: List[int],
+    boxes_per_model: List[geo.BoundingBox],    # numpy-backed BoundingBox
+    codeword_data: np.ndarray,                 # [C, D] cluster centers
+    codeword_positions: np.ndarray,            # [C, 3] feature position per codeword
+    params: CodebookParams,
+    metric: str,
+) -> TrainedCodebook:
+    """Reference-oracle loop implementation of train_codebook (the round-1
+    per-feature Python loop).  Kept ONLY as the A/B oracle for
+    tests/test_components.py::test_train_codebook_vectorized_matches_loop;
+    the production path is the vectorized train_codebook above."""
     num_models = len(features_per_model)
     assert num_models == len(class_per_model) == len(boxes_per_model)
     C = codeword_data.shape[0]

@@ -254,3 +254,62 @@ def test_cshot_dense_jit_pipeline():
     # color part is populated (slots 352+)
     d = np.asarray(desc)[np.asarray(valid)]
     assert d[:, 352:].sum() > 0
+
+
+def _synthetic_training_set(rng, n_models=6, n_classes=3, n_feat=40, dim=16):
+    """Random FeatureSets + boxes for codebook-training A/B tests."""
+    from point_cloud_donkey_tpu.models.types import FeatureSet
+    from point_cloud_donkey_tpu.ops import geometry as geo
+
+    def rand_frame():
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] = -q[:, 0]
+        return q.astype(np.float32)
+
+    feats, classes, insts, boxes = [], [], [], []
+    for m in range(n_models):
+        desc = np.abs(rng.normal(size=(n_feat, dim))).astype(np.float32)
+        desc /= desc.sum(axis=1, keepdims=True)
+        pos = rng.normal(size=(n_feat, 3)).astype(np.float32)
+        frames = np.stack([rand_frame() for _ in range(n_feat)])
+        fs = FeatureSet(desc, pos, frames, np.ones(n_feat, bool),
+                        np.linalg.norm(pos, axis=1).astype(np.float32),
+                        np.ones(n_feat, np.float32))
+        feats.append(fs)
+        classes.append(m % n_classes)
+        insts.append(m)
+        boxes.append(geo.BoundingBox(
+            position=rng.normal(size=3).astype(np.float32),
+            size=np.abs(rng.normal(size=3)).astype(np.float32) + 0.5,
+            quat=np.array([1, 0, 0, 0], np.float32)))
+    return feats, classes, insts, boxes
+
+
+@pytest.mark.parametrize("activation,k", [("KNN", 1), ("KNN", 3),
+                                          ("Threshold", 0),
+                                          ("KNNRule", 0)])
+def test_train_codebook_vectorized_matches_loop(rng, activation, k):
+    """The vectorized train_codebook must reproduce the loop oracle
+    bit-for-bit (codeword set, votes, weights, sigmas)."""
+    from point_cloud_donkey_tpu.models.codebook import (
+        CodebookParams, train_codebook, train_codebook_loop)
+
+    feats, classes, insts, boxes = _synthetic_training_set(rng)
+    all_desc = np.concatenate([f.descriptors for f in feats])
+    # clustering None: codewords = features (subset for multi-vote groups)
+    cw = all_desc[::2]
+    cw_pos = np.concatenate([f.positions for f in feats])[::2]
+
+    params = CodebookParams(activation_type=activation, knn_k=max(k, 1),
+                            threshold=2.0, threshold_capacity=8,
+                            use_class_weight=True)
+    a = train_codebook(feats, classes, insts, boxes, cw, cw_pos, params, "chisq")
+    b = train_codebook_loop(feats, classes, insts, boxes, cw, cw_pos,
+                            params, "chisq")
+
+    assert a.votes.shape == b.votes.shape
+    for name in a._fields:
+        av, bv = getattr(a, name), getattr(b, name)
+        np.testing.assert_allclose(av, bv, rtol=1e-6, atol=1e-7,
+                                   err_msg=f"field {name} differs")
