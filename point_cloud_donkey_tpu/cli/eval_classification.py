@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-m", "--models", nargs="*", help="Train: model files")
     p.add_argument("-c", "--classes", nargs="*", type=int,
                    help="Train: class ids for -m models")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="write a jax.profiler trace of the run to DIR")
     p.add_argument("--template", metavar="OUT.ism",
                    help="Write a fully-populated default config and exit "
                         "(the reference emits one when an empty model is "
@@ -234,13 +236,20 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return 1
 
+    run = None
     if (args.train and mode == "") or mode == "train":
-        return run_training(args)
-    if (args.detect and mode == "") or mode == "test":
-        return run_classification(args)
-    print("specify either -t (train) or -d (detect) with a matching file list",
-          file=sys.stderr)
-    return 1
+        run = run_training
+    elif (args.detect and mode == "") or mode == "test":
+        run = run_classification
+    if run is None:
+        print("specify either -t (train) or -d (detect) with a matching file list",
+              file=sys.stderr)
+        return 1
+    if args.profile:
+        import jax
+        with jax.profiler.trace(args.profile):
+            return run(args)
+    return run(args)
 
 
 if __name__ == "__main__":

@@ -37,7 +37,31 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-f", "--file", dest="inputfile", required=True)
     p.add_argument("-o", "--output", help="Output folder / model file")
     p.add_argument("-i", "--inplace", action="store_true")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="write a jax.profiler trace of the run to DIR")
     return p
+
+
+def write_log_per_cloud(cloud_file: str, ism_file: str, gt_file: str,
+                        out_path: str, maxima) -> None:
+    """Per-cloud detection log, one line per maximum
+    (logging_to_files.h:43-88 writeLogPerCloud format)."""
+    base = os.path.basename(cloud_file)
+    with open(os.path.join(out_path, base + ".txt"), "w") as f:
+        f.write(f"ISM3D detection log, filename: {ism_file}, point cloud: "
+                f"{cloud_file}, ground truth file: {gt_file}\n")
+        f.write("number, classID, weight, instanceID, instance weight, "
+                "num-votes, position X Y Z, bounding box size X Y Z, "
+                "bounding Box rotation quaternion w x y z\n")
+        for i, m in enumerate(maxima):
+            pos = np.asarray(m.position, float)
+            siz = np.asarray(m.bb_size, float)
+            q = np.asarray(m.bb_quat, float)
+            f.write(f"{i}, {m.class_id}, {m.weight:g}, {m.instance_id}, "
+                    f"{m.instance_weight:g}, {m.num_votes}, "
+                    f"{pos[0]:g}, {pos[1]:g}, {pos[2]:g}, "
+                    f"{siz[0]:g}, {siz[1]:g}, {siz[2]:g}, "
+                    f"{q[0]:g}, {q[1]:g}, {q[2]:g}, {q[3]:g}\n")
 
 
 def parse_detection_list(path: str):
@@ -139,9 +163,14 @@ def run_detection(args) -> int:
     times: Dict[str, float] = {}
     wall0 = time.perf_counter()
 
+    if args.output:
+        os.makedirs(args.output, exist_ok=True)
     for cloud_file, gt_file in rows:
         print(f"Processing file: {cloud_file}")
         maxima, times = ism.detect_file(cloud_file)
+        if args.output:
+            write_log_per_cloud(cloud_file, ism_file, gt_file,
+                                args.output, maxima)
         gt_objects.extend(parse_annotation_file(gt_file, cloud_file))
         for m in maxima:
             # convertMaxToObj (eval_helpers_detection.h:415-438)
@@ -249,9 +278,12 @@ def run_detection(args) -> int:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     mode, _, _ = parse_detection_list(args.inputfile)
-    if mode == "train":
-        return run_training(args)
-    return run_detection(args)
+    run = run_training if mode == "train" else run_detection
+    if args.profile:
+        import jax
+        with jax.profiler.trace(args.profile):
+            return run(args)
+    return run(args)
 
 
 if __name__ == "__main__":

@@ -19,6 +19,7 @@ strings (features/features_factory.h:48-110).
 from __future__ import annotations
 
 import functools
+import time
 from dataclasses import dataclass, replace
 from typing import Callable, Dict, Optional, Tuple
 
@@ -451,8 +452,15 @@ def extract_local_features(
     consistent_normals_method: int,
     rgb: Optional[np.ndarray] = None,
     is_training: bool = False,
+    times: Optional[Dict[str, float]] = None,
 ) -> FeatureSet:
-    """Local feature pipeline for one cloud.  Returns a compacted FeatureSet."""
+    """Local feature pipeline for one cloud.  Returns a compacted FeatureSet.
+
+    When `times` is given, the normal-estimation and keypoint-detection stage
+    durations are accumulated into times["normals"] / times["keypoints"]
+    (the reference times these separately inside computeFeatures and
+    subtracts them from the "features" total,
+    implicit_shape_model.cpp:636-643)."""
     from .keypoints import KeypointParams, detect_keypoints
 
     if fcfg.type == "NARF":
@@ -472,7 +480,7 @@ def extract_local_features(
     if len(xyz) > SCENE_TILE_THRESHOLD:
         return _extract_local_features_scene(
             xyz, normals, fcfg, keypoint_cfg, normal_radius,
-            consistent_normals_method, rgb, is_training)
+            consistent_normals_method, rgb, is_training, times)
 
     pts, mask = pad_cloud(xyz)
     n = pts.shape[0]
@@ -487,8 +495,12 @@ def extract_local_features(
     # normals
     cloud_normals = None
     if fcfg.needs_normals() or needs_culling_normals:
+        t_n = time.perf_counter()
         cloud_normals = compute_cloud_normals(
             xyz, normals, normal_radius, consistent_normals_method)
+        if times is not None:
+            times["normals"] = times.get("normals", 0.0) \
+                + time.perf_counter() - t_n
     if fcfg.needs_normals() and cloud_normals is not None:
         nrm = np.zeros((n, 3), np.float32)
         nrm[:len(xyz)] = cloud_normals
@@ -500,8 +512,12 @@ def extract_local_features(
     if kp_params.type not in ("VoxelGrid", "VoxelGridCulling", "Harris3D",
                               "ISS3D", "SIFT3D"):
         raise ValueError(f"unsupported keypoint type {kp_params.type!r}")
+    t_k = time.perf_counter()
     kp, kp_rgb = detect_keypoints(xyz, cloud_normals, rgb, kp_params,
                                   is_training=is_training, return_colors=True)
+    if times is not None:
+        times["keypoints"] = times.get("keypoints", 0.0) \
+            + time.perf_counter() - t_k
     k_bucket = bucket_size(len(kp), minimum=64)
     kp_pad = np.zeros((k_bucket, 3), np.float32)
     kp_pad[:len(kp)] = kp
@@ -610,6 +626,7 @@ def _extract_local_features_scene(
     consistent_normals_method: int,
     rgb: Optional[np.ndarray],
     is_training: bool,
+    times: Optional[Dict[str, float]] = None,
 ) -> FeatureSet:
     """Scene-scale local feature pipeline (reference detection scenes are
     1e5-1e6-point RGB-D clouds, implicit_shape_model.cpp:739-821): the cloud
@@ -632,15 +649,23 @@ def _extract_local_features_scene(
 
     cloud_normals = None
     if fcfg.needs_normals() or needs_culling_normals:
+        t_n = time.perf_counter()
         cloud_normals = compute_cloud_normals(
             xyz_s, normals_s, normal_radius, consistent_normals_method)
+        if times is not None:
+            times["normals"] = times.get("normals", 0.0) \
+                + time.perf_counter() - t_n
 
     if kp_params.type not in ("VoxelGrid", "VoxelGridCulling"):
         raise ValueError(
             f"keypoint type {kp_params.type!r} is not supported at scene "
             f"scale (> {len(xyz)} points); use VoxelGrid/VoxelGridCulling")
+    t_k = time.perf_counter()
     kp, kp_rgb = detect_keypoints(xyz_s, cloud_normals, rgb_s, kp_params,
                                   is_training=is_training, return_colors=True)
+    if times is not None:
+        times["keypoints"] = times.get("keypoints", 0.0) \
+            + time.perf_counter() - t_k
 
     # sort keypoints along the same axis so chunks get tight windows
     kp_order = np.argsort(kp[:, axis], kind="stable")

@@ -480,12 +480,20 @@ class ImplicitShapeModel:
         cb_params = _codebook_params(self.config.child("Codebook"))
 
         t_feat = time.perf_counter()
+        stage_times: Dict[str, float] = {}
         fs = extract_local_features(
             xyz, normals, fcfg, kp_cfg,
             self.root.get("NormalRadius", 0.05),
             self.root.get("ConsistentNormalsMethod", 2),
-            rgb=rgb, is_training=False)
-        self.processing_times["features"] += time.perf_counter() - t_feat
+            rgb=rgb, is_training=False, times=stage_times)
+        # the reference times normals/keypoints inside computeFeatures and
+        # subtracts them from the features total (implicit_shape_model.cpp:636-643)
+        feat_total = time.perf_counter() - t_feat
+        t_nrm = stage_times.get("normals", 0.0)
+        t_kp = stage_times.get("keypoints", 0.0)
+        self.processing_times["normals"] += t_nrm
+        self.processing_times["keypoints"] += t_kp
+        self.processing_times["features"] += feat_total - t_nrm - t_kp
 
         t_vote = time.perf_counter()
         # pad the feature batch to a bucket so the jitted cast program is
@@ -503,13 +511,22 @@ class ImplicitShapeModel:
 
         key = (fb, self.metric)
         if key not in self._cast_cache:
+            # building + compiling the cast program is the analog of the
+            # reference's lazy FLANN index build over codewords
+            # (implicit_shape_model.cpp:650-661, timed as "flann")
+            t_flann = time.perf_counter()
             cb_dev = jax.tree_util.tree_map(jnp.asarray, self.state.codebook)
 
             @jax.jit
             def _cast(d, p, fr, m):
                 return cast_votes(cb_dev, d, p, fr, m, cb_params, self.metric)
 
-            self._cast_cache[key] = _cast
+            self._cast_cache[key] = _cast.lower(
+                jnp.asarray(desc), jnp.asarray(pos), jnp.asarray(frames),
+                jnp.asarray(fmask)).compile()
+            flann_dt = time.perf_counter() - t_flann
+            self.processing_times["flann"] += flann_dt
+            t_vote += flann_dt  # keep the index-build out of the voting window
         votes = self._cast_cache[key](jnp.asarray(desc), jnp.asarray(pos),
                                       jnp.asarray(frames), jnp.asarray(fmask))
         votes = jax.tree_util.tree_map(np.asarray, votes)

@@ -218,7 +218,8 @@ def find_maxima(
             if single:
                 import warnings
                 warnings.warn("SingleObjectMode is not supported with Hough3D")
-            m_pos, m_dens, hough_members = _class_hough(v_pos, v_w, bandwidth, params)
+            m_pos, m_dens, hough_members = _class_hough_device(
+                v_pos, v_w, bandwidth, params)
         elif (not single) or (single and max_type in ("None", "Default")):
             m_pos, _ = _class_mean_shift(v_pos, v_w, bandwidth, params)
         else:
@@ -459,6 +460,77 @@ def select_maxima(maxima: List[VotingMaximum], params: VotingParams) -> List[Vot
 # Hough3D accumulator (voting/voting_hough_3d.cpp + PCL HoughSpace3D)
 # ---------------------------------------------------------------------------
 
+def _hough_nms(values_keys, rel_threshold: float):
+    """Greedy 26-neighborhood non-max suppression over (value, key) bins,
+    descending (PCL HoughSpace3D::findMaxima).  Bins are few; host-side."""
+    if not values_keys:
+        return []
+    max_val = max(v for v, _ in values_keys)
+    thresh = rel_threshold * max_val
+    candidates = sorted(((v, k) for v, k in values_keys if v >= thresh),
+                        reverse=True)
+    accepted = []
+    suppressed = set()
+    for val, key in candidates:
+        if key in suppressed:
+            continue
+        accepted.append((val, key))
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    suppressed.add((key[0] + dx, key[1] + dy, key[2] + dz))
+    return accepted
+
+
+def _class_hough_device(positions: np.ndarray, weights: np.ndarray,
+                        bandwidth: float, params: VotingParams):
+    """TPU-native variant of `_class_hough`: the O(V) accumulation (trilinear
+    corner weights + scatter-add) runs as a jitted program (ops/hough.py);
+    only the tiny candidate NMS and cluster assembly stay on the host.
+    Semantics match the dict-based oracle `_class_hough` (tested equal)."""
+    from ..ops.hough import hough_accumulate
+    if len(positions) == 0:
+        return np.zeros((0, 3), np.float32), np.zeros(0), []
+    bin_size = 2.0 * bandwidth
+    mn = np.asarray(params.min_coord, np.float32)
+    grid, key_min, dims, keys, w8 = hough_accumulate(
+        positions, weights, mn, bin_size, params.use_interpolation)
+
+    dx, dy, dz = dims
+    occupied = np.nonzero(grid != 0.0)[0]
+    if len(occupied) == 0:
+        return np.zeros((0, 3), np.float32), np.zeros(0), []
+    kx = occupied // (dy * dz) + key_min[0]
+    ky = (occupied // dz) % dy + key_min[1]
+    kz = occupied % dz + key_min[2]
+    values_keys = [(float(grid[f]), (int(x), int(y), int(z)))
+                   for f, x, y, z in zip(occupied, kx, ky, kz)]
+    accepted = _hough_nms(values_keys, params.rel_threshold)
+    if not accepted:
+        return np.zeros((0, 3), np.float32), np.zeros(0), []
+
+    # vectorized voter membership: vote touches the bin through any corner
+    # with positive interpolation weight (the oracle's voters map)
+    local = keys - key_min[None, None, :]
+    flat_keys = (local[..., 0] * dy + local[..., 1]) * dz + local[..., 2]
+    touch = (w8 > 0) if params.use_interpolation else np.ones_like(w8, bool)
+    acc_flat = np.array(
+        [((k[0] - key_min[0]) * dy + (k[1] - key_min[1])) * dz
+         + (k[2] - key_min[2]) for _, k in accepted])
+    member = ((flat_keys[:, :, None] == acc_flat[None, None, :]) &
+              touch[:, :, None]).any(axis=1)          # [V, M]
+
+    m_pos, m_dens, members = [], [], []
+    for mi, (val, _key) in enumerate(accepted):
+        ids = np.nonzero(member[:, mi])[0]
+        w = weights[ids]
+        center = (positions[ids] * w[:, None]).sum(0) / max(w.sum(), 1e-30)
+        m_pos.append(center)
+        m_dens.append(val)
+        members.append(ids)
+    return np.asarray(m_pos, np.float32), np.asarray(m_dens), members
+
+
 def _class_hough(positions: np.ndarray, weights: np.ndarray,
                  bandwidth: float, params: VotingParams):
     """Discrete Hough voting for one class (voting_hough_3d.cpp:33-95):
@@ -507,21 +579,8 @@ def _class_hough(positions: np.ndarray, weights: np.ndarray,
     if not bins:
         return np.zeros((0, 3), np.float32), np.zeros(0), []
 
-    max_val = max(bins.values())
-    thresh = params.rel_threshold * max_val
-    candidates = sorted(((v, k) for k, v in bins.items() if v >= thresh),
-                        reverse=True)
-
-    accepted = []
-    suppressed = set()
-    for val, key in candidates:
-        if key in suppressed:
-            continue
-        accepted.append((val, key))
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for dz in (-1, 0, 1):
-                    suppressed.add((key[0] + dx, key[1] + dy, key[2] + dz))
+    accepted = _hough_nms([(v, k) for k, v in bins.items()],
+                          params.rel_threshold)
 
     m_pos, m_dens, members = [], [], []
     for val, key in accepted:

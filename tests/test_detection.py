@@ -120,6 +120,44 @@ def test_detection_end_to_end(rng, tmp_path):
     m = re.search(r"mean recall:\s+([0-9.]+)", summary)
     assert m and float(m.group(1)) >= 0.5, summary
 
+    # per-cloud detection log (logging_to_files.h:43-88)
+    log = open(tmp_path / "out" / "scene.pcd.txt").read().splitlines()
+    assert log[0].startswith("ISM3D detection log")
+    assert log[1].startswith("number, classID, weight")
+    assert len(log) >= 3  # at least one detection row
+    assert len(log[2].split(", ")) == 16
+
+    # detect() populates every reference timing key
+    # (implicit_shape_model.cpp:636-709; normals stays 0 for SHORT_SHOT,
+    # which skips normal computation, implicit_shape_model.cpp:852-867)
+    from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+    ism2 = ImplicitShapeModel.load(str(tmp_path / "trained.ism"))
+    _, times = ism2.detect(scene)
+    for k in ("complete", "features", "keypoints", "flann", "voting", "maxima"):
+        assert times[k] > 0.0, (k, times)
+
+
+def test_hough_device_matches_oracle(rng):
+    """The jitted scatter-add Hough accumulator (ops/hough.py) produces the
+    same maxima, densities and voter sets as the dict-based host oracle."""
+    from point_cloud_donkey_tpu.models.voting import (VotingParams,
+                                                      _class_hough,
+                                                      _class_hough_device)
+    clusters = [np.array([0.0, 0.0, 0.0]), np.array([3.0, 1.0, 0.0]),
+                np.array([0.0, 4.0, 2.0])]
+    pts = np.concatenate([
+        rng.normal(c, 0.3, (80, 3)) for c in clusters]).astype(np.float32)
+    w = rng.uniform(0.1, 1.0, len(pts)).astype(np.float32)
+    for interp in (True, False):
+        params = VotingParams(use_interpolation=interp, rel_threshold=0.4)
+        p1, d1, m1 = _class_hough(pts, w, 0.25, params)
+        p2, d2, m2 = _class_hough_device(pts, w, 0.25, params)
+        assert len(p1) == len(p2) >= 2, (interp, len(p1), len(p2))
+        np.testing.assert_allclose(p1, p2, atol=1e-5)
+        np.testing.assert_allclose(d1, d2, rtol=1e-5)
+        for a, b in zip(m1, m2):
+            assert np.array_equal(a, b), (interp, a, b)
+
 
 @pytest.mark.slow
 def test_detection_hough3d(rng, tmp_path):
