@@ -82,8 +82,12 @@ def fpfh_descriptor(
     nbr_k = gather_radius_neighbors(keypoints, points, mask, radius, capacity,
                                     exclude_zero_dist=True)
     # keypoint normals: use the nearest surface point's normal (PCL keypoints
-    # carry normals from the input cloud; the voxel-centroid analogue)
-    nearest = nbr_k.idx[:, 0]
+    # carry normals from the input cloud; the voxel-centroid analogue).
+    # NB: slot 0 may be an invalidated zero-distance self-pair (its index is
+    # rewritten to 0), so take the argmin over valid distances (inf when
+    # invalid), not idx[:, 0].
+    nearest_slot = jnp.argmin(nbr_k.dist, axis=1)
+    nearest = jnp.take_along_axis(nbr_k.idx, nearest_slot[:, None], axis=1)[:, 0]
     kp_normals = normals[nearest]
     q = points[nbr_k.idx]
     nq = normals[nbr_k.idx]

@@ -256,7 +256,7 @@ def test_cshot_dense_jit_pipeline():
     assert d[:, 352:].sum() > 0
 
 
-def _synthetic_training_set(rng, n_models=6, n_classes=3, n_feat=40, dim=16):
+def _synthetic_training_set(rng, n_models=5, n_classes=3, n_feat=16, dim=16):
     """Random FeatureSets + boxes for codebook-training A/B tests."""
     from point_cloud_donkey_tpu.models.types import FeatureSet
     from point_cloud_donkey_tpu.ops import geometry as geo

@@ -1,0 +1,130 @@
+"""Golden descriptor fixtures: value-level parity of the batched JAX kernels
+against independent loop-based oracles (tests/golden_ref.py) on a fixed
+cloud, pinned in tests/golden/descriptors.npz.
+
+The fixture decouples two guarantees:
+  1. oracle == fixture  -- pins the plain-Python algorithm transcription, so
+     neither side can drift silently;
+  2. JAX kernel == fixture -- any vectorization/masking/binning change in
+     ops/ must reproduce the same numbers (within fp32 summation noise).
+
+Regenerate after an *intentional* semantic change with:
+    python tests/test_golden_descriptors.py regen
+"""
+
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+import golden_ref  # noqa: E402
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden",
+                           "descriptors.npz")
+
+RADIUS = 0.6
+N_KP = 6
+
+
+def _fixture_cloud():
+    """Fixed ellipsoid cloud with analytic normals and 6 keypoints."""
+    rng = np.random.default_rng(1234)
+    a, b, c = 1.3, 0.8, 0.5
+    v = rng.normal(size=(400, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pts = (v * np.array([a, b, c])).astype(np.float32)
+    nrm = pts / np.array([a * a, b * b, c * c], np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    kp = pts[::67][:N_KP].copy()
+    return pts, nrm.astype(np.float32), kp
+
+
+def _compute_golden():
+    pts, nrm, kp = _fixture_cloud()
+    p64, n64, k64 = pts.astype(np.float64), nrm.astype(np.float64), \
+        kp.astype(np.float64)
+    frames = np.stack([golden_ref.shot_lrf_ref(k, p64, RADIUS) for k in k64])
+    shot = np.stack([
+        golden_ref.shot_ref(k, f, p64, n64, RADIUS)
+        for k, f in zip(k64, frames)])
+    sshot = np.stack([
+        golden_ref.short_shot_ref(k, f, p64, RADIUS)
+        for k, f in zip(k64, frames)])
+    fpfh = np.stack([golden_ref.fpfh_ref(k, p64, n64, RADIUS) for k in k64])
+    return {"points": pts, "normals": nrm, "keypoints": kp,
+            "frames": frames, "shot": shot, "short_shot": sshot,
+            "fpfh": fpfh}
+
+
+@pytest.fixture(scope="module")
+def golden():
+    assert os.path.exists(GOLDEN_PATH), \
+        "missing golden fixture; run: python tests/test_golden_descriptors.py regen"
+    return dict(np.load(GOLDEN_PATH))
+
+
+def test_oracle_matches_fixture(golden):
+    """Pins the loop-based oracle itself: recompute and compare."""
+    fresh = _compute_golden()
+    for key in ("frames", "shot", "short_shot", "fpfh"):
+        np.testing.assert_allclose(fresh[key], golden[key], atol=1e-12,
+                                   err_msg=key)
+
+
+def test_shot_lrf_matches_golden(golden):
+    from point_cloud_donkey_tpu.ops.lrf import shot_lrf
+    pts, kp = golden["points"], golden["keypoints"]
+    res = shot_lrf(jnp.asarray(kp), jnp.ones(len(kp), bool),
+                   jnp.asarray(pts), jnp.ones(len(pts), bool), RADIUS)
+    assert bool(np.all(res.valid))
+    np.testing.assert_allclose(np.asarray(res.frames), golden["frames"],
+                               atol=2e-3)
+
+
+def test_shot_matches_golden(golden):
+    from point_cloud_donkey_tpu.ops.shot import shot_descriptor_dense
+    pts, nrm, kp = golden["points"], golden["normals"], golden["keypoints"]
+    frames = golden["frames"].astype(np.float32)  # decouple from LRF noise
+    res = shot_descriptor_dense(
+        jnp.asarray(kp), jnp.asarray(frames), jnp.ones(len(kp), bool),
+        jnp.asarray(pts), jnp.asarray(nrm), jnp.ones(len(pts), bool), RADIUS)
+    assert bool(np.all(res.valid))
+    np.testing.assert_allclose(np.asarray(res.descriptors), golden["shot"],
+                               atol=2e-3)
+
+
+def test_short_shot_matches_golden(golden):
+    from point_cloud_donkey_tpu.ops.short_shot import short_shot_descriptor_dense
+    pts, kp = golden["points"], golden["keypoints"]
+    frames = golden["frames"].astype(np.float32)
+    res = short_shot_descriptor_dense(
+        jnp.asarray(kp), jnp.asarray(frames), jnp.ones(len(kp), bool),
+        jnp.asarray(pts), jnp.ones(len(pts), bool), RADIUS)
+    assert bool(np.all(res.valid))
+    np.testing.assert_allclose(np.asarray(res.descriptors),
+                               golden["short_shot"], atol=2e-3)
+
+
+def test_fpfh_matches_golden(golden):
+    from point_cloud_donkey_tpu.ops.fpfh import fpfh_descriptor
+    pts, nrm, kp = golden["points"], golden["normals"], golden["keypoints"]
+    res = fpfh_descriptor(
+        jnp.asarray(kp), jnp.ones(len(kp), bool), jnp.asarray(pts),
+        jnp.asarray(nrm), jnp.ones(len(pts), bool), RADIUS,
+        capacity=len(pts))
+    assert bool(np.all(res.valid))
+    # FPFH bins hold values up to ~100 -> absolute tolerance scales with that
+    np.testing.assert_allclose(np.asarray(res.descriptors), golden["fpfh"],
+                               atol=0.15)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "regen":
+        os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
+        np.savez_compressed(GOLDEN_PATH, **_compute_golden())
+        print(f"wrote {GOLDEN_PATH}")
+    else:
+        print("usage: python tests/test_golden_descriptors.py regen")
