@@ -235,17 +235,16 @@ def train_codebook(
             center = np.asarray(box.position, np.float32)
             box_quat = np.asarray(box.quat, np.float32)
 
-            # batched quats + vote rotation: one device call per model
+            # batched quats + vote rotation, all host numpy: the math is tiny
+            # (F ~ 1e2) and per-model device calls recompile per distinct F
             # (vote = (center - keypoint) rotated INTO the LRF; bbox quat
             # composed with conj(frame), codeword_distribution.cpp:37-71)
             frames = np.asarray(fs.frames, np.float32)
-            frame_quats = np.asarray(
-                jax.vmap(geo.matrix_to_quat)(jnp.asarray(frames)))
+            frame_quats = geo.matrix_to_quat_batch_np(frames)
             vote_world = center[None, :] - np.asarray(fs.positions, np.float32)
             vote_local = np.einsum("jab,jb->ja", frames, vote_world)
-            new_quat = np.asarray(geo.quat_multiply(
-                jnp.asarray(box_quat)[None, :],
-                geo.quat_conjugate(jnp.asarray(frame_quats))))
+            conj = frame_quats * np.array([1, -1, -1, -1], np.float32)
+            new_quat = geo.quat_multiply_np(box_quat[None, :], conj)
 
             jj, kk = np.nonzero(idx >= 0)  # Threshold: idx -1 outside cut
             rec_cw.append(idx[jj, kk].astype(np.int64))
@@ -610,10 +609,17 @@ def train_codebook_loop(
 
 
 def _all_pairs_distance(a: np.ndarray, b: np.ndarray, metric: str) -> np.ndarray:
-    from ..ops.neighbors import pairwise_sqdist, chi_square_distance_matrix
+    """Host-numpy all-pairs distances for the (small, sqrt-sampled) class
+    sigma estimate; eager device ops here cost more than the math."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
     if metric == "l2":
-        return np.asarray(pairwise_sqdist(jnp.asarray(a), jnp.asarray(b)))
-    return np.asarray(chi_square_distance_matrix(jnp.asarray(a), jnp.asarray(b)))
+        d2 = (a * a).sum(1)[:, None] + (b * b).sum(1)[None, :] \
+            - 2.0 * (a @ b.T)
+        return np.maximum(d2, 0.0)
+    diff2 = (a[:, None, :] - b[None, :, :]) ** 2
+    s = a[:, None, :] + b[None, :, :]
+    return np.where(s > 0, diff2 / np.where(s > 0, s, 1.0), 0.0).sum(axis=2)
 
 
 def _compute_center_weights(votes: List[dict]) -> None:

@@ -39,6 +39,30 @@ from .voting import (VotingMaximum, VotingParams, filter_maxima, find_maxima,
                      normalize_weights, select_maxima)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _mvbb_program(n: int):
+    """Jitted MVBB over a padded [n, 3] cloud: one compile per cloud bucket
+    instead of an eager rotation-sweep per model (expensive dispatches on
+    the axon tunnel)."""
+    @jax.jit
+    def run(pts, mask):
+        b = geo.compute_mvbb(pts, mask)
+        return b.position, b.size, b.quat
+    return run
+
+
+def _mvbb_host(xyz: np.ndarray) -> "geo.BoundingBox":
+    from .features import pad_cloud
+    pts, mask = pad_cloud(xyz)
+    pos, size, quat = _mvbb_program(pts.shape[0])(jnp.asarray(pts),
+                                                  jnp.asarray(mask))
+    return geo.BoundingBox(position=np.asarray(pos), size=np.asarray(size),
+                           quat=np.asarray(quat))
+
+
 def _voting_params(cfg: ComponentConfig) -> VotingParams:
     return VotingParams(
         min_threshold=cfg.get("MinThreshold", 0.0),
@@ -342,17 +366,20 @@ class ImplicitShapeModel:
             normals = cloud.normals if cloud.has_normals() else None
             rgb = None if set_color_to_zero else cloud.rgb
 
-            pts_j = jnp.asarray(xyz)
-            m_j = jnp.ones(len(xyz), bool)
             if gt_box is not None:
                 box = gt_box
             elif bb_type == "MVBB":
-                box = geo.compute_mvbb(pts_j, m_j)
+                box = _mvbb_host(xyz)
             else:
-                box = geo.compute_aabb(pts_j, m_j)
-            box = geo.BoundingBox(np.asarray(box.position), np.asarray(box.size),
-                                  np.asarray(box.quat))
-            radius = float(geo.cloud_radius(pts_j, m_j))
+                # AABB + radius are trivial reductions; host numpy avoids a
+                # per-model eager device dispatch (utils.cpp:221-233)
+                mn, mx = xyz.min(axis=0), xyz.max(axis=0)
+                box = geo.BoundingBox(
+                    position=(mn + (mx - mn) / 2.0).astype(np.float32),
+                    size=(mx - mn).astype(np.float32),
+                    quat=np.array([1.0, 0.0, 0.0, 0.0], np.float32))
+            centroid = xyz.mean(axis=0)
+            radius = float(np.linalg.norm(xyz - centroid, axis=1).max())
 
             fs = self._cached_local_features(
                 filename, xyz, normals, fcfg, kp_cfg, normal_radius,
@@ -595,7 +622,7 @@ class ImplicitShapeModel:
                     g.glob_class_weight = probe.glob_class_weight
                     g.glob_instance_id = probe.glob_instance_id
                     g.glob_instance_weight = probe.glob_instance_weight
-                    box = geo.compute_mvbb(jnp.asarray(xyz), jnp.ones(len(xyz), bool))
+                    box = _mvbb_host(xyz)
                     g.bb_size = np.asarray(box.size)
                     g.bb_quat = np.asarray(box.quat)
                     maxima.append(g)

@@ -104,6 +104,61 @@ def matrix_to_quat(rot: jnp.ndarray) -> jnp.ndarray:
     return quat_normalize(q)
 
 
+def matrix_to_quat_batch_np(rot: "np.ndarray") -> "np.ndarray":
+    """Vectorized host-numpy rotation-matrix -> quaternion for [F, 3, 3]
+    batches; same Shepperd-case selection and f32 arithmetic as
+    matrix_to_quat (training records quats per model on the host -- tiny
+    math, and a device round-trip per model costs more than the work,
+    especially through the axon tunnel where each new batch shape is a
+    fresh ~0.5s compile)."""
+    import numpy as np
+    m = np.asarray(rot, np.float32)
+    t = m[:, 0, 0] + m[:, 1, 1] + m[:, 2, 2]
+    qw = np.stack([
+        1.0 + t,
+        1.0 + m[:, 0, 0] - m[:, 1, 1] - m[:, 2, 2],
+        1.0 - m[:, 0, 0] + m[:, 1, 1] - m[:, 2, 2],
+        1.0 - m[:, 0, 0] - m[:, 1, 1] + m[:, 2, 2],
+    ], axis=1).astype(np.float32)
+    case = np.argmax(qw, axis=1)
+    s = (np.sqrt(np.maximum(qw[np.arange(len(m)), case], np.float32(1e-12)))
+         * np.float32(2.0))
+    cands = np.empty((len(m), 4, 4), np.float32)
+    cands[:, 0, 0] = 0.25 * s
+    cands[:, 0, 1] = (m[:, 2, 1] - m[:, 1, 2]) / s
+    cands[:, 0, 2] = (m[:, 0, 2] - m[:, 2, 0]) / s
+    cands[:, 0, 3] = (m[:, 1, 0] - m[:, 0, 1]) / s
+    cands[:, 1, 0] = (m[:, 2, 1] - m[:, 1, 2]) / s
+    cands[:, 1, 1] = 0.25 * s
+    cands[:, 1, 2] = (m[:, 0, 1] + m[:, 1, 0]) / s
+    cands[:, 1, 3] = (m[:, 0, 2] + m[:, 2, 0]) / s
+    cands[:, 2, 0] = (m[:, 0, 2] - m[:, 2, 0]) / s
+    cands[:, 2, 1] = (m[:, 0, 1] + m[:, 1, 0]) / s
+    cands[:, 2, 2] = 0.25 * s
+    cands[:, 2, 3] = (m[:, 1, 2] + m[:, 2, 1]) / s
+    cands[:, 3, 0] = (m[:, 1, 0] - m[:, 0, 1]) / s
+    cands[:, 3, 1] = (m[:, 0, 2] + m[:, 2, 0]) / s
+    cands[:, 3, 2] = (m[:, 1, 2] + m[:, 2, 1]) / s
+    cands[:, 3, 3] = 0.25 * s
+    q = cands[np.arange(len(m)), case]
+    n = np.maximum(np.linalg.norm(q, axis=1, keepdims=True),
+                   np.float32(1e-30)).astype(np.float32)
+    return (q / n).astype(np.float32)
+
+
+def quat_multiply_np(q1: "np.ndarray", q2: "np.ndarray") -> "np.ndarray":
+    """Host-numpy Hamilton product, broadcastable [..., 4]."""
+    import numpy as np
+    w1, x1, y1, z1 = q1[..., 0], q1[..., 1], q1[..., 2], q1[..., 3]
+    w2, x2, y2, z2 = q2[..., 0], q2[..., 1], q2[..., 2], q2[..., 3]
+    return np.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ], axis=-1)
+
+
 def quat_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
     """Quaternion -> rotation matrix (Utils::quat2Matrix, utils.cpp:396-434)."""
     q = quat_normalize(q)
