@@ -1,13 +1,31 @@
-"""End-to-end classification throughput benchmark (single chip).
+"""End-to-end benchmark suite (single chip).
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Measures the fully-jitted classification forward step (keypoints -> normals ->
-SHOT LRF -> SHOT-352 descriptors -> exact-kNN codebook activation -> vote
-casting -> class scores) on ModelNet-scale synthetic clouds (2048 points),
-using a codebook trained on 5 synthetic shape classes.  Baseline target:
-100 clouds/sec/chip (BASELINE.json north star; the reference publishes no
-throughput numbers -- it is a single-process OpenMP CPU program).
+The headline metric is the fully-jitted classification forward step
+(keypoints -> normals -> SHOT LRF -> SHOT-352 descriptors -> exact-kNN
+codebook activation -> vote casting -> class scores) on ModelNet-scale
+synthetic clouds (2048 points), using a codebook trained on 5 synthetic
+shape classes.  Baseline target: 100 clouds/sec/chip (BASELINE.json north
+star; the reference publishes no throughput numbers -- it is a
+single-process OpenMP CPU program).
+
+"extra" carries the other measured paths (all clouds/sec unless noted):
+  - mean_shift_clouds_per_sec: jitted forward step with the full per-class
+    mean-shift maxima search (voting_mean_shift.cpp:201-376 semantics).
+  - host_detect_clouds_per_sec: the host-orchestrated
+    ImplicitShapeModel.detect path (maxima assembly included) -- the same
+    code the eval CLIs run.
+  - train_clouds_per_sec: full training pipeline (features + codebook
+    activation + weights) over TRAIN_N synthetic clouds, programs warm
+    (the compile-time cost is a one-off, reported as compile_s keys).
+  - hard_accuracy: the standing 20-class accuracy benchmark
+    (tests/hard_shapes.py): composite shapes, random rotations, extra
+    noise, partial views, occlusion bites.
+  - sanity_accuracy: argmax-vs-label on the benchmark batch.
+
+Stages run in priority order against a soft budget (BENCH_BUDGET_S env,
+default 1500s); stages that would blow it are skipped and reported null.
 """
 
 import json
@@ -28,8 +46,8 @@ def main():
     import jax.numpy as jnp
     import shapes
     from point_cloud_donkey_tpu.models.codebook import CodebookParams
-    from point_cloud_donkey_tpu.models.pipeline_jit import (JitPipelineConfig,
-                                                            classify_scores)
+    from point_cloud_donkey_tpu.models.pipeline_jit import (
+        JitPipelineConfig, classify_scores, classify_scores_mean_shift)
     from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
     from point_cloud_donkey_tpu.utils.config import IsmConfig
     from point_cloud_donkey_tpu.utils.io import PointCloud, save_pcd
@@ -39,6 +57,14 @@ def main():
     NUM_CLASSES = 5
     BATCH = 32
     ROUNDS = 8
+    TRAIN_N = 24        # training-throughput clouds (warm programs)
+    HOST_DETECT_N = 8   # host ImplicitShapeModel.detect clouds
+
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    bench_t0 = time.perf_counter()
+
+    def left():
+        return budget_s - (time.perf_counter() - bench_t0)
 
     rng = np.random.default_rng(42)
 
@@ -110,6 +136,54 @@ def main():
     clouds_per_sec = BATCH * ROUNDS / dt
     acc = float((np.argmax(np.asarray(scores), axis=1) == labels).mean())
 
+    # --- mean-shift serving path (full per-class maxima search) -------------
+    ms_clouds_per_sec = ms_acc = None
+    if left() > 240:
+        step_ms = jax.jit(jax.vmap(
+            lambda p, m: classify_scores_mean_shift(p, m, cb, cfg, params)))
+        s2 = step_ms(pts_j, mask_j)
+        s2.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(ROUNDS):
+            s2 = step_ms(pts_j, mask_j)
+        s2.block_until_ready()
+        ms_clouds_per_sec = round(BATCH * ROUNDS / (time.perf_counter() - t0), 2)
+        ms_acc = float((np.argmax(np.asarray(s2), axis=1) == labels).mean())
+
+    # --- host-orchestrated detect() (the eval-CLI path) ----------------------
+    host_clouds_per_sec = host_acc = None
+    if left() > 180:
+        ism.detect(clouds[0])  # warm compile caches
+        t0 = time.perf_counter()
+        host_correct = 0
+        for i in range(HOST_DETECT_N):
+            maxima, _ = ism.detect(clouds[i])
+            if maxima and maxima[0].class_id == labels[i]:
+                host_correct += 1
+        host_clouds_per_sec = round(
+            HOST_DETECT_N / (time.perf_counter() - t0), 2)
+        host_acc = host_correct / HOST_DETECT_N
+
+    # --- training throughput (warm programs) ---------------------------------
+    train_clouds_per_sec = None
+    if left() > 150:
+        ism_t = ImplicitShapeModel(IsmConfig.from_json(config))
+        for i in range(TRAIN_N):
+            cid = i % NUM_CLASSES
+            pts = shapes.make_instance(rng, cid, n=N, rotate=True, noise=0.005)
+            p = os.path.join(tmp, f"tt{i}.pcd")
+            save_pcd(p, PointCloud(xyz=pts))
+            ism_t.add_training_model(p, cid, cid)
+        t0 = time.perf_counter()
+        ism_t.train()
+        train_clouds_per_sec = round(TRAIN_N / (time.perf_counter() - t0), 2)
+
+    # --- standing 20-class hard accuracy benchmark ---------------------------
+    hard_acc = None
+    if left() > 420:
+        import hard_shapes
+        hard_acc, _per_class = hard_shapes.run_hard_benchmark()
+
     print(json.dumps({
         "metric": "clouds/sec/chip end-to-end classification (2048-pt clouds, SHOT-352 + kNN codebook + voting)",
         "value": round(clouds_per_sec, 2),
@@ -117,6 +191,14 @@ def main():
         "vs_baseline": round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 3),
         "extra": {"batch": BATCH, "rounds": ROUNDS, "points": N,
                   "sanity_accuracy": acc,
+                  "mean_shift_clouds_per_sec": ms_clouds_per_sec,
+                  "mean_shift_accuracy": ms_acc,
+                  "host_detect_clouds_per_sec": host_clouds_per_sec,
+                  "host_detect_accuracy": host_acc,
+                  "train_clouds_per_sec": train_clouds_per_sec,
+                  "train_n": TRAIN_N,
+                  "hard_accuracy_20class": hard_acc,
+                  "bench_wall_s": round(time.perf_counter() - bench_t0, 1),
                   "device": str(jax.devices()[0])},
     }))
 

@@ -12,13 +12,17 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-
-# Persistent XLA compilation cache: most suite wall-time is CPU compiles of
-# the same programs across test processes/runs; cache them on disk.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/jax_test_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# PCD_TPU_SMOKE=1 runs the -m tpu smoke subset on the real device instead
+# of the forced CPU mesh (tests/test_tpu_smoke.py)
+if os.environ.get("PCD_TPU_SMOKE") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    # Persistent XLA compilation cache: most suite wall-time is CPU compiles
+    # of the same programs across test processes/runs; cache them on disk.
+    # (NOT enabled for the axon TPU backend -- measured 6x slower there.)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_TEST_CACHE_DIR",
+                                     "/tmp/jax_test_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest
