@@ -46,20 +46,25 @@ def test_fast_path_classification_on_device(rng, device_check):
     from point_cloud_donkey_tpu.utils.config import IsmConfig
     from point_cloud_donkey_tpu.utils.io import PointCloud, save_pcd
 
-    N = 512
+    # the bench.py configuration, known-good on CPU and TPU (SHOT-352 with
+    # fine structure; SHORT_SHOT-32 collapses on smooth shapes under the
+    # k=1 redundancy prune)
+    N = 2048
     config = {"ObjectConfig": {"Children": {
         "Clustering": {"Type": "None"},
         "Codebook": {"Children": {"ActivationStrategy": {
             "Parameters": {"K": 1}, "Type": "KNN"}}},
         "FeatureWeighting": {"Type": "Uniform"},
         "Features": {"Parameters": {
-            "Radius": 0.6, "ReferenceFrameRadius": 0.5}, "Type": "SHORT_SHOT"},
+            "Radius": 0.6, "ReferenceFrameRadius": 0.5,
+            "ReferenceFrameType": "SHOT"}, "Type": "SHOT"},
         "GlobalFeatures": {"Type": "Dummy"},
-        "Keypoints": {"Parameters": {"LeafSize": 0.4}, "Type": "VoxelGrid"},
+        "Keypoints": {"Parameters": {"LeafSize": 0.35}, "Type": "VoxelGrid"},
         "Voting": {"Parameters": {
             "Bandwidth": 0.5, "SingleObjectMode": True,
             "SingleObjectMaxType": "BandwidthVotes"}, "Type": "MeanShift"}},
-        "Parameters": {"DistanceType": "ChiSquared",
+        "Parameters": {"DistanceType": "ChiSquared", "NormalRadius": 0.25,
+                       "ConsistentNormalsMethod": 2,
                        "BoundingBoxType": "AABB"}}}
     ism = ImplicitShapeModel(IsmConfig.from_json(config))
     tmp = tempfile.mkdtemp()
@@ -72,9 +77,10 @@ def test_fast_path_classification_on_device(rng, device_check):
     cb = jax.tree_util.tree_map(jnp.asarray, ism.state.codebook)
 
     cfg = JitPipelineConfig(
-        descriptor="SHORT_SHOT", radius=0.6, ref_frame_radius=0.5,
-        leaf_size=0.4, metric="chisq", knn_k=1, keypoint_capacity=96,
-        neighbor_capacity=512, bandwidth=0.5, num_classes=3)
+        descriptor="SHOT", radius=0.6, ref_frame_radius=0.5,
+        leaf_size=0.35, normal_radius=0.25, normals_method=2,
+        metric="chisq", knn_k=1, keypoint_capacity=192,
+        neighbor_capacity=896, bandwidth=0.5, num_classes=3)
     params = CodebookParams(knn_k=1)
     step = jax.jit(jax.vmap(
         lambda p, m: classify_scores(p, m, cb, cfg, params)))
