@@ -19,6 +19,7 @@ strings (features/features_factory.h:48-110).
 from __future__ import annotations
 
 import functools
+import os
 import time
 from dataclasses import dataclass, replace
 from typing import Callable, Dict, Optional, Tuple
@@ -224,11 +225,25 @@ def _descriptor_fn(n: int, fcfg: FeatureConfig):
         from ..ops.short_shot import resolve_color_bins
         _, crb, ceb, cab = resolve_color_bins(fcfg.short_color_shot_dims)
     if fcfg.type == "CGF":
-        from ..ops.cgf import CgfEmbedding
+        from ..ops.cgf import CgfEmbedding, default_checkpoint_path
         if fcfg.cgf_checkpoint:
+            # an explicit path must exist (the reference hard-requires its
+            # downloaded TF checkpoint, features_cgf.cpp:46-68)
             cgf_embedding = CgfEmbedding.from_npz(fcfg.cgf_checkpoint)
         else:
-            cgf_embedding = CgfEmbedding.random_projection(fcfg.cgf_output_dims)
+            shipped = default_checkpoint_path()
+            if os.path.exists(shipped):
+                cgf_embedding = CgfEmbedding.from_npz(shipped)
+            else:
+                import warnings
+                warnings.warn(
+                    "CGF: no checkpoint (CgfCheckpointPath empty and the "
+                    "shipped cgf_embedding.npz is missing) -- falling back "
+                    "to a seeded random projection; descriptors are NOT "
+                    "comparable to trained CGF. Train one with "
+                    "python -m point_cloud_donkey_tpu.cli.train_cgf_embedding")
+                cgf_embedding = CgfEmbedding.random_projection(
+                    fcfg.cgf_output_dims)
 
     cap = min(fcfg.neighbor_capacity, n)
 

@@ -32,6 +32,14 @@ CGF_A_BINS = 12
 CGF_RAW_LEN = CGF_R_BINS * CGF_P_BINS * CGF_A_BINS  # 2244
 
 
+def default_checkpoint_path() -> str:
+    """The shipped synthetic-correspondence embedding
+    (trained by cli/train_cgf_embedding.py)."""
+    import os
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "cgf_embedding.npz")
+
+
 def cgf_raw_histogram(
     keypoints: jnp.ndarray,     # [K, 3]
     kp_normals: jnp.ndarray,    # [K, 3] normals at keypoints (for z flip)

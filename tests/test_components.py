@@ -198,6 +198,55 @@ def test_cgf_raw_and_embedding(rng):
     assert np.asarray(res.valid).all()
 
 
+def test_cgf_shipped_embedding_discriminative():
+    """The shipped checkpoint (data/cgf_embedding.npz, trained on synthetic
+    correspondences by cli/train_cgf_embedding.py) maps re-samplings of the
+    same surface location closer together than different locations."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from point_cloud_donkey_tpu.ops.cgf import (CgfEmbedding, cgf_raw_histogram,
+                                                default_checkpoint_path)
+    from point_cloud_donkey_tpu.ops.lrf import shot_lrf
+    from point_cloud_donkey_tpu.ops.neighbors import gather_radius_neighbors
+    import shapes
+
+    path = default_checkpoint_path()
+    assert os.path.exists(path), "shipped CGF checkpoint missing"
+    emb = CgfEmbedding.from_npz(path)
+    rng = np.random.default_rng(99)  # own stream: keep the shared fixture's
+    # draw order unchanged for the other tests
+
+    radius = 0.6
+    base = shapes.SHAPES[1](np.random.default_rng(5), 1024)  # box
+    kp = base[::101][:8].astype(np.float32)
+
+    def hist(sample_seed):
+        pts = shapes.SHAPES[1](np.random.default_rng(sample_seed), 1024)
+        pts = (pts + rng.normal(scale=0.008, size=pts.shape)).astype(np.float32)
+        mask = jnp.ones(len(pts), bool)
+        lrf = shot_lrf(jnp.asarray(kp), jnp.ones(len(kp), bool),
+                       jnp.asarray(pts), mask, 0.75 * radius)
+        nbr = gather_radius_neighbors(jnp.asarray(kp), jnp.asarray(pts), mask,
+                                      radius, capacity=512)
+        nrm = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-9)
+        return cgf_raw_histogram(jnp.asarray(kp), jnp.asarray(nrm[:len(kp)]),
+                                 lrf.frames, lrf.valid, jnp.asarray(pts),
+                                 nbr, radius)
+
+    za = np.array(emb(hist(11)))
+    zb = np.array(emb(hist(12)))
+    za /= np.maximum(np.linalg.norm(za, axis=1, keepdims=True), 1e-9)
+    zb /= np.maximum(np.linalg.norm(zb, axis=1, keepdims=True), 1e-9)
+    sim = za @ zb.T
+    same = np.diag(sim)
+    other = (sim.sum(1) - same) / (len(kp) - 1)
+    # correspondences beat the average non-correspondence for most keypoints
+    assert (same > other).mean() >= 0.75, (same, other)
+    assert same.mean() - other.mean() > 0.1
+
+
 def test_native_loader_kernels(rng, tmp_path):
     """Native LZF + float parsing match the pure-Python paths."""
     from point_cloud_donkey_tpu.utils import native
