@@ -184,6 +184,51 @@ def main():
         import hard_shapes
         hard_acc, _per_class = hard_shapes.run_hard_benchmark()
 
+    # --- scene-scale detection (tiled neighbor path, ops/tiled.py) -----------
+    scene_pts_per_sec = scene_points = None
+    if left() > 300:
+        scfg = {"ObjectConfig": {"Children": {
+            "Clustering": {"Type": "None"},
+            "Codebook": {"Children": {"ActivationStrategy": {
+                "Parameters": {"K": 1}, "Type": "KNN"}}},
+            "FeatureWeighting": {"Type": "Uniform"},
+            "Features": {"Parameters": {
+                "Radius": 0.6, "ReferenceFrameRadius": 0.5},
+                "Type": "SHORT_SHOT"},
+            "GlobalFeatures": {"Type": "Dummy"},
+            "Keypoints": {"Parameters": {"LeafSize": 0.3}, "Type": "VoxelGrid"},
+            "Voting": {"Parameters": {
+                "Bandwidth": 0.6, "SingleObjectMode": False,
+                "MinThreshold": -0.5, "MaxFilterType": "Merge",
+                "MinVotesThreshold": 3}, "Type": "MeanShift"}},
+            "Parameters": {"DistanceType": "ChiSquared",
+                           "BoundingBoxType": "AABB"}}}
+        ism_s = ImplicitShapeModel(IsmConfig.from_json(scfg))
+        for cid in (1, 2):
+            for j in range(2):
+                pts = shapes.make_instance(rng, cid, n=2000, rotate=False)
+                p = os.path.join(tmp, f"s{cid}{j}.pcd")
+                save_pcd(p, PointCloud(xyz=pts))
+                ism_s.add_training_model(p, cid, cid)
+        ism_s.train()
+        # 120k-point composed scene: 2 objects + dense ground + clutter
+        box_pts = shapes.make_instance(rng, 1, n=20000, rotate=False)
+        torus_pts = shapes.make_instance(rng, 2, n=20000, rotate=False) \
+            + [5.0, 0, 0]
+        gx = rng.uniform(-4, 9, 70000)
+        gy = rng.uniform(-5, 5, 70000)
+        ground = np.stack([gx, gy, np.full_like(gx, -1.2)
+                           + rng.normal(scale=0.01, size=gx.shape)], 1)
+        clutter = rng.uniform(-3, 8, (10000, 3)) * [1, 1, 0.1] + [0, 3.0, 1.5]
+        scene = np.concatenate(
+            [box_pts, torus_pts, ground, clutter]).astype(np.float32)
+        ism_s.detect(scene)  # compile
+        t0 = time.perf_counter()
+        ism_s.detect(scene)
+        scene_dt = time.perf_counter() - t0
+        scene_points = len(scene)
+        scene_pts_per_sec = round(scene_points / scene_dt, 0)
+
     print(json.dumps({
         "metric": "clouds/sec/chip end-to-end classification (2048-pt clouds, SHOT-352 + kNN codebook + voting)",
         "value": round(clouds_per_sec, 2),
@@ -198,6 +243,8 @@ def main():
                   "train_clouds_per_sec": train_clouds_per_sec,
                   "train_n": TRAIN_N,
                   "hard_accuracy_20class": hard_acc,
+                  "scene_detect_pts_per_sec": scene_pts_per_sec,
+                  "scene_points": scene_points,
                   "bench_wall_s": round(time.perf_counter() - bench_t0, 1),
                   "device": str(jax.devices()[0])},
     }))
