@@ -35,6 +35,9 @@ def main(argv=None) -> int:
                    help="clouds per device step")
     p.add_argument("--points", type=int, default=2048,
                    help="pad/subsample clouds to this many points")
+    p.add_argument("--devices", type=int, default=0,
+                   help="limit the data mesh to this many devices "
+                        "(0 = all available)")
     args = p.parse_args(argv)
 
     ism = ImplicitShapeModel.load(args.detect)
@@ -58,6 +61,8 @@ def main(argv=None) -> int:
     labels = fl.instance_labels if fl.using_instances else fl.class_labels
 
     n_dev = len(jax.devices())
+    if args.devices > 0:
+        n_dev = min(n_dev, args.devices)
     mesh = make_mesh(n_data=n_dev, n_model=1)
     cb_sharded = shard_codebook(cb, mesh)
     step = batched_classify(mesh, cb_sharded, cfg, CodebookParams())

@@ -109,10 +109,6 @@ def get_search_dist(class_id: int, params: VotingParams,
 
 
 import functools
-import itertools
-
-# deterministic but non-repeating RANSAC seeds across calls within a process
-_ransac_seed_counter = itertools.count(1)
 
 
 @functools.lru_cache(maxsize=None)
@@ -259,13 +255,15 @@ def find_maxima(
                 d_mv = np.linalg.norm(
                     m_pos[:, None, :] - v_pos[None, :, :], axis=2)
                 mem0 = d_mv <= bandwidth
-            # fresh sample sequence per call (the reference re-randomizes
-            # per run via rand(); a constant seed would reuse the identical
-            # sample sequence for every cluster in every detection)
+            # input-derived seed: varies across classes/vote sets (the
+            # reference re-randomizes per run via rand(); a constant seed
+            # would replay the identical sample sequence for every cluster
+            # of every detection) while keeping runs reproducible
+            seed = (len(v_pos) * 1000003 + len(m_pos) * 101
+                    + int(class_id) * 7919) & 0x7FFFFFFF
             m_pos, mem_f = filter_votes_with_ransac(
                 m_pos, mem0, v_scene_kp[sel], v_train_kp[sel],
-                thr, params.min_votes_threshold,
-                seed=next(_ransac_seed_counter))
+                thr, params.min_votes_threshold, seed=seed)
             if hough_members is not None:
                 hough_members = [np.nonzero(r)[0] for r in mem_f]
 

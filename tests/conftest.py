@@ -28,6 +28,8 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same fresh stream it would see
+    # when run alone, so tests cannot couple through shared rng state
     return np.random.default_rng(42)

@@ -11,7 +11,7 @@ from point_cloud_donkey_tpu.utils.config import ComponentConfig
 
 
 @pytest.fixture(scope="module")
-def cloud(rng):
+def cloud():
     pts = shapes.make_instance(np.random.default_rng(3), 1, n=800, rotate=False)
     rgb = np.full((800, 3), 0.5, np.float32)
     rgb[pts[:, 0] > 0] = [0.8, 0.2, 0.2]

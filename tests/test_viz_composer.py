@@ -100,6 +100,9 @@ def test_serve_cli(tmp_path, capsys):
     from point_cloud_donkey_tpu.utils.config import IsmConfig
     import json
     cfg = IsmConfig.template()
+    # the template defaults to CSHOT-1344; the 8-device virtual mesh runs
+    # on one physical core, so use the cheap normal-free descriptor here
+    cfg.child("Features").type = "SHORT_SHOT"
     cfg.child("Features").params.update(
         {"Radius": 0.6, "ReferenceFrameRadius": 0.5})
     cfg.child("Keypoints").params["LeafSize"] = 0.35
@@ -120,7 +123,8 @@ def test_serve_cli(tmp_path, capsys):
     lst = tmp_path / "test.txt"
     lst.write_text("# test\n" + "\n".join(
         f"{f} {c}" for c, f in enumerate(names)) + "\n")
-    rc = serve.main(["-d", model, "-f", str(lst), "--points", "1024"])
+    rc = serve.main(["-d", model, "-f", str(lst), "--points", "512",
+                     "--devices", "2", "--batch", "2"])
     out = capsys.readouterr().out
     assert rc == 0
     assert "Accuracy: 100 %" in out
