@@ -38,6 +38,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Train: class ids for -m models")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="write a jax.profiler trace of the run to DIR")
+    p.add_argument("--fast", action="store_true",
+                   help="batched jitted classification (TPU serving path); "
+                        "eligible for single-object-mode configs with "
+                        "SHOT/CSHOT/SHORT_SHOT + VoxelGrid keypoints -- "
+                        "orders of magnitude faster than the per-cloud host "
+                        "path, same argmax decisions")
+    p.add_argument("--fast-batch", type=int, default=32,
+                   help="clouds per device step in --fast mode")
     p.add_argument("--template", metavar="OUT.ism",
                    help="Write a fully-populated default config and exit "
                         "(the reference emits one when an empty model is "
@@ -99,6 +107,104 @@ def run_training(args) -> int:
     return 0
 
 
+def _fast_classify(ism, filenames, batch_size):
+    """Batched jitted classification over the file list (the TPU serving
+    path).  Returns (results, times) with results[i] = (class_id,
+    glob_class_id, instance_id), or None when the model config is not
+    eligible for the fused single-object program."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.pipeline_jit import (JitPipelineConfig,
+                                       classify_scores_instances)
+    from ..models.ism import _codebook_params
+    from ..utils.io import load_cloud
+    from ..models.features import bucket_size
+
+    fcfg = ism._feature_cfg()
+    kp_cfg = ism.config.child("Keypoints")
+    vcfg = ism.config.child("Voting")
+    eligible = (
+        fcfg.type in ("SHOT", "SHORT_SHOT", "CSHOT")
+        and (kp_cfg.type or "VoxelGrid") == "VoxelGrid"
+        and vcfg.get("SingleObjectMode", False)
+        # only the fixed-bandwidth centroid query is reproduced by the
+        # fused program (voting_mean_shift.cpp:124-156 BANDWIDTH mode)
+        and vcfg.get("SingleObjectMaxType", "Default") == "BandwidthVotes"
+        and not vcfg.get("UseGlobalFeatures", False))
+    if not eligible:
+        return None
+
+    t_all = time.perf_counter()
+    clouds, rgbs = [], []
+    for fn in filenames:
+        pc = load_cloud(fn).remove_nan()
+        clouds.append(pc.xyz)
+        rgbs.append(pc.rgb)
+    with_rgb = fcfg.type == "CSHOT"
+    if with_rgb and any(r is None for r in rgbs):
+        return None
+
+    n_bucket = bucket_size(max(len(c) for c in clouds), minimum=256)
+    # exact keypoint-capacity bound from host-side voxel counting
+    leaf = kp_cfg.get("LeafSize", 0.1)
+    max_kp = 1
+    for c in clouds:
+        ids = np.unique(np.floor(c / leaf).astype(np.int64), axis=0)
+        max_kp = max(max_kp, len(ids))
+    kp_cap = bucket_size(max_kp, minimum=64)
+
+    cb = jax.tree_util.tree_map(jnp.asarray, ism.state.codebook)
+    cb_params = _codebook_params(ism.config.child("Codebook"))
+    cfg = JitPipelineConfig(
+        descriptor=fcfg.type, radius=fcfg.radius,
+        ref_frame_radius=fcfg.ref_frame_radius, leaf_size=leaf,
+        normal_radius=ism.root.get("NormalRadius", 0.05),
+        normals_method=ism.root.get("ConsistentNormalsMethod", 2),
+        metric=ism.metric, keypoint_capacity=kp_cap,
+        bandwidth=vcfg.get("Bandwidth", 0.1),
+        num_classes=int(ism.state.codebook.class_sigma.shape[0]))
+    n_inst = int(np.max(ism.state.codebook.vote_instance)) + 1 \
+        if ism.state.codebook.vote_instance.size else 1
+
+    step = jax.jit(jax.vmap(lambda p, m, r: classify_scores_instances(
+        p, m, cb, cfg, cb_params, n_inst,
+        rgb=r if with_rgb else None)))
+
+    n = len(clouds)
+    results = []
+    times = {k: 0.0 for k in ("complete", "features", "keypoints", "normals",
+                              "flann", "voting", "maxima")}
+    t_exec = 0.0
+    for i0 in range(0, n, batch_size):
+        chunk = clouds[i0:i0 + batch_size]
+        b = len(chunk)
+        pts = np.full((batch_size, n_bucket, 3), 1e9, np.float32)
+        msk = np.zeros((batch_size, n_bucket), bool)
+        rgb = np.zeros((batch_size, n_bucket, 3), np.float32)
+        for j, c in enumerate(chunk):
+            pts[j, :len(c)] = c
+            msk[j, :len(c)] = True
+            if with_rgb:
+                rgb[j, :len(c)] = rgbs[i0 + j]
+        t0 = time.perf_counter()
+        cls_s, inst_s = step(jnp.asarray(pts), jnp.asarray(msk),
+                             jnp.asarray(rgb))
+        cls_s = np.asarray(cls_s)[:b]
+        inst_s = np.asarray(inst_s)[:b]
+        t_exec += time.perf_counter() - t0
+        for j in range(b):
+            cid = int(cls_s[j].argmax()) if cls_s[j].max() > 0 else -1
+            iid = int(inst_s[j].argmax()) if inst_s[j].max() > 0 else -1
+            results.append((cid, cid, iid))
+    # the fused program has no per-stage boundaries; report the device time
+    # under "voting" and the host prep under "features"
+    times["complete"] = time.perf_counter() - t_all
+    times["voting"] = t_exec
+    times["features"] = times["complete"] - t_exec
+    return results, times
+
+
 def run_classification(args) -> int:
     ism_file = args.detect or args.train
     ism = ImplicitShapeModel.load(ism_file)
@@ -119,19 +225,39 @@ def run_classification(args) -> int:
 
     wall0 = time.perf_counter()
     times: Dict[str, float] = {}
-    for path, true_cls, true_inst in zip(fl.filenames, gt_class_ids, gt_instance_ids):
-        print(f"Processing file: {path}")
-        maxima, times = ism.detect_file(path)
 
-        class_id, class_id_global, instance_id = -1, -1, -1
-        if maxima:
-            class_id = maxima[0].class_id
-            class_id_global = maxima[0].glob_class_id
-            instance_id = maxima[0].instance_id
+    fast_results = None
+    if getattr(args, "fast", False):
+        fast = _fast_classify(ism, fl.filenames, args.fast_batch)
+        if fast is None:
+            print("--fast: model config not eligible for the fused program "
+                  "(needs SingleObjectMode + SHOT/CSHOT/SHORT_SHOT + "
+                  "VoxelGrid, no global features); falling back to the "
+                  "host path", file=sys.stderr)
+        else:
+            fast_results, times = fast
+
+    for idx, (path, true_cls, true_inst) in enumerate(
+            zip(fl.filenames, gt_class_ids, gt_instance_ids)):
+        if fast_results is not None:
+            class_id, class_id_global, instance_id = fast_results[idx]
             if usage == "INSTANCE_PRIMARY":
                 instance_id = class_id
                 class_id = inst2cls.get(class_id, -1)
                 class_id_global = inst2cls.get(class_id_global, -1)
+        else:
+            print(f"Processing file: {path}")
+            maxima, times = ism.detect_file(path)
+
+            class_id, class_id_global, instance_id = -1, -1, -1
+            if maxima:
+                class_id = maxima[0].class_id
+                class_id_global = maxima[0].glob_class_id
+                instance_id = maxima[0].instance_id
+                if usage == "INSTANCE_PRIMARY":
+                    instance_id = class_id
+                    class_id = inst2cls.get(class_id, -1)
+                    class_id_global = inst2cls.get(class_id_global, -1)
 
         line = (f"file: {path}, ground truth class: {true_cls}, "
                 f"classified class: {class_id}")

@@ -111,6 +111,32 @@ def classify_scores(points: jnp.ndarray, mask: jnp.ndarray, cb,
     return scores
 
 
+def classify_scores_instances(points: jnp.ndarray, mask: jnp.ndarray, cb,
+                              cfg: JitPipelineConfig,
+                              cb_params: CodebookParams,
+                              num_instances: int,
+                              rgb: jnp.ndarray = None
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """classify_scores variant that also accumulates per-instance centroid
+    densities (votes carry instance ids, codebook.cpp vote records), for the
+    eval CLI's instance-accuracy metric in --fast mode."""
+    kp, frames, desc, valid = extract_features_jit(points, mask, cfg, rgb)
+    votes = cast_votes(cb, desc, kp, frames, valid, cb_params, cfg.metric)
+
+    m = mask.astype(points.dtype)
+    centroid = jnp.sum(points * m[:, None], axis=0) / jnp.maximum(m.sum(), 1.0)
+    d2 = jnp.sum((votes.position - centroid[None, :]) ** 2, axis=1)
+    b2 = cfg.bandwidth * cfg.bandwidth
+    in_r = (d2 <= b2) & votes.valid
+    kern = jnp.exp(-0.5 * d2 / b2)
+    w = jnp.where(in_r, kern * votes.weight, 0.0)
+    cls_scores = jax.ops.segment_sum(w, votes.class_id,
+                                     num_segments=cfg.num_classes)
+    inst_scores = jax.ops.segment_sum(w, votes.instance_id,
+                                      num_segments=num_instances)
+    return cls_scores, inst_scores
+
+
 def classify_scores_mean_shift(points: jnp.ndarray, mask: jnp.ndarray, cb,
                                cfg: JitPipelineConfig,
                                cb_params: CodebookParams,

@@ -171,3 +171,60 @@ def test_quickstart_scale_config(tmp_path):
         if maxima and maxima[0].class_id == c:
             correct += 1
     assert correct == 3
+
+
+@pytest.mark.slow
+def test_fast_cli_matches_host_decisions(tmp_path):
+    """--fast (batched jitted serving path) must reproduce the host path's
+    per-file decisions through the eval CLI."""
+    import json
+
+    from point_cloud_donkey_tpu.cli.eval_classification import main as cls_main
+
+    rng = np.random.default_rng(11)
+    config = {"ObjectConfig": {"Children": {
+        "Clustering": {"Type": "None"},
+        "Codebook": {"Children": {"ActivationStrategy": {
+            "Parameters": {"K": 1}, "Type": "KNN"}}},
+        "FeatureWeighting": {"Type": "Uniform"},
+        "Features": {"Parameters": {
+            "Radius": 0.6, "ReferenceFrameRadius": 0.5}, "Type": "SHORT_SHOT"},
+        "GlobalFeatures": {"Type": "Dummy"},
+        "Keypoints": {"Parameters": {"LeafSize": 0.35}, "Type": "VoxelGrid"},
+        "Voting": {"Parameters": {
+            "Bandwidth": 0.5, "SingleObjectMode": True,
+            "SingleObjectMaxType": "BandwidthVotes"}, "Type": "MeanShift"}},
+        "Parameters": {"DistanceType": "ChiSquared",
+                       "BoundingBoxType": "AABB"}}}
+    cfg_path = str(tmp_path / "config.ism")
+    json.dump(config, open(cfg_path, "w"))
+
+    train, test = ["# train"], ["# test"]
+    for cid, name in [(1, "box"), (2, "torus"), (3, "cyl")]:
+        for j in range(2):
+            pts = shapes.make_instance(rng, cid, n=1024, rotate=False)
+            p = str(tmp_path / f"tr_{name}_{j}.pcd")
+            save_pcd(p, PointCloud(xyz=pts))
+            train.append(f"{p} {name}")
+        for j in range(2):
+            pts = shapes.make_instance(rng, cid, n=1024, rotate=True)
+            p = str(tmp_path / f"te_{name}_{j}.pcd")
+            save_pcd(p, PointCloud(xyz=pts))
+            test.append(f"{p} {name}")
+    (tmp_path / "train.txt").write_text("\n".join(train) + "\n")
+    (tmp_path / "test.txt").write_text("\n".join(test) + "\n")
+
+    assert cls_main(["-t", cfg_path, "-f", str(tmp_path / "train.txt"),
+                     "-o", str(tmp_path / "model")]) == 0
+    assert cls_main(["-d", str(tmp_path / "model.ism"),
+                     "-f", str(tmp_path / "test.txt"),
+                     "-o", str(tmp_path / "host")]) == 0
+    assert cls_main(["-d", str(tmp_path / "model.ism"),
+                     "-f", str(tmp_path / "test.txt"),
+                     "-o", str(tmp_path / "fast"), "--fast"]) == 0
+
+    host = [ln for ln in open(tmp_path / "host" / "summary.txt")
+            if ln.startswith("file:")]
+    fast = [ln for ln in open(tmp_path / "fast" / "summary.txt")
+            if ln.startswith("file:")]
+    assert host == fast and len(host) == 6
