@@ -45,6 +45,14 @@ def eigh3x3_batched(cov: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return eigh3x3(cov)
 
 
+def _use_pallas() -> bool:
+    """Opt-in fused-kernel path (ops/pallas/lrf_moments.py).  Off by
+    default: the axon TPU tunnel aborts on any pallas_call; enable on TPU
+    systems with Pallas support via PCD_USE_PALLAS=1."""
+    import os
+    return os.environ.get("PCD_USE_PALLAS") == "1"
+
+
 def shot_lrf(
     queries: jnp.ndarray,    # [Q, 3] keypoints
     q_mask: jnp.ndarray,     # [Q]
@@ -53,6 +61,11 @@ def shot_lrf(
     radius: float,
     min_neighbors: int = 5,
 ) -> LRFResult:
+    if _use_pallas():
+        from .pallas.lrf_moments import shot_lrf_pallas
+        frames, valid = shot_lrf_pallas(queries, q_mask, points, mask,
+                                        radius, min_neighbors)
+        return LRFResult(frames=frames, valid=valid)
     mom = radius_covariance(queries, points, mask, radius,
                             weighting="shot", center="query")
     vals, vecs = eigh3x3_batched(mom.cov)

@@ -1,0 +1,255 @@
+"""Fused radius-moment + sign-vote Pallas kernels for SHOT LRFs / normals.
+
+Why: the matmul formulation (ops/neighbors.radius_covariance +
+ops/lrf.shot_lrf) materializes several [Q, N] float32 arrays in HBM per
+pass (d2, in-radius mask, weights, then two sign-vote dot blocks) -- for
+the self-LRF over a 2048-pt cloud that is ~9 x 16 MB of HBM traffic per
+cloud, and the serving extract stage is HBM-bound because of it (measured
+9.5 ms / 32-cloud batch for normals alone on v5e).
+
+These kernels stream [TQ, TN] blocks through VMEM instead: the distance
+block, the radius gate and the weights live only on-chip, and the HBM
+traffic drops to the points themselves plus tiny [16, Q] outputs.
+
+Layout: coordinates are transposed to [8, L] (rows 0..2 = x, y, z; rest
+zero-padding to the f32 sublane tile), with L padded to the lane tile and
+invalid/padded points parked far away (1e9) so every gate fails for them
+-- no separate mask plumbing.
+
+Numerics note: distances here are exact coordinate differences, not the
+(q^2 + p^2 - 2qp) matmul identity, so the radius gate is *more* accurate
+than the matmul path; boundary points within ~1e-7 of the radius may gate
+differently between the two implementations, and keypoints with
+near-degenerate covariance (ambiguous LRFs by construction) can settle on
+a different sign.  Parity is asserted statistically (>= 97% of frames
+bit-close, all valid flags equal) in tests/test_pallas_kernels.py.
+
+STATUS: opt-in via PCD_USE_PALLAS=1 (ops/lrf.py dispatch).  The axon
+TPU tunnel used by this development environment terminates the process on
+the first pallas_call (even the minimal doubling kernel from the guide),
+so the kernels are validated in interpreter mode here and kept off the
+default path; on a TPU system with Pallas support they drop the LRF
+stage's HBM traffic from ~9 [Q, N] float32 arrays to the point stream.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TQ = 256   # query tile (lanes-major rows of the output)
+TN = 512   # point tile streamed per grid step
+
+# moment output rows in the [16, Q] result
+R_S0, R_S1X, R_S1Y, R_S1Z = 0, 1, 2, 3
+R_XX, R_YY, R_ZZ, R_XY, R_XZ, R_YZ = 4, 5, 6, 7, 8, 9
+R_CNT = 10
+
+
+def _pad_lanes(n: int, t: int) -> int:
+    return -(-n // t) * t
+
+
+def to_lanes(xyz: jnp.ndarray, lanes: int) -> jnp.ndarray:
+    """[L, 3] -> [8, lanes] rows x/y/z, padded entries parked at 1e9."""
+    L = xyz.shape[0]
+    out = jnp.full((8, lanes), 1e9, xyz.dtype)
+    out = out.at[:3, :L].set(xyz.T)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "weighting"))
+def _moments_call(qt: jnp.ndarray, pt: jnp.ndarray, radius: float,
+                  weighting: str) -> jnp.ndarray:
+    qpad = qt.shape[1]
+    npad = pt.shape[1]
+    r2 = np.float32(radius * radius)
+    rad = np.float32(radius)
+
+    def kern(q_ref, p_ref, out_ref):
+        j = pl.program_id(1)
+        qx, qy, qz = q_ref[0, :], q_ref[1, :], q_ref[2, :]
+        px, py, pz = p_ref[0, :], p_ref[1, :], p_ref[2, :]
+        dx = qx[:, None] - px[None, :]
+        dy = qy[:, None] - py[None, :]
+        dz = qz[:, None] - pz[None, :]
+        d2 = dx * dx + dy * dy + dz * dz
+        in_r = d2 <= r2
+        if weighting == "shot":
+            w = jnp.where(in_r, rad - jnp.sqrt(d2), 0.0)
+        else:
+            w = in_r.astype(jnp.float32)
+        pxb, pyb, pzb = px[None, :], py[None, :], pz[None, :]
+        rows = [
+            jnp.sum(w, axis=1),
+            jnp.sum(w * pxb, axis=1),
+            jnp.sum(w * pyb, axis=1),
+            jnp.sum(w * pzb, axis=1),
+            jnp.sum(w * pxb * pxb, axis=1),
+            jnp.sum(w * pyb * pyb, axis=1),
+            jnp.sum(w * pzb * pzb, axis=1),
+            jnp.sum(w * pxb * pyb, axis=1),
+            jnp.sum(w * pxb * pzb, axis=1),
+            jnp.sum(w * pyb * pzb, axis=1),
+            jnp.sum(in_r.astype(jnp.float32), axis=1),
+        ]
+        zero = jnp.zeros_like(rows[0])
+        block = jnp.stack(rows + [zero] * (16 - len(rows)))     # [16, TQ]
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = block
+
+        @pl.when(j != 0)
+        def _():
+            out_ref[:] = out_ref[:] + block
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((16, qpad), jnp.float32),
+        grid=(qpad // TQ, npad // TN),
+        in_specs=[
+            pl.BlockSpec((8, TQ), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TN), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((16, TQ), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(qt, pt)
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def _sign_votes_call(qt: jnp.ndarray, pt: jnp.ndarray, axes: jnp.ndarray,
+                     radius: float) -> jnp.ndarray:
+    """axes: [8, Qpad] rows 0..2 = candidate x-axis, 3..5 = candidate z-axis.
+    Returns [8, Qpad]: row 0 = #(offset . x_axis >= 0, in radius),
+    row 1 = same for the z-axis."""
+    qpad = qt.shape[1]
+    npad = pt.shape[1]
+    r2 = np.float32(radius * radius)
+
+    def kern(q_ref, p_ref, a_ref, out_ref):
+        j = pl.program_id(1)
+        qx, qy, qz = q_ref[0, :], q_ref[1, :], q_ref[2, :]
+        px, py, pz = p_ref[0, :], p_ref[1, :], p_ref[2, :]
+        dx = px[None, :] - qx[:, None]        # offset vector p - q
+        dy = py[None, :] - qy[:, None]
+        dz = pz[None, :] - qz[:, None]
+        d2 = dx * dx + dy * dy + dz * dz
+        in_r = d2 <= r2
+        vx, vy, vz = a_ref[0, :], a_ref[1, :], a_ref[2, :]
+        ux, uy, uz = a_ref[3, :], a_ref[4, :], a_ref[5, :]
+        dot_x = dx * vx[:, None] + dy * vy[:, None] + dz * vz[:, None]
+        dot_z = dx * ux[:, None] + dy * uy[:, None] + dz * uz[:, None]
+        plus_x = jnp.sum((in_r & (dot_x >= 0)).astype(jnp.float32), axis=1)
+        plus_z = jnp.sum((in_r & (dot_z >= 0)).astype(jnp.float32), axis=1)
+        zero = jnp.zeros_like(plus_x)
+        block = jnp.stack([plus_x, plus_z] + [zero] * 6)        # [8, TQ]
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = block
+
+        @pl.when(j != 0)
+        def _():
+            out_ref[:] = out_ref[:] + block
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((8, qpad), jnp.float32),
+        grid=(qpad // TQ, npad // TN),
+        in_specs=[
+            pl.BlockSpec((8, TQ), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TN), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TQ), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, TQ), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(qt, pt, axes)
+
+
+def lrf_moments(queries: jnp.ndarray, q_mask: jnp.ndarray,
+                points: jnp.ndarray, mask: jnp.ndarray, radius: float,
+                weighting: str = "shot",
+                center: str = "query"):
+    """Drop-in replacement for ops/neighbors.radius_covariance built on the
+    fused kernel.  Returns (cov [Q,3,3], wsum [Q], count [Q], centroid-shift
+    applied to inputs) matching radius_covariance's math."""
+    m = mask.astype(points.dtype)
+    shift = jnp.sum(points * m[:, None], axis=0) / jnp.maximum(m.sum(), 1.0)
+    pts = jnp.where(mask[:, None], points - shift[None, :], 1e9)
+    qs = jnp.where(q_mask[:, None], queries - shift[None, :], 1e9)
+
+    qpad = _pad_lanes(qs.shape[0], TQ)
+    npad = _pad_lanes(pts.shape[0], TN)
+    mom = _moments_call(to_lanes(qs, qpad), to_lanes(pts, npad),
+                        float(radius), weighting)
+    mom = mom[:, :queries.shape[0]]
+
+    s0 = mom[R_S0]
+    s1 = mom[R_S1X:R_S1Z + 1].T                                   # [Q, 3]
+    s2 = jnp.stack([
+        jnp.stack([mom[R_XX], mom[R_XY], mom[R_XZ]], axis=-1),
+        jnp.stack([mom[R_XY], mom[R_YY], mom[R_YZ]], axis=-1),
+        jnp.stack([mom[R_XZ], mom[R_YZ], mom[R_ZZ]], axis=-1),
+    ], axis=-2)                                                   # [Q, 3, 3]
+    count = mom[R_CNT].astype(jnp.int32)
+
+    s0_safe = jnp.maximum(s0, 1e-30)
+    if center == "mean":
+        c = s1 / s0_safe[:, None]
+    else:
+        c = qs[:, :3]
+        c = jnp.where(q_mask[:, None], c, 0.0)
+    cov = (s2 - c[:, :, None] * s1[:, None, :]
+           - s1[:, :, None] * c[:, None, :]
+           + s0[:, None, None] * c[:, :, None] * c[:, None, :])
+    cov = cov / s0_safe[:, None, None]
+    return cov, s0, count
+
+
+def shot_lrf_pallas(queries: jnp.ndarray, q_mask: jnp.ndarray,
+                    points: jnp.ndarray, mask: jnp.ndarray, radius: float,
+                    min_neighbors: int = 5):
+    """SHOT LRF via the fused kernels (parity target: ops/lrf.shot_lrf).
+    Returns (frames [Q,3,3] rows = x,y,z axes, valid [Q])."""
+    from ..eigh3 import eigh3x3
+
+    cov, wsum, count = lrf_moments(queries, q_mask, points, mask, radius,
+                                   weighting="shot", center="query")
+    _, vecs = eigh3x3(cov)
+    v1 = vecs[:, :, 2]
+    v3 = vecs[:, :, 0]
+
+    # sign votes in one fused pass over the cloud
+    m = mask.astype(points.dtype)
+    shift = jnp.sum(points * m[:, None], axis=0) / jnp.maximum(m.sum(), 1.0)
+    pts = jnp.where(mask[:, None], points - shift[None, :], 1e9)
+    qs = jnp.where(q_mask[:, None], queries - shift[None, :], 1e9)
+    qpad = _pad_lanes(qs.shape[0], TQ)
+    npad = _pad_lanes(pts.shape[0], TN)
+    axes = jnp.zeros((8, qpad), jnp.float32)
+    axes = axes.at[:3, :queries.shape[0]].set(v1.T)
+    axes = axes.at[3:6, :queries.shape[0]].set(v3.T)
+    votes = _sign_votes_call(to_lanes(qs, qpad), to_lanes(pts, npad),
+                             axes, float(radius))
+    plus_x = votes[0, :queries.shape[0]]
+    plus_z = votes[1, :queries.shape[0]]
+    n_in = count.astype(jnp.float32)
+
+    x_axis = jnp.where((plus_x < n_in - plus_x)[:, None], -v1, v1)
+    z_axis = jnp.where((plus_z < n_in - plus_z)[:, None], -v3, v3)
+    y_axis = jnp.cross(z_axis, x_axis)
+    frames = jnp.stack([x_axis, y_axis, z_axis], axis=1)
+    valid = q_mask & (count >= min_neighbors) & (wsum > 0)
+    return frames, valid
