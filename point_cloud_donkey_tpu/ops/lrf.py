@@ -66,20 +66,41 @@ def shot_lrf(
         frames, valid = shot_lrf_pallas(queries, q_mask, points, mask,
                                         radius, min_neighbors)
         return LRFResult(frames=frames, valid=valid)
-    mom = radius_covariance(queries, points, mask, radius,
-                            weighting="shot", center="query")
-    vals, vecs = eigh3x3_batched(mom.cov)
+
+    # one [Q, N] distance pass shared by the moments AND the sign votes
+    # (radius_covariance + a second pairwise_sqdist used to materialize the
+    # distance/gate blocks twice; the LRF stage is HBM-bound on them).
+    # Same math as radius_covariance(weighting="shot", center="query"),
+    # including the centroid shift that keeps the moment identity stable.
+    m = mask.astype(points.dtype)
+    shift = jnp.sum(points * m[:, None], axis=0) / jnp.maximum(m.sum(), 1.0)
+    pts_s = points - shift
+    q_s = queries - shift
+
+    d2 = pairwise_sqdist(q_s, pts_s)
+    in_r = (d2 <= radius * radius) & mask[None, :]
+    w = jnp.where(in_r, radius - jnp.sqrt(d2), 0.0).astype(points.dtype)
+
+    hi = jax.lax.Precision.HIGHEST
+    n_in = jnp.sum(in_r, axis=1)
+    s0 = jnp.sum(w, axis=1)
+    s1 = jnp.matmul(w, pts_s, precision=hi)                      # [Q, 3]
+    xx = (pts_s[:, :, None] * pts_s[:, None, :]).reshape(-1, 9)  # [N, 9]
+    s2 = jnp.matmul(w, xx, precision=hi).reshape(-1, 3, 3)       # [Q, 3, 3]
+    s0_safe = jnp.maximum(s0, 1e-30)
+    c = jnp.where(q_mask[:, None], q_s, 0.0)
+    cov = (s2 - c[:, :, None] * s1[:, None, :]
+           - s1[:, :, None] * c[:, None, :]
+           + s0[:, None, None] * c[:, :, None] * c[:, None, :])
+    cov = cov / s0_safe[:, None, None]
+
+    vals, vecs = eigh3x3_batched(cov)
     v1 = vecs[:, :, 2]  # largest eigenvalue -> x axis candidate
     v3 = vecs[:, :, 0]  # smallest -> z axis candidate
 
-    # disambiguation: dots[q, n] = (x_n - p_q) . v
-    # = (X @ v_q) - p_q . v_q, computed per axis with one matmul each
-    d2 = pairwise_sqdist(queries, points)
-    in_r = (d2 <= radius * radius) & mask[None, :]
-    n_in = jnp.sum(in_r, axis=1)
-
     def flip_sign(v):
-        dots = jnp.einsum("nd,qd->qn", points, v) - jnp.sum(queries * v, axis=1)[:, None]
+        dots = jnp.einsum("nd,qd->qn", pts_s, v) \
+            - jnp.sum(q_s * v, axis=1)[:, None]
         plus = jnp.sum((dots >= 0) & in_r, axis=1)
         minus = n_in - plus
         flip = plus < minus  # majority-vote sign; ties keep eigh's convention
@@ -90,7 +111,7 @@ def shot_lrf(
     y_axis = jnp.cross(z_axis, x_axis)
 
     frames = jnp.stack([x_axis, y_axis, z_axis], axis=1)  # rows = axes
-    valid = q_mask & (n_in >= min_neighbors) & (mom.wsum > 0)
+    valid = q_mask & (n_in >= min_neighbors) & (s0 > 0)
     return LRFResult(frames=frames, valid=valid)
 
 

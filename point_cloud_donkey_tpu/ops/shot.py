@@ -101,6 +101,41 @@ def _histogram_outer(vol: jnp.ndarray, bins: jnp.ndarray,
     return hist.reshape(K, n_vol * n_bin)
 
 
+def _shot_histogram_2pass(desc, step, central_w, cos_bin, cos_w,
+                          rad_vol, rad_w, incl_vol, incl_w,
+                          az_vol, az_w) -> jnp.ndarray:
+    """SHOT's 5 scatter slots as TWO batched matmuls instead of five.
+
+    Slots (central, cosine-interp) share the volume `desc`: one volume
+    one-hot against a bin operand carrying both weighted bin one-hots.
+    Slots (radial, inclination, azimuth) share the bin `step`: their three
+    weighted volume one-hots merge into one multi-hot operand against an
+    unweighted bin one-hot.  Identical sums to the 5-pass version up to fp
+    re-association; 2.5x less one-hot operand traffic through HBM (the
+    [K, M, V] operands dominate this kernel's cost at M ~ 2048)."""
+    dtype = central_w.dtype
+    av = jnp.arange(NR_SECTORS, dtype=jnp.int32)
+    ab = jnp.arange(NR_BINS + 1, dtype=jnp.int32)
+    hi = jax.lax.Precision.HIGHEST
+
+    # pass A: volume one-hot (desc) x [central + cosine] weighted bins
+    oh_desc = (desc[:, :, None] == av).astype(dtype)            # [K,M,V]
+    wc_a = ((step[:, :, None] == ab).astype(dtype) * central_w[:, :, None]
+            + (cos_bin[:, :, None] == ab).astype(dtype) * cos_w[:, :, None])
+    hist = jax.lax.dot_general(oh_desc, wc_a,
+                               (((1,), (1,)), ((0,), (0,))), precision=hi)
+
+    # pass B: weighted volume multi-hot (rad/incl/az) x bin one-hot (step)
+    ohvw = ((rad_vol[:, :, None] == av).astype(dtype) * rad_w[:, :, None]
+            + (incl_vol[:, :, None] == av).astype(dtype) * incl_w[:, :, None]
+            + (az_vol[:, :, None] == av).astype(dtype) * az_w[:, :, None])
+    oh_step = (step[:, :, None] == ab).astype(dtype)
+    hist = hist + jax.lax.dot_general(ohvw, oh_step,
+                                      (((1,), (1,)), ((0,), (0,))),
+                                      precision=hi)
+    return hist.reshape(desc.shape[0], NR_SECTORS * (NR_BINS + 1))
+
+
 def shot_descriptor(
     keypoints: jnp.ndarray,    # [K, 3]
     frames: jnp.ndarray,       # [K, 3, 3] rows = x,y,z axes
@@ -239,22 +274,18 @@ def _shot_core(keypoints, frames, frame_valid, delta, dist, nnrm, use,
     az_w = jnp.where(has_az, jnp.abs(az_dist), 0.0)
     az_idx = jnp.where(has_az, az_idx, 0)
 
-    # --- assemble slots in decomposed (volume, bin) form and accumulate on
-    # the MXU; flat index = volume * (NR_BINS + 1) + bin throughout
+    # --- accumulate the 5 scatter slots on the MXU in two fused passes
+    # (flat index = volume * (NR_BINS + 1) + bin throughout); masked lanes
+    # contribute zero through their zeroed weights
     usef = use.astype(dtype)
     cos_bin = jnp.where(bd > 0, (step + 1) % NR_BINS,
                         (step - 1 + NR_BINS) % NR_BINS)
     rad_vol = jnp.where(has_rad_nbr, desc + jnp.where(outer, -2, 2), 0)
     incl_vol = jnp.where(has_incl_nbr, desc + jnp.where(lower, 1, -1), 0)
-    vols = jnp.stack([desc, desc, rad_vol, incl_vol, az_interp], axis=-1)
-    bins = jnp.stack([step, cos_bin, step, step, step], axis=-1)
-    weights = jnp.stack([central_w, cos_w, rad_w, incl_w, az_w], axis=-1)
-    weights = weights * usef[..., None]
-    vols = jnp.where(use[..., None], vols, 0)
-    bins = jnp.where(use[..., None], bins, 0)
-    weights = jnp.where(use[..., None], weights, 0.0)
-
-    hist = _histogram_outer(vols, bins, weights, NR_SECTORS, NR_BINS + 1)
+    hist = _shot_histogram_2pass(
+        desc, step, central_w * usef, cos_bin, cos_w * usef,
+        rad_vol, rad_w * usef, incl_vol, incl_w * usef,
+        az_interp, az_w * usef)
 
     norm = jnp.linalg.norm(hist, axis=1, keepdims=True)
     descriptors = hist / jnp.maximum(norm, 1e-30)
