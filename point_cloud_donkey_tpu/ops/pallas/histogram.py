@@ -2,11 +2,11 @@
 
 STATUS: retained as a documented experiment, NOT on the hot path.  On v5e
 this kernel measured 452ms/batch vs the XLA chunked-bin reduce at 364ms and
-the MXU outer-product formulation (ops/shot._histogram_outer) at 5.3ms for
+the MXU outer-product formulation (now ops/shot._shot_histogram_2pass) at 5.3ms for
 the SHOT workload -- the VPU masked-reduction strategy cannot compete with
 a systolic matmul for this op, and Mosaic constraints (128-divisible last
 dims, no sublane<->lane reshapes) prevented better layouts.  Kept for the
-record of what was tried; see the perf notes in _histogram_outer.
+record of what was tried; see the perf notes in _shot_histogram_2pass.
 
 The SHOT-family descriptors need, per keypoint row, a weighted histogram over
 a few hundred bins from ~5k (index, weight) pairs.  XLA lowers that scatter

@@ -67,43 +67,10 @@ def _histogram_from_slots(indices: jnp.ndarray, weights: jnp.ndarray,
     return acc[:, :length]
 
 
-def _histogram_outer(vol: jnp.ndarray, bins: jnp.ndarray,
-                     weights: jnp.ndarray, n_vol: int,
-                     n_bin: int) -> jnp.ndarray:
-    """Accumulate [K, M, S] (volume, bin, weight) slots into [K, n_vol*n_bin]
-    histograms via hist[k, v, c] = sum_{m,s} w * (vol==v) * (bin==c).
-
-    TPU strategy: the reduction over m rides the MXU as a batched matmul
-    onehot_vol^T @ (w * onehot_bin) per slot -- compares drop from
-    n_vol*n_bin to n_vol+n_bin per element and the sum becomes systolic.
-    Measured 4x faster than the chunked-bin reduce for SHOT's 32x11 layout
-    (5.3ms vs 20.9ms per 16x192x896x5 batch on v5e); f32 HIGHEST precision
-    keeps bit-parity within summation-order noise.  Out-of-range volumes
-    contribute nothing (all-zero one-hot), matching the flat kernel's
-    no-bin-match behavior for gated slots."""
-    K, M, S = vol.shape
-    vol, bins, weights = jax.lax.optimization_barrier((vol, bins, weights))
-    av = jnp.arange(n_vol, dtype=jnp.int32)
-    ab = jnp.arange(n_bin, dtype=jnp.int32)
-
-    def slot(s, acc):
-        v = jax.lax.dynamic_index_in_dim(vol, s, axis=2, keepdims=False)
-        b = jax.lax.dynamic_index_in_dim(bins, s, axis=2, keepdims=False)
-        w = jax.lax.dynamic_index_in_dim(weights, s, axis=2, keepdims=False)
-        oh_v = (v[:, :, None] == av).astype(weights.dtype)          # [K,M,V]
-        wc = (b[:, :, None] == ab).astype(weights.dtype) * w[:, :, None]
-        return acc + jax.lax.dot_general(
-            oh_v, wc, (((1,), (1,)), ((0,), (0,))),
-            precision=jax.lax.Precision.HIGHEST)                    # [K,V,C]
-
-    hist = jax.lax.fori_loop(0, S, slot,
-                             jnp.zeros((K, n_vol, n_bin), weights.dtype))
-    return hist.reshape(K, n_vol * n_bin)
-
-
 def _shot_histogram_2pass(desc, step, central_w, cos_bin, cos_w,
                           rad_vol, rad_w, incl_vol, incl_w,
-                          az_vol, az_w) -> jnp.ndarray:
+                          az_vol, az_w, n_bin: int = NR_BINS + 1
+                          ) -> jnp.ndarray:
     """SHOT's 5 scatter slots as TWO batched matmuls instead of five.
 
     Slots (central, cosine-interp) share the volume `desc`: one volume
@@ -112,10 +79,12 @@ def _shot_histogram_2pass(desc, step, central_w, cos_bin, cos_w,
     weighted volume one-hots merge into one multi-hot operand against an
     unweighted bin one-hot.  Identical sums to the 5-pass version up to fp
     re-association; 2.5x less one-hot operand traffic through HBM (the
-    [K, M, V] operands dominate this kernel's cost at M ~ 2048)."""
+    [K, M, V] operands dominate this kernel's cost at M ~ 2048).
+
+    Works for any per-volume bin count (SHOT 11, CSHOT color 31)."""
     dtype = central_w.dtype
     av = jnp.arange(NR_SECTORS, dtype=jnp.int32)
-    ab = jnp.arange(NR_BINS + 1, dtype=jnp.int32)
+    ab = jnp.arange(n_bin, dtype=jnp.int32)
     hi = jax.lax.Precision.HIGHEST
 
     # pass A: volume one-hot (desc) x [central + cosine] weighted bins
@@ -133,7 +102,7 @@ def _shot_histogram_2pass(desc, step, central_w, cos_bin, cos_w,
     hist = hist + jax.lax.dot_general(ohvw, oh_step,
                                       (((1,), (1,)), ((0,), (0,))),
                                       precision=hi)
-    return hist.reshape(desc.shape[0], NR_SECTORS * (NR_BINS + 1))
+    return hist.reshape(desc.shape[0], NR_SECTORS * n_bin)
 
 
 def shot_descriptor(
@@ -464,21 +433,14 @@ def _cshot_core(keypoints, kp_rgb, frames, frame_valid, delta, dist, nnrm,
                           (step_c - 1 + NR_COLOR_BINS) % NR_COLOR_BINS)
     rad_vol_g = jnp.where(has_rad, rad_vol, 0)
     incl_vol_g = jnp.where(has_incl, incl_vol, 0)
-    vols = jnp.stack([desc, desc, rad_vol_g, incl_vol_g, az_vol], axis=-1)
-    vols = jnp.where(use[..., None], vols, 0)
-    slot_w = jnp.stack([jnp.ones_like(rad_w), jnp.ones_like(rad_w),
-                        rad_w, incl_w, az_w], axis=-1) * usef[..., None]
-    # the central/cos slots carry their own weights per channel
-    w_shape = slot_w.at[..., 0].set(w_s * usef).at[..., 1].set(cos_w_s * usef)
-    w_color = slot_w.at[..., 0].set(w_c * usef).at[..., 1].set(cos_w_c * usef)
-    bins_s = jnp.stack([step_s, cos_bin_s, step_s, step_s, step_s], axis=-1)
-    bins_c = jnp.stack([step_c, cos_bin_c, step_c, step_c, step_c], axis=-1)
-    bins_s = jnp.where(use[..., None], bins_s, 0)
-    bins_c = jnp.where(use[..., None], bins_c, 0)
-
-    hist_s = _histogram_outer(vols, bins_s, w_shape, NR_SECTORS, NR_BINS + 1)
-    hist_c = _histogram_outer(vols, bins_c, w_color, NR_SECTORS,
-                              NR_COLOR_BINS + 1)
+    hist_s = _shot_histogram_2pass(
+        desc, step_s, w_s * usef, cos_bin_s, cos_w_s * usef,
+        rad_vol_g, rad_w * usef, incl_vol_g, incl_w * usef,
+        az_vol, az_w * usef, n_bin=NR_BINS + 1)
+    hist_c = _shot_histogram_2pass(
+        desc, step_c, w_c * usef, cos_bin_c, cos_w_c * usef,
+        rad_vol_g, rad_w * usef, incl_vol_g, incl_w * usef,
+        az_vol, az_w * usef, n_bin=NR_COLOR_BINS + 1)
     hist = jnp.concatenate([hist_s, hist_c], axis=1)
     norm = jnp.linalg.norm(hist, axis=1, keepdims=True)
     descriptors = hist / jnp.maximum(norm, 1e-30)
