@@ -128,19 +128,39 @@ def shot_na_lrf(
     used for ReferenceFrameType SHOTNA and consistent-normals method 2's
     sibling): identical to the SHOT LRF except the z-axis sign follows the
     majority of *neighbor normals* (dot(n_j, v3) >= 0) instead of the offset
-    vectors -- removing the z ambiguity on flat regions."""
-    mom = radius_covariance(queries, points, mask, radius,
-                            weighting="shot", center="query")
-    vals, vecs = eigh3x3_batched(mom.cov)
+    vectors -- removing the z ambiguity on flat regions.
+
+    Single [Q, N] distance/gate pass shared by moments and sign votes
+    (same fusion as shot_lrf)."""
+    m = mask.astype(points.dtype)
+    shift = jnp.sum(points * m[:, None], axis=0) / jnp.maximum(m.sum(), 1.0)
+    pts_s = points - shift
+    q_s = queries - shift
+
+    d2 = pairwise_sqdist(q_s, pts_s)
+    in_r = (d2 <= radius * radius) & mask[None, :]
+    w = jnp.where(in_r, radius - jnp.sqrt(d2), 0.0).astype(points.dtype)
+
+    hi = jax.lax.Precision.HIGHEST
+    n_in = jnp.sum(in_r, axis=1)
+    s0 = jnp.sum(w, axis=1)
+    s1 = jnp.matmul(w, pts_s, precision=hi)
+    xx = (pts_s[:, :, None] * pts_s[:, None, :]).reshape(-1, 9)
+    s2 = jnp.matmul(w, xx, precision=hi).reshape(-1, 3, 3)
+    s0_safe = jnp.maximum(s0, 1e-30)
+    c = jnp.where(q_mask[:, None], q_s, 0.0)
+    cov = (s2 - c[:, :, None] * s1[:, None, :]
+           - s1[:, :, None] * c[:, None, :]
+           + s0[:, None, None] * c[:, :, None] * c[:, None, :])
+    cov = cov / s0_safe[:, None, None]
+
+    vals, vecs = eigh3x3_batched(cov)
     v1 = vecs[:, :, 2]
     v3 = vecs[:, :, 0]
 
-    d2 = pairwise_sqdist(queries, points)
-    in_r = (d2 <= radius * radius) & mask[None, :]
-    n_in = jnp.sum(in_r, axis=1)
-
     # x-axis: offset-vector majority (same as SHOT)
-    dots_x = jnp.einsum("nd,qd->qn", points, v1) - jnp.sum(queries * v1, axis=1)[:, None]
+    dots_x = jnp.einsum("nd,qd->qn", pts_s, v1) \
+        - jnp.sum(q_s * v1, axis=1)[:, None]
     plus_x = jnp.sum((dots_x >= 0) & in_r, axis=1)
     x_axis = jnp.where((plus_x < n_in - plus_x)[:, None], -v1, v1)
 
@@ -151,7 +171,7 @@ def shot_na_lrf(
 
     y_axis = jnp.cross(z_axis, x_axis)
     frames = jnp.stack([x_axis, y_axis, z_axis], axis=1)
-    valid = q_mask & (n_in >= min_neighbors) & (mom.wsum > 0)
+    valid = q_mask & (n_in >= min_neighbors) & (s0 > 0)
     return LRFResult(frames=frames, valid=valid)
 
 
