@@ -360,7 +360,30 @@ def _descriptor_fn(n: int, fcfg: FeatureConfig):
 
 @functools.lru_cache(maxsize=None)
 def _descriptor_stage(n: int, k: int, fcfg: FeatureConfig):
-    return jax.jit(_descriptor_fn(n, fcfg))
+    """Jitted descriptor stage returning ONE packed [K, D+11] array
+    (descriptors | frames flat | desc-valid | frame-valid): a single
+    device->host transfer instead of four (round-trip latency dominates
+    the host-orchestrated path).  Unpack with _unpack_descriptor_stage."""
+    fn = _descriptor_fn(n, fcfg)
+
+    def packed(*args):
+        desc, d_valid, frames, f_valid = fn(*args)
+        kk = desc.shape[0]
+        return jnp.concatenate([
+            desc, frames.reshape(kk, 9),
+            d_valid[:, None].astype(desc.dtype),
+            f_valid[:, None].astype(desc.dtype)], axis=1)
+
+    return jax.jit(packed)
+
+
+def _unpack_descriptor_stage(packed: np.ndarray):
+    d = packed.shape[1] - 11
+    desc = packed[:, :d]
+    frames = packed[:, d:d + 9].reshape(-1, 3, 3)
+    d_valid = packed[:, d + 9] > 0.5
+    f_valid = packed[:, d + 10] > 0.5
+    return desc, d_valid, frames, f_valid
 
 
 @functools.lru_cache(maxsize=None)
@@ -554,15 +577,12 @@ def extract_local_features(
         rgb_j = jnp.zeros((n, 3), jnp.float32)
         kp_rgb_j = jnp.zeros((k_bucket, 3), jnp.float32)
 
-    desc, d_valid, frames, f_valid = _descriptor_stage(n, k_bucket, fcfg)(
+    packed = np.asarray(_descriptor_stage(n, k_bucket, fcfg)(
         jnp.asarray(kp_pad), jnp.asarray(kp_mask), pts_j, mask_j, nrm_j,
         rgb_j, kp_rgb_j,
         jnp.asarray(fcfg.radius, jnp.float32),
-        jnp.asarray(fcfg.ref_frame_radius, jnp.float32))
-
-    desc = np.asarray(desc)
-    d_valid = np.asarray(d_valid)
-    frames = np.asarray(frames)
+        jnp.asarray(fcfg.ref_frame_radius, jnp.float32)))
+    desc, d_valid, frames, f_valid = _unpack_descriptor_stage(packed)
 
     # NaN-descriptor removal (removeNaNFeatures, implicit_shape_model.cpp:1276-1308)
     finite = np.all(np.isfinite(desc), axis=1)
@@ -838,16 +858,17 @@ def extract_global_features(
         kp_rgb_j = jnp.zeros((64, 3), jnp.float32)
 
     # radius is dynamic (cloud radius) -> passed as a traced scalar
-    desc, d_valid, frames, f_valid = _descriptor_stage(n, 64, fcfg)(
+    packed = np.asarray(_descriptor_stage(n, 64, fcfg)(
         jnp.asarray(kp), jnp.asarray(kp_mask), pts_j, mask_j, nrm_j,
         rgb_j, kp_rgb_j,
         jnp.asarray(radius, jnp.float32),
-        jnp.asarray(fcfg.ref_frame_radius, jnp.float32))
+        jnp.asarray(fcfg.ref_frame_radius, jnp.float32)))
+    desc_a, d_valid, frames_a, _ = _unpack_descriptor_stage(packed)
 
-    desc = np.asarray(desc)[:1]
-    valid = np.asarray(d_valid)[:1] & np.all(np.isfinite(desc), axis=1)
+    desc = desc_a[:1]
+    valid = d_valid[:1] & np.all(np.isfinite(desc), axis=1)
     fs = make_feature_set(
-        desc, kp[:1], np.asarray(frames)[:1], valid,
+        desc, kp[:1], frames_a[:1], valid,
         np.zeros(1, np.float32), np.full(1, radius, np.float32))
     return fs.compact()
 

@@ -546,7 +546,22 @@ class ImplicitShapeModel:
 
             @jax.jit
             def _cast(d, p, fr, m):
-                return cast_votes(cb_dev, d, p, fr, m, cb_params, self.metric)
+                v = cast_votes(cb_dev, d, p, fr, m, cb_params, self.metric)
+                # pack into ONE [T, 20] array: each device->host transfer
+                # pays a full tunnel round-trip, so 9 per-field pulls cost
+                # ~10x more than one packed pull
+                f32 = jnp.float32
+                return jnp.concatenate([
+                    v.position,                              # 0:3
+                    v.weight[:, None],                       # 3
+                    v.class_id[:, None].astype(f32),         # 4
+                    v.instance_id[:, None].astype(f32),      # 5
+                    v.keypoint,                              # 6:9
+                    v.keypoint_training,                     # 9:12
+                    v.bbox_size,                             # 12:15
+                    v.bbox_quat,                             # 15:19
+                    v.valid[:, None].astype(f32),            # 19
+                ], axis=1)
 
             self._cast_cache[key] = _cast.lower(
                 jnp.asarray(desc), jnp.asarray(pos), jnp.asarray(frames),
@@ -554,9 +569,16 @@ class ImplicitShapeModel:
             flann_dt = time.perf_counter() - t_flann
             self.processing_times["flann"] += flann_dt
             t_vote += flann_dt  # keep the index-build out of the voting window
-        votes = self._cast_cache[key](jnp.asarray(desc), jnp.asarray(pos),
-                                      jnp.asarray(frames), jnp.asarray(fmask))
-        votes = jax.tree_util.tree_map(np.asarray, votes)
+        packed = np.asarray(self._cast_cache[key](
+            jnp.asarray(desc), jnp.asarray(pos), jnp.asarray(frames),
+            jnp.asarray(fmask)))
+        votes = CastVotes(
+            position=packed[:, 0:3], weight=packed[:, 3],
+            class_id=packed[:, 4].astype(np.int32),
+            instance_id=packed[:, 5].astype(np.int32),
+            keypoint=packed[:, 6:9], keypoint_training=packed[:, 9:12],
+            bbox_size=packed[:, 12:15], bbox_quat=packed[:, 15:19],
+            valid=packed[:, 19] > 0.5)
         self.processing_times["voting"] += time.perf_counter() - t_vote
 
         # voting analysis dump (EnableVotingAnalysis / VotingAnalysisOutputPath,

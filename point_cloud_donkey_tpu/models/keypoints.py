@@ -176,6 +176,20 @@ def _tiled_keypoint_moments(kp: np.ndarray, points: np.ndarray, leaf: float):
         lambda x: jnp.asarray(np.asarray(x)[:len(kp)][inv]), mom)
 
 
+@functools.lru_cache(maxsize=None)
+def _voxel_program(n: int, e_dim: int):
+    """Jitted voxel grid per (padded cloud bucket, extra-feature width)."""
+    if e_dim:
+        @jax.jit
+        def run(pts, mask, leaf, extra):
+            return voxel_grid(pts, mask, leaf, features=extra)
+    else:
+        @jax.jit
+        def run(pts, mask, leaf, extra=None):
+            return voxel_grid(pts, mask, leaf)
+    return run
+
+
 def detect_keypoints(
     points: np.ndarray,            # [N, 3] clean points
     normals: Optional[np.ndarray],  # [N, 3] oriented normals (or None)
@@ -199,17 +213,29 @@ def detect_keypoints(
              or (geo == "none" and col == "none"))
 
     n = len(points)
-    pts = jnp.asarray(points)
-    mask = jnp.ones(n, bool)
 
     feats = []
     if normals is not None:
         feats.append(normals)
     if rgb is not None:
         feats.append(rgb)
-    extra = jnp.asarray(np.concatenate(feats, axis=1)) if feats else None
+    extra_np = np.concatenate(feats, axis=1).astype(np.float32) if feats \
+        else None
 
-    res = voxel_grid(pts, mask, params.leaf_size, features=extra)
+    # bucketed + jitted voxel grid: the eager call costs dozens of device
+    # dispatches per cloud (~200ms through the axon tunnel) and recompiles
+    # per exact cloud size
+    from .features import pad_cloud
+    pts_pad, mask_pad = pad_cloud(points)
+    npad = pts_pad.shape[0]
+    e_dim = extra_np.shape[1] if extra_np is not None else 0
+    if extra_np is not None:
+        extra_pad = np.zeros((npad, e_dim), np.float32)
+        extra_pad[:n] = extra_np
+    run = _voxel_program(npad, e_dim)
+    res = run(jnp.asarray(pts_pad), jnp.asarray(mask_pad),
+              jnp.asarray(params.leaf_size, jnp.float32),
+              jnp.asarray(extra_pad) if extra_np is not None else None)
     kp_all = np.asarray(res.centroids)
     kp_mask = np.asarray(res.mask)
     kp_full = kp_all[kp_mask]
@@ -228,6 +254,8 @@ def detect_keypoints(
 
     # ---- scores ------------------------------------------------------------
     leaf = params.leaf_size
+    pts = jnp.asarray(points)
+    mask = jnp.ones(n, bool)
     kpj = jnp.asarray(kp)
     kp_m = jnp.ones(len(kp), bool)
     geo_scores = np.zeros(len(kp), np.float32)

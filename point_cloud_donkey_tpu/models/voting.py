@@ -139,7 +139,12 @@ def _mean_shift_program(v_cap: int, seed_cap: int, suppression: str,
 def _reweight_program(m_cap: int, v_cap: int, kernel: str):
     @jax.jit
     def run(m_pos, m_mask, v, w, valid, bw):
-        return ms.density_and_reweight(m_pos, m_mask, v, w, valid, bw, kernel)
+        dens, final_w, membership = ms.density_and_reweight(
+            m_pos, m_mask, v, w, valid, bw, kernel)
+        # one packed device->host pull instead of three (tunnel round-trips
+        # dominate the host detect path)
+        return jnp.concatenate([
+            dens, final_w, membership.astype(jnp.float32).reshape(-1)])
     return run
 
 
@@ -280,15 +285,17 @@ def find_maxima(
             m_cap = bucket_size(len(m_pos), minimum=8)
             v_cap = bucket_size(len(v_pos), minimum=64)
             reweight = _reweight_program(m_cap, v_cap, params.kernel)
-            dens, final_w, membership = reweight(
+            packed = np.asarray(reweight(
                 jnp.asarray(_pad_rows(m_pos, m_cap, 1e9)),
                 jnp.asarray(np.arange(m_cap) < len(m_pos)),
                 jnp.asarray(_pad_rows(v_pos, v_cap, 1e9)),
                 jnp.asarray(_pad_rows(v_w, v_cap)),
                 jnp.asarray(np.arange(v_cap) < len(v_pos)),
-                jnp.asarray(bandwidth, jnp.float32))
-            final_w = np.asarray(final_w)[:len(v_pos)]
-            membership = np.asarray(membership)[:len(m_pos), :len(v_pos)]
+                jnp.asarray(bandwidth, jnp.float32)))
+            final_w = packed[m_cap:m_cap + v_cap][:len(v_pos)]
+            membership = (packed[m_cap + v_cap:]
+                          .reshape(m_cap, v_cap) > 0.5)[:len(m_pos),
+                                                        :len(v_pos)]
 
         for mi in range(len(m_pos)):
             members = membership[mi]
