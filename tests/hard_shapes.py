@@ -302,3 +302,65 @@ def run_hard_benchmark(seed=7, n_train=3, n_test=2, n=2048,
     per_class = {c: int(((pred == labels) & (labels == c)).sum())
                  for c in range(num_classes)}
     return acc, per_class
+
+
+def run_hard_benchmark_extended(seed=7, n_train=3, n_test=2, n=2048,
+                                num_classes=NUM_HARD_CLASSES, keep_frac=0.7,
+                                bite_frac=0.1, noise=0.015):
+    """The reference's *extended* pipeline variant on the hard set:
+    ISM voting + ESF global descriptor + chi-square SVM verification merged
+    into the hypothesis weights (README.md:26-29 "extended" = ranking /
+    global verification; merge function 3).  Evaluated through the
+    host-orchestrated detect path (global verification is not part of the
+    fused serving program).  Returns (accuracy, global_only_accuracy)."""
+    import os
+    import tempfile
+
+    from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+    from point_cloud_donkey_tpu.utils.config import IsmConfig
+    from point_cloud_donkey_tpu.utils.io import PointCloud, save_pcd
+
+    rng = np.random.default_rng(seed)
+    config = {"ObjectConfig": {"Children": {
+        "Clustering": {"Type": "None"},
+        "Codebook": {"Children": {"ActivationStrategy": {
+            "Parameters": {"K": 1}, "Type": "KNN"}}},
+        "FeatureWeighting": {"Type": "Uniform"},
+        "Features": {"Parameters": {
+            "Radius": 0.6, "ReferenceFrameRadius": 0.5,
+            "ReferenceFrameType": "SHOT"}, "Type": "SHOT"},
+        "GlobalFeatures": {"Type": "ESF"},
+        "Keypoints": {"Parameters": {"LeafSize": 0.35}, "Type": "VoxelGrid"},
+        "Voting": {"Parameters": {
+            "Bandwidth": 0.5, "SingleObjectMode": True,
+            "SingleObjectMaxType": "BandwidthVotes",
+            "UseGlobalFeatures": True,
+            "GlobalFeaturesStrategy": "SVM",
+            "GlobalFeatureInfluenceType": 3}, "Type": "MeanShift"}},
+        "Parameters": {"DistanceType": "ChiSquared", "NormalRadius": 0.25,
+                       "ConsistentNormalsMethod": 2,
+                       "BoundingBoxType": "AABB",
+                       "UseSvmTraining": True}}}
+
+    ism = ImplicitShapeModel(IsmConfig.from_json(config))
+    tmp = tempfile.mkdtemp()
+    for cid in range(num_classes):
+        for j in range(n_train):
+            pts = make_hard_instance(rng, cid, n=n, rotate=True, noise=0.005)
+            p = os.path.join(tmp, f"he{cid}_{j}.pcd")
+            save_pcd(p, PointCloud(xyz=pts))
+            ism.add_training_model(p, cid, cid)
+    ism.train()
+
+    correct = correct_global = total = 0
+    for cid in range(num_classes):
+        for _ in range(n_test):
+            pts = make_hard_instance(rng, cid, n=n, rotate=True, noise=noise,
+                                     keep_frac=keep_frac, bite_frac=bite_frac)
+            maxima, _ = ism.detect(pts)
+            total += 1
+            if maxima and maxima[0].class_id == cid:
+                correct += 1
+            if maxima and maxima[0].glob_class_id == cid:
+                correct_global += 1
+    return correct / total, correct_global / total
