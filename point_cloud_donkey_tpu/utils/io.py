@@ -218,8 +218,10 @@ def _lzf_decompress(data: bytes, expected_size: int) -> bytes:
     return bytes(out)
 
 
-def save_pcd(path: str, cloud: PointCloud) -> None:
-    """Write an ascii PCD (xyz [+ normals+curvature] [+ rgb])."""
+def save_pcd(path: str, cloud: PointCloud, binary: bool = False) -> None:
+    """Write a PCD (xyz [+ normals+curvature] [+ rgb]); ``binary=True``
+    writes DATA binary like pcl::savePCDFileBinary (load_cloud reads both,
+    plus binary_compressed)."""
     fields = ["x", "y", "z"]
     cols = [cloud.xyz]
     if cloud.normals is not None:
@@ -233,13 +235,19 @@ def save_pcd(path: str, cloud: PointCloud) -> None:
         cols += [packed.view(np.float32)[:, None]]
     mat = np.concatenate([np.asarray(c, np.float32).reshape(len(cloud), -1) for c in cols], axis=1)
     n = len(cloud)
+    header = ("# .PCD v0.7 - Point Cloud Data file format\nVERSION 0.7\n"
+              + "FIELDS " + " ".join(fields) + "\n"
+              + "SIZE " + " ".join(["4"] * len(fields)) + "\n"
+              + "TYPE " + " ".join(["F"] * len(fields)) + "\n"
+              + "COUNT " + " ".join(["1"] * len(fields)) + "\n"
+              + f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\n")
+    if binary:
+        with open(path, "wb") as f:
+            f.write((header + "DATA binary\n").encode("ascii"))
+            f.write(np.ascontiguousarray(mat, dtype="<f4").tobytes())
+        return
     with open(path, "w") as f:
-        f.write("# .PCD v0.7 - Point Cloud Data file format\nVERSION 0.7\n")
-        f.write("FIELDS " + " ".join(fields) + "\n")
-        f.write("SIZE " + " ".join(["4"] * len(fields)) + "\n")
-        f.write("TYPE " + " ".join(["F"] * len(fields)) + "\n")
-        f.write("COUNT " + " ".join(["1"] * len(fields)) + "\n")
-        f.write(f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\nDATA ascii\n")
+        f.write(header + "DATA ascii\n")
         for row in mat:
             f.write(" ".join(repr(float(v)) for v in row) + "\n")
 

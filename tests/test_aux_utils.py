@@ -176,3 +176,27 @@ def test_reference_configs_parse():
     qs = IsmConfig.load(os.path.join(base, "qs_input_config.ism"))
     assert qs.child("GlobalFeatures").type == "Dummy"
     assert qs.child("Features").get("Radius", 0.0) == 60.0
+
+
+def test_pcd_binary_roundtrip(tmp_path):
+    """save_pcd(binary=True) -> load_cloud parity with the ascii writer
+    (pcl::savePCDFileBinary analog; loader handles ascii / binary /
+    binary_compressed)."""
+    import numpy as np
+    from point_cloud_donkey_tpu.utils.io import PointCloud, load_cloud, save_pcd
+
+    rng = np.random.default_rng(5)
+    xyz = rng.normal(size=(100, 3)).astype(np.float32)
+    nrm = rng.normal(size=(100, 3)).astype(np.float32)
+    rgb = rng.random((100, 3)).astype(np.float32)
+    cloud = PointCloud(xyz=xyz, normals=nrm, rgb=rgb)
+
+    pa = str(tmp_path / "a.pcd")
+    pb = str(tmp_path / "b.pcd")
+    save_pcd(pa, cloud)
+    save_pcd(pb, cloud, binary=True)
+    ca, cb = load_cloud(pa), load_cloud(pb)
+    np.testing.assert_array_equal(cb.xyz, xyz)  # binary is bit-exact
+    np.testing.assert_allclose(ca.xyz, cb.xyz, atol=0)
+    np.testing.assert_array_equal(cb.normals, nrm)
+    np.testing.assert_allclose(cb.rgb, ca.rgb)
