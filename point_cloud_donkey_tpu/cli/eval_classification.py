@@ -136,11 +136,21 @@ def _fast_classify(ism, filenames, batch_size):
         return None
 
     t_all = time.perf_counter()
+    from ..models.ism import preprocess_cloud
     clouds, rgbs = [], []
     for fn in filenames:
-        pc = load_cloud(fn).remove_nan()
+        # same load path as the host flow (detect_file): NaN removal AND the
+        # configured preprocessing chain (SOR/ROR/MLS/voxel/z-cut)
+        pc = preprocess_cloud(load_cloud(fn).remove_nan(), ism.root)
+        if pc.has_normals():
+            # the fused program recomputes normals; stored cloud normals
+            # would silently diverge from the host path -> fall back
+            return None
         clouds.append(pc.xyz)
         rgbs.append(pc.rgb)
+    if not clouds:
+        return [], {k: 0.0 for k in ("complete", "features", "keypoints",
+                                     "normals", "flann", "voting", "maxima")}
     with_rgb = fcfg.type == "CSHOT"
     if with_rgb and any(r is None for r in rgbs):
         return None

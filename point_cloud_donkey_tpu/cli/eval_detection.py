@@ -17,7 +17,7 @@ import argparse
 import os
 import sys
 import time
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -43,10 +43,22 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def write_log_per_cloud(cloud_file: str, ism_file: str, gt_file: str,
-                        out_path: str, maxima) -> None:
+                        out_path: str, maxima,
+                        used_names: Optional[set] = None) -> None:
     """Per-cloud detection log, one line per maximum
-    (logging_to_files.h:43-88 writeLogPerCloud format)."""
+    (logging_to_files.h:43-88 writeLogPerCloud format).  The reference keys
+    by basename, which silently clobbers logs when different directories
+    contain same-named clouds (scene_a/cloud.pcd, scene_b/cloud.pcd); pass
+    `used_names` to get collision-suffixed filenames instead."""
     base = os.path.basename(cloud_file)
+    if used_names is not None:
+        candidate = base
+        i = 1
+        while candidate in used_names:
+            candidate = f"{base}.{i}"
+            i += 1
+        used_names.add(candidate)
+        base = candidate
     with open(os.path.join(out_path, base + ".txt"), "w") as f:
         f.write(f"ISM3D detection log, filename: {ism_file}, point cloud: "
                 f"{cloud_file}, ground truth file: {gt_file}\n")
@@ -165,12 +177,13 @@ def run_detection(args) -> int:
 
     if args.output:
         os.makedirs(args.output, exist_ok=True)
+    log_names: set = set()
     for cloud_file, gt_file in rows:
         print(f"Processing file: {cloud_file}")
         maxima, times = ism.detect_file(cloud_file)
         if args.output:
             write_log_per_cloud(cloud_file, ism_file, gt_file,
-                                args.output, maxima)
+                                args.output, maxima, used_names=log_names)
         gt_objects.extend(parse_annotation_file(gt_file, cloud_file))
         for m in maxima:
             # convertMaxToObj (eval_helpers_detection.h:415-438)

@@ -388,7 +388,7 @@ def _center_weights_batched(vote, pos, frame, center, g_of_vote, group_size
     m = int(group_size.max())
     if m == 1:
         # the common (k=1 cleaned) case: each vote is its own median
-        back = np.einsum("jba,ja->jb", frame, vote)
+        back = np.einsum("jab,ja->jb", frame, vote)  # F^T @ v (rotateBack)
         dist = np.linalg.norm(pos + back - center, axis=1)
         return np.exp(-(dist ** 2) / (sigma ** 2)).astype(np.float32)
 
@@ -411,7 +411,7 @@ def _center_weights_batched(vote, pos, frame, center, g_of_vote, group_size
         F = frame[idx]      # [g, m, 3, 3] (j)
         Vv = vote[idx]      # [g, m, 3] (i)
         Cc = center[idx]    # [g, m, 3] (i)
-        back = np.einsum("gjba,gia->gijb", F, Vv)
+        back = np.einsum("gjab,gia->gijb", F, Vv)  # F^T @ v (rotateBack)
         world = P[:, None, :, :] + back
         dist = np.linalg.norm(world - Cc[:, :, None, :], axis=3)  # [g, i, j]
         w = np.exp(-(dist ** 2) / (sigma ** 2))
@@ -611,15 +611,14 @@ def train_codebook_loop(
 def _all_pairs_distance(a: np.ndarray, b: np.ndarray, metric: str) -> np.ndarray:
     """Host-numpy all-pairs distances for the (small, sqrt-sampled) class
     sigma estimate; eager device ops here cost more than the math."""
+    from ..ops.neighbors import chi_square_distance_np
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
     if metric == "l2":
         d2 = (a * a).sum(1)[:, None] + (b * b).sum(1)[None, :] \
             - 2.0 * (a @ b.T)
         return np.maximum(d2, 0.0)
-    diff2 = (a[:, None, :] - b[None, :, :]) ** 2
-    s = a[:, None, :] + b[None, :, :]
-    return np.where(s > 0, diff2 / np.where(s > 0, s, 1.0), 0.0).sum(axis=2)
+    return chi_square_distance_np(a, b)
 
 
 def _compute_center_weights(votes: List[dict]) -> None:
@@ -634,7 +633,7 @@ def _compute_center_weights(votes: List[dict]) -> None:
     frames = np.stack([v["frame"] for v in votes])             # [n, 3, 3]
     centers = np.stack([v["model_center"] for v in votes])     # [n, 3]
     # world center of vote i through feature j: pos_j + frames_j^T @ vote_i
-    back = np.einsum("jba,ia->ijb", frames, vote_vecs)         # [i, j, 3]
+    back = np.einsum("jab,ia->ijb", frames, vote_vecs)  # F^T @ v, [i, j, 3]
     world = positions[None, :, :] + back
     dist = np.linalg.norm(world - centers[:, None, :], axis=2)  # [i, j]
     weights = np.exp(-(dist ** 2) / (sigma ** 2))

@@ -30,15 +30,11 @@ import numpy as np
 
 
 def chi2_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """flann::ChiSquareDistance matrix on the host: SVM working sets are
-    small (tens to thousands of global descriptors), and the eager device
-    round-trips per SMO iteration / per prediction cost far more than the
-    arithmetic."""
-    a = np.asarray(a, np.float32)
-    b = np.asarray(b, np.float32)
-    diff2 = (a[:, None, :] - b[None, :, :]) ** 2
-    s = a[:, None, :] + b[None, :, :]
-    return np.where(s > 0, diff2 / np.where(s > 0, s, 1.0), 0.0).sum(axis=2)
+    """flann::ChiSquareDistance matrix on the host (chunked; eager device
+    round-trips per SMO iteration / prediction cost far more than the
+    arithmetic for SVM-sized working sets)."""
+    from ..ops.neighbors import chi_square_distance_np
+    return chi_square_distance_np(a, b)
 
 
 def smo_train(K: np.ndarray, y: np.ndarray, C: float, tol: float = 1e-3,

@@ -53,25 +53,16 @@ def _use_pallas() -> bool:
     return os.environ.get("PCD_USE_PALLAS") == "1"
 
 
-def shot_lrf(
-    queries: jnp.ndarray,    # [Q, 3] keypoints
-    q_mask: jnp.ndarray,     # [Q]
-    points: jnp.ndarray,     # [N, 3] surface
-    mask: jnp.ndarray,       # [N]
-    radius: float,
-    min_neighbors: int = 5,
-) -> LRFResult:
-    if _use_pallas():
-        from .pallas.lrf_moments import shot_lrf_pallas
-        frames, valid = shot_lrf_pallas(queries, q_mask, points, mask,
-                                        radius, min_neighbors)
-        return LRFResult(frames=frames, valid=valid)
+def _fused_lrf_moments(queries, q_mask, points, mask, radius):
+    """One [Q, N] distance/gate pass shared by the moment matmuls and the
+    sign votes (the naive composition materializes the distance block
+    twice; the LRF stage is HBM-bound on it).  Same math as
+    radius_covariance(weighting="shot", center="query"), including the
+    centroid shift that keeps the moment identity stable.
 
-    # one [Q, N] distance pass shared by the moments AND the sign votes
-    # (radius_covariance + a second pairwise_sqdist used to materialize the
-    # distance/gate blocks twice; the LRF stage is HBM-bound on them).
-    # Same math as radius_covariance(weighting="shot", center="query"),
-    # including the centroid shift that keeps the moment identity stable.
+    Returns (pts_s, q_s, in_r, n_in, s0, v1, v3): shifted coords, the
+    in-radius gate, counts, weight sums, and the x/z eigenvector
+    candidates."""
     m = mask.astype(points.dtype)
     shift = jnp.sum(points * m[:, None], axis=0) / jnp.maximum(m.sum(), 1.0)
     pts_s = points - shift
@@ -94,9 +85,28 @@ def shot_lrf(
            + s0[:, None, None] * c[:, :, None] * c[:, None, :])
     cov = cov / s0_safe[:, None, None]
 
-    vals, vecs = eigh3x3_batched(cov)
+    _, vecs = eigh3x3_batched(cov)
     v1 = vecs[:, :, 2]  # largest eigenvalue -> x axis candidate
     v3 = vecs[:, :, 0]  # smallest -> z axis candidate
+    return pts_s, q_s, in_r, n_in, s0, v1, v3
+
+
+def shot_lrf(
+    queries: jnp.ndarray,    # [Q, 3] keypoints
+    q_mask: jnp.ndarray,     # [Q]
+    points: jnp.ndarray,     # [N, 3] surface
+    mask: jnp.ndarray,       # [N]
+    radius: float,
+    min_neighbors: int = 5,
+) -> LRFResult:
+    if _use_pallas():
+        from .pallas.lrf_moments import shot_lrf_pallas
+        frames, valid = shot_lrf_pallas(queries, q_mask, points, mask,
+                                        radius, min_neighbors)
+        return LRFResult(frames=frames, valid=valid)
+
+    pts_s, q_s, in_r, n_in, s0, v1, v3 = _fused_lrf_moments(
+        queries, q_mask, points, mask, radius)
 
     def flip_sign(v):
         dots = jnp.einsum("nd,qd->qn", pts_s, v) \
@@ -132,31 +142,8 @@ def shot_na_lrf(
 
     Single [Q, N] distance/gate pass shared by moments and sign votes
     (same fusion as shot_lrf)."""
-    m = mask.astype(points.dtype)
-    shift = jnp.sum(points * m[:, None], axis=0) / jnp.maximum(m.sum(), 1.0)
-    pts_s = points - shift
-    q_s = queries - shift
-
-    d2 = pairwise_sqdist(q_s, pts_s)
-    in_r = (d2 <= radius * radius) & mask[None, :]
-    w = jnp.where(in_r, radius - jnp.sqrt(d2), 0.0).astype(points.dtype)
-
-    hi = jax.lax.Precision.HIGHEST
-    n_in = jnp.sum(in_r, axis=1)
-    s0 = jnp.sum(w, axis=1)
-    s1 = jnp.matmul(w, pts_s, precision=hi)
-    xx = (pts_s[:, :, None] * pts_s[:, None, :]).reshape(-1, 9)
-    s2 = jnp.matmul(w, xx, precision=hi).reshape(-1, 3, 3)
-    s0_safe = jnp.maximum(s0, 1e-30)
-    c = jnp.where(q_mask[:, None], q_s, 0.0)
-    cov = (s2 - c[:, :, None] * s1[:, None, :]
-           - s1[:, :, None] * c[:, None, :]
-           + s0[:, None, None] * c[:, :, None] * c[:, None, :])
-    cov = cov / s0_safe[:, None, None]
-
-    vals, vecs = eigh3x3_batched(cov)
-    v1 = vecs[:, :, 2]
-    v3 = vecs[:, :, 0]
+    pts_s, q_s, in_r, n_in, s0, v1, v3 = _fused_lrf_moments(
+        queries, q_mask, points, mask, radius)
 
     # x-axis: offset-vector majority (same as SHOT)
     dots_x = jnp.einsum("nd,qd->qn", pts_s, v1) \

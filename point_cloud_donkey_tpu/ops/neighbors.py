@@ -212,3 +212,25 @@ def descriptor_distance(a: jnp.ndarray, b: jnp.ndarray, metric: str) -> jnp.ndar
         diff = a - b
         return jnp.sum(jnp.where(s > 0, diff * diff / jnp.where(s > 0, s, 1.0), 0.0), axis=-1)
     raise ValueError(f"unknown metric {metric}")
+
+
+def chi_square_distance_np(a, b, chunk_elems: int = 1 << 24):
+    """Host-numpy flann::ChiSquareDistance matrix (terms with a_i+b_i <= 0
+    skipped), row-chunked so the [chunk, B, D] broadcast temporaries stay
+    ~chunk_elems elements (the naive full broadcast is A*B*D*4 bytes --
+    tens of GB for a few thousand global descriptors).  Shared by the host
+    SVM kernel and the codebook class-sigma estimate."""
+    import numpy as np
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    A, D = a.shape
+    B = b.shape[0]
+    out = np.empty((A, B), np.float32)
+    rows = max(1, min(A, chunk_elems // max(B * D, 1)))
+    for i0 in range(0, A, rows):
+        ab = a[i0:i0 + rows, None, :]
+        diff2 = (ab - b[None, :, :]) ** 2
+        s = ab + b[None, :, :]
+        out[i0:i0 + rows] = np.where(
+            s > 0, diff2 / np.where(s > 0, s, 1.0), 0.0).sum(axis=2)
+    return out

@@ -162,7 +162,14 @@ def compute_normals_at(
     if method == 0:
         normals = orient_towards_viewpoint(queries, pca.normals)
     elif method == 1:
-        normals = orient_away_from_centroid(queries, pca.normals, mask,
+        # orientation happens at QUERY positions but the reference centroid
+        # is the support cloud's; the old fallback passed the length-N cloud
+        # mask against the length-Q queries (shape error when Q != N)
+        if centroid is None:
+            m = mask.astype(points.dtype)
+            centroid = jnp.sum(points * m[:, None], axis=0) \
+                / jnp.maximum(m.sum(), 1.0)
+        normals = orient_away_from_centroid(queries, pca.normals, q_mask,
                                             centroid=centroid)
     elif method == 2:
         lrf = shot_lrf(queries, q_mask, points, mask, radius)

@@ -178,6 +178,18 @@ def _sign_votes_call(qt: jnp.ndarray, pt: jnp.ndarray, axes: jnp.ndarray,
     )(qt, pt, axes)
 
 
+def _prep_lanes(queries, q_mask, points, mask):
+    """Centroid-shift, park invalid points far away, pack to the [8, L]
+    lane-major layout (shared by the moment and sign-vote passes)."""
+    m = mask.astype(points.dtype)
+    shift = jnp.sum(points * m[:, None], axis=0) / jnp.maximum(m.sum(), 1.0)
+    pts = jnp.where(mask[:, None], points - shift[None, :], 1e9)
+    qs = jnp.where(q_mask[:, None], queries - shift[None, :], 1e9)
+    qpad = _pad_lanes(qs.shape[0], TQ)
+    npad = _pad_lanes(pts.shape[0], TN)
+    return qs, to_lanes(qs, qpad), to_lanes(pts, npad), qpad, npad
+
+
 def lrf_moments(queries: jnp.ndarray, q_mask: jnp.ndarray,
                 points: jnp.ndarray, mask: jnp.ndarray, radius: float,
                 weighting: str = "shot",
@@ -185,15 +197,8 @@ def lrf_moments(queries: jnp.ndarray, q_mask: jnp.ndarray,
     """Drop-in replacement for ops/neighbors.radius_covariance built on the
     fused kernel.  Returns (cov [Q,3,3], wsum [Q], count [Q], centroid-shift
     applied to inputs) matching radius_covariance's math."""
-    m = mask.astype(points.dtype)
-    shift = jnp.sum(points * m[:, None], axis=0) / jnp.maximum(m.sum(), 1.0)
-    pts = jnp.where(mask[:, None], points - shift[None, :], 1e9)
-    qs = jnp.where(q_mask[:, None], queries - shift[None, :], 1e9)
-
-    qpad = _pad_lanes(qs.shape[0], TQ)
-    npad = _pad_lanes(pts.shape[0], TN)
-    mom = _moments_call(to_lanes(qs, qpad), to_lanes(pts, npad),
-                        float(radius), weighting)
+    qs, q_lanes, p_lanes, _, _ = _prep_lanes(queries, q_mask, points, mask)
+    mom = _moments_call(q_lanes, p_lanes, float(radius), weighting)
     mom = mom[:, :queries.shape[0]]
 
     s0 = mom[R_S0]
@@ -225,24 +230,34 @@ def shot_lrf_pallas(queries: jnp.ndarray, q_mask: jnp.ndarray,
     Returns (frames [Q,3,3] rows = x,y,z axes, valid [Q])."""
     from ..eigh3 import eigh3x3
 
-    cov, wsum, count = lrf_moments(queries, q_mask, points, mask, radius,
-                                   weighting="shot", center="query")
+    # shared prep for the two fused passes (moments + sign votes)
+    qs, q_lanes, p_lanes, qpad, _ = _prep_lanes(queries, q_mask, points, mask)
+    mom = _moments_call(q_lanes, p_lanes, float(radius), "shot")
+    mom = mom[:, :queries.shape[0]]
+    s0 = mom[R_S0]
+    s1 = mom[R_S1X:R_S1Z + 1].T
+    s2 = jnp.stack([
+        jnp.stack([mom[R_XX], mom[R_XY], mom[R_XZ]], axis=-1),
+        jnp.stack([mom[R_XY], mom[R_YY], mom[R_YZ]], axis=-1),
+        jnp.stack([mom[R_XZ], mom[R_YZ], mom[R_ZZ]], axis=-1),
+    ], axis=-2)
+    count = mom[R_CNT].astype(jnp.int32)
+    s0_safe = jnp.maximum(s0, 1e-30)
+    c = jnp.where(q_mask[:, None], qs, 0.0)
+    cov = (s2 - c[:, :, None] * s1[:, None, :]
+           - s1[:, :, None] * c[:, None, :]
+           + s0[:, None, None] * c[:, :, None] * c[:, None, :])
+    cov = cov / s0_safe[:, None, None]
+    wsum = s0
+
     _, vecs = eigh3x3(cov)
     v1 = vecs[:, :, 2]
     v3 = vecs[:, :, 0]
 
-    # sign votes in one fused pass over the cloud
-    m = mask.astype(points.dtype)
-    shift = jnp.sum(points * m[:, None], axis=0) / jnp.maximum(m.sum(), 1.0)
-    pts = jnp.where(mask[:, None], points - shift[None, :], 1e9)
-    qs = jnp.where(q_mask[:, None], queries - shift[None, :], 1e9)
-    qpad = _pad_lanes(qs.shape[0], TQ)
-    npad = _pad_lanes(pts.shape[0], TN)
     axes = jnp.zeros((8, qpad), jnp.float32)
     axes = axes.at[:3, :queries.shape[0]].set(v1.T)
     axes = axes.at[3:6, :queries.shape[0]].set(v3.T)
-    votes = _sign_votes_call(to_lanes(qs, qpad), to_lanes(pts, npad),
-                             axes, float(radius))
+    votes = _sign_votes_call(q_lanes, p_lanes, axes, float(radius))
     plus_x = votes[0, :queries.shape[0]]
     plus_z = votes[1, :queries.shape[0]]
     n_in = count.astype(jnp.float32)

@@ -98,7 +98,6 @@ def bowl(rng, n):
 def capsule(rng, n):
     n1, n2, n3 = _split(rng, n, [2, 1, 1])
     side = cylinder(rng, n1, r=0.45, h=1.2)
-    side = side[np.abs(side[:, 2]) < 0.6 - 1e-6] if False else side
     top = _sphere(rng, n2, 0.45, (0, 0, 0.6))
     bot = _sphere(rng, n3, 0.45, (0, 0, -0.6))
     top = top[top[:, 2] >= 0.6]

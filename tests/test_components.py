@@ -362,3 +362,32 @@ def test_train_codebook_vectorized_matches_loop(rng, activation, k):
         av, bv = getattr(a, name), getattr(b, name)
         np.testing.assert_allclose(av, bv, rtol=1e-6, atol=1e-7,
                                    err_msg=f"field {name} differs")
+
+
+def test_center_weight_self_reconstruction():
+    """A k=1-cleaned codebook's vote weight must be exactly exp(0)=1: the
+    vote reconstructs its own model center (keypoint + rotateBack(vote) ==
+    center).  Guards the rotate-back convention in the center-weight
+    computation (F is rows-are-axes: local = F @ world, world = F^T @ local)."""
+    from point_cloud_donkey_tpu.models.codebook import (CodebookParams,
+                                                        train_codebook)
+    from point_cloud_donkey_tpu.models.types import FeatureSet
+    from point_cloud_donkey_tpu.ops import geometry as geo
+
+    rng = np.random.default_rng(3)
+    n_feat = 8
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    frames = np.stack([np.linalg.qr(rng.normal(size=(3, 3)))[0]
+                       for _ in range(n_feat)]).astype(np.float32)
+    desc = np.abs(rng.normal(size=(n_feat, 16))).astype(np.float32)
+    pos = rng.normal(size=(n_feat, 3)).astype(np.float32)
+    fs = FeatureSet(desc, pos, frames, np.ones(n_feat, bool),
+                    np.linalg.norm(pos, axis=1).astype(np.float32),
+                    np.ones(n_feat, np.float32))
+    box = geo.BoundingBox(position=rng.normal(size=3).astype(np.float32),
+                          size=np.ones(3, np.float32),
+                          quat=np.array([1, 0, 0, 0], np.float32))
+    cb = train_codebook([fs], [0], [0], [box], desc, pos,
+                        CodebookParams(knn_k=1), "l2")
+    w = cb.vote_weight[cb.vote_mask]
+    np.testing.assert_allclose(w, 1.0, atol=1e-5)
