@@ -60,12 +60,25 @@ def _device_alive(timeout_s: float = 180.0) -> bool:
 def main():
     import jax
 
-    if not _device_alive():
+    # Bounded wait-for-device loop: the axon service has transient outages;
+    # a single dead probe should not zero the round's bench record.  Probe,
+    # and if dead retry every 5 min until BENCH_WAIT_FOR_DEVICE_S (default
+    # 20 min) is spent, then emit the outage record.
+    wait_budget = float(os.environ.get("BENCH_WAIT_FOR_DEVICE_S", "1200"))
+    probe_t0 = time.perf_counter()
+    alive, probes = _device_alive(), 1
+    while not alive and (time.perf_counter() - probe_t0) < wait_budget:
+        time.sleep(300)
+        alive, probes = _device_alive(), probes + 1
+
+    if not alive:
         print(json.dumps({
             "metric": "clouds/sec/chip end-to-end classification",
             "value": None, "unit": "clouds/sec", "vs_baseline": None,
             "extra": {"error": "device unresponsive (axon outage); "
-                               "rerun when the service recovers"},
+                               "rerun when the service recovers",
+                      "probes": probes,
+                      "waited_s": round(time.perf_counter() - probe_t0, 0)},
         }))
         return
 
@@ -84,7 +97,7 @@ def main():
     BATCH = 32
     ROUNDS = 8
     TRAIN_N = 24        # training-throughput clouds (warm programs)
-    HOST_DETECT_N = 8   # host ImplicitShapeModel.detect clouds
+    HOST_DETECT_N = 16  # host ImplicitShapeModel.detect_batch clouds
 
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     bench_t0 = time.perf_counter()
@@ -177,21 +190,29 @@ def main():
         ms_acc = float((np.argmax(np.asarray(s2), axis=1) == labels).mean())
 
     # --- host-orchestrated detect() (the eval-CLI path) ----------------------
-    host_clouds_per_sec = host_acc = None
+    # measured through detect_batch: same per-cloud decisions as detect()
+    # (pinned by tests/test_detection.py), device stages batched across
+    # clouds.  host_detect_single_clouds_per_sec keeps the per-call API
+    # number for comparison.
+    host_clouds_per_sec = host_acc = host_single_clouds_per_sec = None
     if left() > 180:
         # warm the per-bucket compile caches (feature counts vary per cloud)
         # so the metric reports steady-state throughput
-        for i in range(min(6, HOST_DETECT_N)):
-            ism.detect(clouds[i])
+        ism.detect_batch([clouds[i] for i in range(min(8, HOST_DETECT_N))])
+        ism.detect(clouds[0])
         t0 = time.perf_counter()
-        host_correct = 0
-        for i in range(HOST_DETECT_N):
-            maxima, _ = ism.detect(clouds[i])
-            if maxima and maxima[0].class_id == labels[i]:
-                host_correct += 1
-        host_clouds_per_sec = round(
-            HOST_DETECT_N / (time.perf_counter() - t0), 2)
+        results = ism.detect_batch([clouds[i] for i in range(HOST_DETECT_N)])
+        host_dt = time.perf_counter() - t0
+        host_correct = sum(
+            1 for i, (maxima, _) in enumerate(results)
+            if maxima and maxima[0].class_id == labels[i])
+        host_clouds_per_sec = round(HOST_DETECT_N / host_dt, 2)
         host_acc = host_correct / HOST_DETECT_N
+        t0 = time.perf_counter()
+        for i in range(min(4, HOST_DETECT_N)):
+            ism.detect(clouds[i])
+        host_single_clouds_per_sec = round(
+            min(4, HOST_DETECT_N) / (time.perf_counter() - t0), 2)
 
     # --- training throughput (warm programs) ---------------------------------
     train_clouds_per_sec = None
@@ -290,6 +311,7 @@ def main():
                   "mean_shift_clouds_per_sec": ms_clouds_per_sec,
                   "mean_shift_accuracy": ms_acc,
                   "host_detect_clouds_per_sec": host_clouds_per_sec,
+                  "host_detect_single_clouds_per_sec": host_single_clouds_per_sec,
                   "host_detect_accuracy": host_acc,
                   "train_clouds_per_sec": train_clouds_per_sec,
                   "train_n": TRAIN_N,

@@ -256,6 +256,28 @@ def run_classification(args) -> int:
         else:
             fast_results, times = fast
 
+    host_maxima = None
+    if fast_results is None:
+        # full-parity host path, device stages batched across files in
+        # chunks (models/detect_batch.py); same per-file decisions as the
+        # per-cloud detect loop (pinned by tests/test_detection.py)
+        from ..models.ism import preprocess_cloud
+        from ..utils.io import load_cloud
+        host_maxima = []
+        chunk = 8
+        strip_color = ism.root.get("SetColorToZero", False)
+        for i0 in range(0, n, chunk):
+            clouds, nrms, rgbs = [], [], []
+            for path in fl.filenames[i0:i0 + chunk]:
+                print(f"Processing file: {path}")
+                pc = preprocess_cloud(load_cloud(path).remove_nan(), ism.root)
+                clouds.append(pc.xyz)
+                nrms.append(pc.normals if pc.has_normals() else None)
+                rgbs.append(None if strip_color else pc.rgb)
+            for maxima, times_i in ism.detect_batch(clouds, nrms, rgbs):
+                host_maxima.append(maxima)
+                times = times_i
+
     for idx, (path, true_cls, true_inst) in enumerate(
             zip(fl.filenames, gt_class_ids, gt_instance_ids)):
         if fast_results is not None:
@@ -265,8 +287,7 @@ def run_classification(args) -> int:
                 class_id = inst2cls.get(class_id, -1)
                 class_id_global = inst2cls.get(class_id_global, -1)
         else:
-            print(f"Processing file: {path}")
-            maxima, times = ism.detect_file(path)
+            maxima = host_maxima[idx]
 
             class_id, class_id_global, instance_id = -1, -1, -1
             if maxima:

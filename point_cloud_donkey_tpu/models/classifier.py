@@ -2,8 +2,9 @@
 
 Reference: classifier/global_classifier.cpp.
   * segmentROI: radius query around the maximum with the per-class average
-    radius (global_classifier.cpp:132-171; the radii come from the trained
-    median-bbox dims, voting.cpp:621-635).
+    radius (global_classifier.cpp:132-171); the radii are per-class means of
+    the training global features' globalDescriptorRadius
+    (global_classifier.cpp:55-67).
   * KNN path: k-NN over stored training global features, score =
     exp(-sqrt(d)), accumulated per class/instance; single-object mode picks
     the most frequent class, otherwise the score of the maximum's own class
@@ -34,7 +35,7 @@ class GlobalClassifier:
     descriptors: np.ndarray   # [G, Dg] training global descriptors
     classes: np.ndarray       # [G]
     instances: np.ndarray     # [G]
-    average_radii: Dict[int, float]   # class -> ROI radius (median bbox dim)
+    average_radii: Dict[int, float]   # class -> mean training global radius
     metric: str = "l2"
     method: str = "KNN"       # "KNN" | "SVM"
     k: int = 1

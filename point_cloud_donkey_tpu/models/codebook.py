@@ -191,11 +191,16 @@ def train_codebook(
     codeword_positions: np.ndarray,            # [C, 3] feature position per codeword
     params: CodebookParams,
     metric: str,
+    activation_fn=None,                        # override: sharded activation
 ) -> TrainedCodebook:
     """Vectorized codebook training (codebook.cpp:64-365): one batched
     activation + quat/rotation pass per model, numpy-grouped vote recording,
     batched center weights and statistical weights.  Bit-compatible with the
-    loop oracle train_codebook_loop (tested in test_components.py)."""
+    loop oracle train_codebook_loop (tested in test_components.py).
+
+    `activation_fn(descriptors) -> (dists, idx)` replaces the default
+    training_activation when given (the multi-chip path passes the
+    mesh-sharded activation, parallel/sharded.py)."""
     num_models = len(features_per_model)
     assert num_models == len(class_per_model) == len(boxes_per_model)
 
@@ -230,8 +235,11 @@ def train_codebook(
             n = fs.descriptors.shape[0]
             if n == 0:
                 continue
-            dists, idx = training_activation(fs.descriptors, codeword_data,
-                                             params, metric)
+            if activation_fn is not None:
+                dists, idx = activation_fn(fs.descriptors)
+            else:
+                dists, idx = training_activation(
+                    fs.descriptors, codeword_data, params, metric)
             center = np.asarray(box.position, np.float32)
             box_quat = np.asarray(box.quat, np.float32)
 

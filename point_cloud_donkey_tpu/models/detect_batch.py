@@ -1,0 +1,260 @@
+"""Cross-cloud batched feature extraction for the full-parity detect path.
+
+The host-orchestrated ImplicitShapeModel.detect runs 4-5 device dispatches
+per cloud (normals, voxel keypoints, descriptors, vote casting); through the
+axon tunnel each dispatch pays a full round-trip, so per-cloud latency --
+not compute -- dominates (round-2 bench: 3.7 clouds/s vs 1400/s for the
+fused serving path).  This module batches the device stages across clouds:
+each stage runs as ONE vmapped program per shape-group chunk, so a chunk of
+MB clouds costs the same number of round-trips as a single cloud.
+
+Numerical parity: every stage runs the same kernels on the same padded
+inputs as models/features.extract_local_features (vmap only adds a batch
+dimension), so per-cloud results match the unbatched path; decision
+equality is pinned by tests/test_detection.py.
+
+Reference hot path being accelerated: the per-cloud detect loop of the eval
+tools (eval_tool.cpp main loop) over ImplicitShapeModel::detect
+(implicit_shape_model.cpp:583-712).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.normals import compute_normals
+from ..ops.voxel_grid import voxel_grid
+from ..utils.config import ComponentConfig
+from .features import (FeatureConfig, _descriptor_fn, _unpack_descriptor_stage,
+                       bucket_size, pad_cloud)
+from .keypoints import KeypointParams
+from .types import FeatureSet, make_feature_set
+
+# chunk width: every batched program is compiled for exactly MB clouds
+# (short chunks repeat their last cloud) so the number of distinct compiled
+# variants stays small -- compile latency through the axon tunnel is the
+# scarce resource, not FLOPs
+MB = 8
+
+
+def batch_supported(fcfg: FeatureConfig, kp_params: KeypointParams,
+                    clouds: Sequence[np.ndarray]) -> bool:
+    """The batched path covers the standard pipeline; exotic cases fall back
+    to the per-cloud host path (identical results, just slower)."""
+    from ..ops.tiled import SCENE_TILE_THRESHOLD
+    if fcfg.type in ("NARF", "GASD", "Dummy"):
+        return False
+    if kp_params.type not in ("VoxelGrid", "VoxelGridCulling"):
+        return False
+    geo = kp_params.filter_method_geometry.lower()
+    col = kp_params.filter_method_color.lower()
+    plain = (kp_params.type == "VoxelGrid"
+             or (geo == "none" and col == "none"))
+    if not plain:
+        return False
+    if any(len(c) > SCENE_TILE_THRESHOLD for c in clouds):
+        return False
+    return True
+
+
+@functools.lru_cache(maxsize=None)
+def _normals_batch_program(b: int, n: int, radius: float, method: int):
+    @jax.jit
+    def run(points, mask):   # [B, n, 3], [B, n]
+        return jax.vmap(
+            lambda p, m: compute_normals(p, m, radius, method).normals
+        )(points, mask)
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _voxel_batch_program(b: int, n: int, e_dim: int, leaf: float):
+    if e_dim:
+        @jax.jit
+        def run(points, mask, extra):
+            res = jax.vmap(
+                lambda p, m, e: voxel_grid(p, m, leaf, features=e)
+            )(points, mask, extra)
+            return res.centroids, res.mask
+    else:
+        @jax.jit
+        def run(points, mask, extra=None):
+            res = jax.vmap(
+                lambda p, m: voxel_grid(p, m, leaf))(points, mask)
+            return res.centroids, res.mask
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _descriptor_batch_program(b: int, n: int, k: int, fcfg: FeatureConfig):
+    """Vmapped packed descriptor stage: same math as
+    features._descriptor_stage, one [B, K, D+11] pull for the whole chunk."""
+    fn = _descriptor_fn(n, fcfg)
+
+    def one(kp, kp_mask, pts, mask, nrm, rgb, kp_rgb, radius, frame_radius):
+        desc, d_valid, frames, f_valid = fn(kp, kp_mask, pts, mask, nrm,
+                                            rgb, kp_rgb, radius, frame_radius)
+        kk = desc.shape[0]
+        return jnp.concatenate([
+            desc, frames.reshape(kk, 9),
+            d_valid[:, None].astype(desc.dtype),
+            f_valid[:, None].astype(desc.dtype)], axis=1)
+
+    @jax.jit
+    def run(kp, kp_mask, pts, mask, nrm, rgb, kp_rgb, radius, frame_radius):
+        return jax.vmap(
+            lambda a, bm, p, m, nr, rg, kr: one(a, bm, p, m, nr, rg, kr,
+                                                radius, frame_radius)
+        )(kp, kp_mask, pts, mask, nrm, rgb, kp_rgb)
+    return run
+
+
+def _chunk_indices(order: List[int]) -> List[List[int]]:
+    return [order[i:i + MB] for i in range(0, len(order), MB)]
+
+
+def extract_local_features_batch(
+    clouds: Sequence[np.ndarray],
+    normals_list: Sequence[Optional[np.ndarray]],
+    rgb_list: Sequence[Optional[np.ndarray]],
+    fcfg: FeatureConfig,
+    keypoint_cfg: ComponentConfig,
+    normal_radius: float,
+    consistent_normals_method: int,
+    times: Optional[Dict[str, float]] = None,
+) -> List[FeatureSet]:
+    """Batched analogue of features.extract_local_features over a list of
+    clouds (detection mode).  Clouds are grouped by padded bucket size; each
+    group is processed in MB-wide chunks with one vmapped program per stage."""
+    kp_params = KeypointParams.from_config(keypoint_cfg)
+    assert batch_supported(fcfg, kp_params, clouds)
+
+    out: List[Optional[FeatureSet]] = [None] * len(clouds)
+
+    # group clouds by (n_bucket, has_rgb): all stage shapes depend on these
+    groups: Dict[Tuple[int, bool], List[int]] = {}
+    for i, xyz in enumerate(clouds):
+        key = (bucket_size(len(xyz)), rgb_list[i] is not None)
+        groups.setdefault(key, []).append(i)
+
+    for (n, has_rgb), idxs in groups.items():
+        for chunk in _chunk_indices(idxs):
+            real = len(chunk)
+            padded = chunk + [chunk[-1]] * (MB - real)
+
+            pts_b = np.zeros((MB, n, 3), np.float32)
+            mask_b = np.zeros((MB, n), bool)
+            for r, ci in enumerate(padded):
+                p, m = pad_cloud(clouds[ci], bucket=n)
+                pts_b[r], mask_b[r] = p, m
+            pts_j = jnp.asarray(pts_b)
+            mask_j = jnp.asarray(mask_b)
+
+            # --- normals (one dispatch for the chunk) ----------------------
+            cloud_normals: List[Optional[np.ndarray]] = [None] * MB
+            if fcfg.needs_normals():
+                t_n = time.perf_counter()
+                provided = [normals_list[ci] is not None
+                            and len(normals_list[ci]) == len(clouds[ci])
+                            for ci in padded]
+                if not all(provided):
+                    m = 0 if consistent_normals_method == 3 \
+                        else consistent_normals_method
+                    nrm_b = np.asarray(_normals_batch_program(
+                        MB, n, float(normal_radius), int(m))(pts_j, mask_j))
+                for r, ci in enumerate(padded):
+                    if provided[r]:
+                        cloud_normals[r] = np.asarray(
+                            normals_list[ci], np.float32)
+                    elif consistent_normals_method == 3:
+                        from ..ops.normals import orient_emst
+                        pca = nrm_b[r][:len(clouds[ci])]
+                        cloud_normals[r] = orient_emst(
+                            clouds[ci], pca).astype(np.float32)
+                    else:
+                        cloud_normals[r] = nrm_b[r][:len(clouds[ci])]
+                if times is not None:
+                    times["normals"] = times.get("normals", 0.0) \
+                        + time.perf_counter() - t_n
+
+            # --- voxel-grid keypoints (one dispatch) -----------------------
+            t_k = time.perf_counter()
+            e_parts = []
+            if fcfg.needs_normals():
+                e_parts.append("normals")
+            if has_rgb:
+                e_parts.append("rgb")
+            e_dim = 3 * len(e_parts)
+            if e_dim:
+                extra_b = np.zeros((MB, n, e_dim), np.float32)
+                for r, ci in enumerate(padded):
+                    off = 0
+                    if "normals" in e_parts:
+                        extra_b[r, :len(clouds[ci]), 0:3] = cloud_normals[r]
+                        off = 3
+                    if "rgb" in e_parts:
+                        extra_b[r, :len(clouds[ci]), off:off + 3] = rgb_list[ci]
+                cents, cmask = _voxel_batch_program(
+                    MB, n, e_dim, float(kp_params.leaf_size))(
+                        pts_j, mask_j, jnp.asarray(extra_b))
+            else:
+                cents, cmask = _voxel_batch_program(
+                    MB, n, 0, float(kp_params.leaf_size))(pts_j, mask_j)
+            cents, cmask = np.asarray(cents), np.asarray(cmask)
+
+            kps, kp_rgbs = [], []
+            for r in range(MB):
+                full = cents[r][cmask[r]]
+                kps.append(full[:, :3])
+                off = 3 + (3 if "normals" in e_parts else 0)
+                kp_rgbs.append(full[:, off:off + 3] if has_rgb else None)
+            if times is not None:
+                times["keypoints"] = times.get("keypoints", 0.0) \
+                    + time.perf_counter() - t_k
+
+            # --- descriptor stage (one dispatch) ---------------------------
+            k_bucket = max(bucket_size(len(kp), minimum=64) for kp in kps)
+            kp_b = np.full((MB, k_bucket, 3), 1e9, np.float32)
+            kpm_b = np.zeros((MB, k_bucket), bool)
+            kprgb_b = np.zeros((MB, k_bucket, 3), np.float32)
+            nrm_bj = np.zeros((MB, n, 3), np.float32)
+            rgb_bj = np.zeros((MB, n, 3), np.float32)
+            for r, ci in enumerate(padded):
+                kp_b[r, :len(kps[r])] = kps[r]
+                kpm_b[r, :len(kps[r])] = True
+                if fcfg.needs_rgb():
+                    if rgb_list[ci] is None:
+                        raise ValueError(
+                            f"{fcfg.type} needs RGB data but the cloud has none")
+                    rgb_bj[r, :len(clouds[ci])] = rgb_list[ci]
+                    if kp_rgbs[r] is not None:
+                        kprgb_b[r, :len(kps[r])] = kp_rgbs[r]
+                if fcfg.needs_normals():
+                    nrm_bj[r, :len(clouds[ci])] = cloud_normals[r]
+
+            packed = np.asarray(_descriptor_batch_program(
+                MB, n, k_bucket, fcfg)(
+                    jnp.asarray(kp_b), jnp.asarray(kpm_b), pts_j, mask_j,
+                    jnp.asarray(nrm_bj), jnp.asarray(rgb_bj),
+                    jnp.asarray(kprgb_b),
+                    jnp.asarray(fcfg.radius, jnp.float32),
+                    jnp.asarray(fcfg.ref_frame_radius, jnp.float32)))
+
+            for r in range(real):
+                ci = chunk[r]
+                desc, d_valid, frames, f_valid = \
+                    _unpack_descriptor_stage(packed[r])
+                finite = np.all(np.isfinite(desc), axis=1)
+                keep = d_valid & finite & kpm_b[r]
+                centroid = clouds[ci].mean(axis=0)
+                center_dist = np.linalg.norm(kp_b[r] - centroid, axis=1)
+                out[ci] = make_feature_set(desc, kp_b[r], frames, keep,
+                                           center_dist).compact()
+
+    return [fs for fs in out]  # type: ignore[misc]

@@ -119,6 +119,33 @@ def _codebook_params(cfg: ComponentConfig) -> CodebookParams:
     )
 
 
+def _pad_feature_batch(fs: FeatureSet, fb: Optional[int] = None):
+    """Pad a compact FeatureSet to a bucketed row count so the jitted cast
+    program is reused across clouds of similar size."""
+    from .features import bucket_size
+    f = fs.descriptors.shape[0]
+    fb = fb or bucket_size(max(f, 1), minimum=64)
+    desc = np.zeros((fb, fs.descriptors.shape[1]), np.float32)
+    desc[:f] = fs.descriptors
+    pos = np.zeros((fb, 3), np.float32)
+    pos[:f] = fs.positions
+    frames = np.tile(np.eye(3, dtype=np.float32), (fb, 1, 1))
+    frames[:f] = fs.frames
+    fmask = np.arange(fb) < f
+    return desc, pos, frames, fmask
+
+
+def _unpack_cast(packed: np.ndarray) -> CastVotes:
+    """Inverse of the packed [T, 20] cast layout (_cast_packed_fn)."""
+    return CastVotes(
+        position=packed[:, 0:3], weight=packed[:, 3],
+        class_id=packed[:, 4].astype(np.int32),
+        instance_id=packed[:, 5].astype(np.int32),
+        keypoint=packed[:, 6:9], keypoint_training=packed[:, 9:12],
+        bbox_size=packed[:, 12:15], bbox_quat=packed[:, 15:19],
+        valid=packed[:, 19] > 0.5)
+
+
 def preprocess_cloud(cloud: PointCloud, root: ComponentConfig) -> PointCloud:
     """Preprocessing chain (implicit_shape_model.cpp:739-821): statistical /
     radius outlier removal -> MLS smoothing -> voxel filter -> z cutoff."""
@@ -523,18 +550,8 @@ class ImplicitShapeModel:
         self.processing_times["features"] += feat_total - t_nrm - t_kp
 
         t_vote = time.perf_counter()
-        # pad the feature batch to a bucket so the jitted cast program is
-        # reused across clouds of similar size
-        from .features import bucket_size
-        f = fs.descriptors.shape[0]
-        fb = bucket_size(max(f, 1), minimum=64)
-        desc = np.zeros((fb, fs.descriptors.shape[1]), np.float32)
-        desc[:f] = fs.descriptors
-        pos = np.zeros((fb, 3), np.float32)
-        pos[:f] = fs.positions
-        frames = np.tile(np.eye(3, dtype=np.float32), (fb, 1, 1))
-        frames[:f] = fs.frames
-        fmask = np.arange(fb) < f
+        desc, pos, frames, fmask = _pad_feature_batch(fs)
+        fb = desc.shape[0]
 
         key = (fb, self.metric)
         if key not in self._cast_cache:
@@ -542,27 +559,7 @@ class ImplicitShapeModel:
             # reference's lazy FLANN index build over codewords
             # (implicit_shape_model.cpp:650-661, timed as "flann")
             t_flann = time.perf_counter()
-            cb_dev = jax.tree_util.tree_map(jnp.asarray, self.state.codebook)
-
-            @jax.jit
-            def _cast(d, p, fr, m):
-                v = cast_votes(cb_dev, d, p, fr, m, cb_params, self.metric)
-                # pack into ONE [T, 20] array: each device->host transfer
-                # pays a full tunnel round-trip, so 9 per-field pulls cost
-                # ~10x more than one packed pull
-                f32 = jnp.float32
-                return jnp.concatenate([
-                    v.position,                              # 0:3
-                    v.weight[:, None],                       # 3
-                    v.class_id[:, None].astype(f32),         # 4
-                    v.instance_id[:, None].astype(f32),      # 5
-                    v.keypoint,                              # 6:9
-                    v.keypoint_training,                     # 9:12
-                    v.bbox_size,                             # 12:15
-                    v.bbox_quat,                             # 15:19
-                    v.valid[:, None].astype(f32),            # 19
-                ], axis=1)
-
+            _cast = jax.jit(self._cast_packed_fn(cb_params))
             self._cast_cache[key] = _cast.lower(
                 jnp.asarray(desc), jnp.asarray(pos), jnp.asarray(frames),
                 jnp.asarray(fmask)).compile()
@@ -572,15 +569,140 @@ class ImplicitShapeModel:
         packed = np.asarray(self._cast_cache[key](
             jnp.asarray(desc), jnp.asarray(pos), jnp.asarray(frames),
             jnp.asarray(fmask)))
-        votes = CastVotes(
-            position=packed[:, 0:3], weight=packed[:, 3],
-            class_id=packed[:, 4].astype(np.int32),
-            instance_id=packed[:, 5].astype(np.int32),
-            keypoint=packed[:, 6:9], keypoint_training=packed[:, 9:12],
-            bbox_size=packed[:, 12:15], bbox_quat=packed[:, 15:19],
-            valid=packed[:, 19] > 0.5)
+        votes = _unpack_cast(packed)
         self.processing_times["voting"] += time.perf_counter() - t_vote
 
+        maxima = self._finish_detect(votes, xyz, normals, rgb, vparams)
+        self.processing_times["complete"] += time.perf_counter() - t0
+        return maxima, dict(self.processing_times)
+
+    def detect_batch(self, clouds, normals_list=None, rgb_list=None
+                     ) -> List[Tuple[List[VotingMaximum], Dict[str, float]]]:
+        """Full-parity detection over a list of clouds with the device
+        stages (normals, voxel keypoints, descriptors, vote casting) batched
+        across clouds: one vmapped program dispatch per stage per chunk
+        instead of one per cloud (models/detect_batch.py).  Per-cloud
+        decisions match detect() (pinned by tests/test_detection.py); the
+        returned per-cloud timing maps share the batch's stage totals.
+
+        Falls back to the per-cloud path for configurations the batched
+        extractor does not cover (NARF/GASD descriptors, keypoint culling,
+        detector keypoints, scene-scale clouds)."""
+        assert self.state is not None, "not trained / loaded"
+        n = len(clouds)
+        normals_list = list(normals_list) if normals_list else [None] * n
+        rgb_list = list(rgb_list) if rgb_list else [None] * n
+        if self.root.get("SetColorToZero", False):
+            rgb_list = [None] * n
+
+        fcfg = self._feature_cfg()
+        kp_cfg = self.config.child("Keypoints")
+        vparams = _voting_params(self.config.child("Voting"))
+        cb_params = _codebook_params(self.config.child("Codebook"))
+
+        from .detect_batch import batch_supported, extract_local_features_batch
+        from .keypoints import KeypointParams
+        if not batch_supported(fcfg, KeypointParams.from_config(kp_cfg),
+                               clouds):
+            return [self.detect(c, nl, rl)
+                    for c, nl, rl in zip(clouds, normals_list, rgb_list)]
+
+        t0 = time.perf_counter()
+        stage_times: Dict[str, float] = {}
+        t_feat = time.perf_counter()
+        fss = extract_local_features_batch(
+            clouds, normals_list, rgb_list, fcfg, kp_cfg,
+            self.root.get("NormalRadius", 0.05),
+            self.root.get("ConsistentNormalsMethod", 2), times=stage_times)
+        feat_total = time.perf_counter() - t_feat
+        t_nrm = stage_times.get("normals", 0.0)
+        t_kp = stage_times.get("keypoints", 0.0)
+        self.processing_times["normals"] += t_nrm
+        self.processing_times["keypoints"] += t_kp
+        self.processing_times["features"] += feat_total - t_nrm - t_kp
+
+        t_vote = time.perf_counter()
+        votes_list = self._cast_votes_batch(fss, cb_params)
+        self.processing_times["voting"] += time.perf_counter() - t_vote
+
+        results = []
+        for i in range(n):
+            maxima = self._finish_detect(votes_list[i], clouds[i],
+                                         normals_list[i], rgb_list[i],
+                                         vparams)
+            results.append((maxima, dict(self.processing_times)))
+        self.processing_times["complete"] += time.perf_counter() - t0
+        return results
+
+    def _cast_packed_fn(self, cb_params: CodebookParams):
+        """The (unjitted) cast-votes body over one padded feature set,
+        returning the packed [T, 20] vote array: each device->host transfer
+        pays a full tunnel round-trip, so 9 per-field pulls would cost ~10x
+        more than one packed pull."""
+        cb_dev = jax.tree_util.tree_map(jnp.asarray, self.state.codebook)
+        metric = self.metric
+
+        def _cast(d, p, fr, m):
+            v = cast_votes(cb_dev, d, p, fr, m, cb_params, metric)
+            f32 = jnp.float32
+            return jnp.concatenate([
+                v.position,                              # 0:3
+                v.weight[:, None],                       # 3
+                v.class_id[:, None].astype(f32),         # 4
+                v.instance_id[:, None].astype(f32),      # 5
+                v.keypoint,                              # 6:9
+                v.keypoint_training,                     # 9:12
+                v.bbox_size,                             # 12:15
+                v.bbox_quat,                             # 15:19
+                v.valid[:, None].astype(f32),            # 19
+            ], axis=1)
+        return _cast
+
+    def _cast_votes_batch(self, fss, cb_params: CodebookParams):
+        """Vote casting for many feature sets: group by feature bucket,
+        process MB-wide chunks through ONE vmapped cast program each."""
+        from .detect_batch import MB
+        from .features import bucket_size
+
+        votes_out: List[Optional[CastVotes]] = [None] * len(fss)
+        groups: Dict[int, List[int]] = {}
+        for i, fs in enumerate(fss):
+            groups.setdefault(
+                bucket_size(max(fs.descriptors.shape[0], 1), minimum=64),
+                []).append(i)
+
+        for fb, idxs in groups.items():
+            for s in range(0, len(idxs), MB):
+                chunk = idxs[s:s + MB]
+                padded = chunk + [chunk[-1]] * (MB - len(chunk))
+                d_b, p_b, f_b, m_b = [], [], [], []
+                for ci in padded:
+                    d, p, fr, m = _pad_feature_batch(fss[ci], fb)
+                    d_b.append(d); p_b.append(p); f_b.append(fr); m_b.append(m)
+                key = ("batch", MB, fb, self.metric)
+                if key not in self._cast_cache:
+                    t_flann = time.perf_counter()
+                    one = self._cast_packed_fn(cb_params)
+                    prog = jax.jit(jax.vmap(one))
+                    self._cast_cache[key] = prog.lower(
+                        jnp.asarray(np.stack(d_b)), jnp.asarray(np.stack(p_b)),
+                        jnp.asarray(np.stack(f_b)), jnp.asarray(np.stack(m_b))
+                    ).compile()
+                    self.processing_times["flann"] += \
+                        time.perf_counter() - t_flann
+                packed = np.asarray(self._cast_cache[key](
+                    jnp.asarray(np.stack(d_b)), jnp.asarray(np.stack(p_b)),
+                    jnp.asarray(np.stack(f_b)), jnp.asarray(np.stack(m_b))))
+                for r, ci in enumerate(chunk):
+                    votes_out[ci] = _unpack_cast(packed[r])
+        return votes_out
+
+    def _finish_detect(self, votes: CastVotes, xyz: np.ndarray,
+                       normals: Optional[np.ndarray],
+                       rgb: Optional[np.ndarray],
+                       vparams: VotingParams) -> List[VotingMaximum]:
+        """Maxima search + global verification + merge + selection for one
+        cloud's cast votes (shared by detect and detect_batch)."""
         # voting analysis dump (EnableVotingAnalysis / VotingAnalysisOutputPath,
         # implicit_shape_model.cpp:105-107; the GUI renders these live, here
         # they go to disk for offline visualization via viz/)
@@ -666,13 +788,24 @@ class ImplicitShapeModel:
         normalize_weights(maxima)
         maxima = select_maxima(maxima, vparams)
         self.processing_times["maxima"] += time.perf_counter() - t_max
-        self.processing_times["complete"] += time.perf_counter() - t0
-        return maxima, dict(self.processing_times)
+        return maxima
 
     def _global_classifier(self, vparams: VotingParams):
         from .classifier import GlobalClassifier
         if getattr(self, "_gc_cache", None) is None:
-            radii = {cid: dims[1] for cid, dims in self.state.dims_map.items()}
+            # ROI radius = per-class MEAN of the training global features'
+            # globalDescriptorRadius (global_classifier.cpp:55-67, used for
+            # segmentROI at :147).  The median-bbox dimension is only used
+            # for maxima search radii (maxima_handler.cpp:509-522).
+            if self.state.global_radii is not None and \
+                    len(self.state.global_radii):
+                gcls = np.asarray(self.state.global_classes)
+                grad = np.asarray(self.state.global_radii)
+                radii = {int(c): float(grad[gcls == c].mean())
+                         for c in np.unique(gcls)}
+            else:
+                radii = {cid: dims[1]
+                         for cid, dims in self.state.dims_map.items()}
             self._gc_cache = GlobalClassifier(
                 descriptors=self.state.global_descriptors,
                 classes=self.state.global_classes,

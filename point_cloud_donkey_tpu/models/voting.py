@@ -154,6 +154,35 @@ def _pad_rows(a: np.ndarray, cap: int, fill: float = 0.0) -> np.ndarray:
     return out
 
 
+# below this many kernel evaluations, host numpy beats a device dispatch
+_REWEIGHT_HOST_LIMIT = 1 << 20
+
+
+def _reweight_host(m_pos: np.ndarray, v_pos: np.ndarray, v_w: np.ndarray,
+                   bandwidth: float, kernel: str
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-numpy sequential estimateDensityAndReweightVotes: each maximum
+    reweights the votes inside its window IN PLACE, so a later maximum with
+    an overlapping window sees updated weights (voting_mean_shift.cpp:158-176,
+    289-328).  Float32 math matching ops.mean_shift.density_and_reweight
+    (equality pinned by tests/test_detection.py)."""
+    b2 = np.float32(bandwidth) ** 2
+    w = v_w.astype(np.float32).copy()
+    membership = np.zeros((len(m_pos), len(v_pos)), bool)
+    for mi in range(len(m_pos)):
+        d2 = np.sum((v_pos.astype(np.float32)
+                     - m_pos[mi].astype(np.float32)[None, :]) ** 2,
+                    axis=1).astype(np.float32)
+        in_r = d2 <= b2
+        if kernel == "Gaussian":
+            k = np.exp(np.float32(-0.5) * d2 / b2).astype(np.float32)
+        else:
+            k = np.ones_like(d2)
+        w = np.where(in_r, (k * w).astype(np.float32), w)
+        membership[mi] = in_r
+    return w, membership
+
+
 def _class_mean_shift(
     positions: np.ndarray,   # [V, 3] votes of this class
     weights: np.ndarray,     # [V]
@@ -279,6 +308,13 @@ def find_maxima(
             membership = np.zeros((len(m_pos), len(v_pos)), bool)
             for mi, mem in enumerate(hough_members):
                 membership[mi, mem] = True
+        elif len(m_pos) * len(v_pos) <= _REWEIGHT_HOST_LIMIT:
+            # small problems: the sequential reweight runs as host numpy --
+            # one device dispatch per class per cloud costs more tunnel
+            # latency than the whole O(M*V) computation (round-2 host
+            # detect was 5+ dispatches per cloud)
+            final_w, membership = _reweight_host(
+                m_pos, v_pos, v_w, bandwidth, params.kernel)
         else:
             # sequential density + vote reweighting over maxima (padded+jit)
             from ..models.features import bucket_size

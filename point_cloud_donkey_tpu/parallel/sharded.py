@@ -90,6 +90,85 @@ def batched_classify(mesh: Mesh, cb: TrainedCodebook, cfg: JitPipelineConfig,
                    out_shardings=data_sharding)
 
 
+def sharded_training_activation(mesh: Mesh, codewords: np.ndarray,
+                                params: CodebookParams, metric: str):
+    """Sharded training-time codebook activation: queries (features) sharded
+    over the 'data' axis, codewords over the 'model' axis.  XLA inserts the
+    collectives implied by the shardings (the [F, C] distance block is
+    computed shard-locally; the top-k over the model-sharded C axis gathers
+    over ICI).
+
+    Bit-identical to models.codebook.training_activation for the KNN /
+    KNNRule / Threshold strategies (padded codewords are masked to +inf so
+    they never win; pinned by tests/test_sharded.py).  INN's iterative
+    refinement stays on the host path.
+
+    Reference: the activation loop of Codebook::activate
+    (codebook/codebook.cpp:109-142) -- the device-heavy part of training."""
+    from ..ops.neighbors import knn
+
+    if params.activation_type == "INN":
+        raise ValueError("INN activation is host-only; use training_activation")
+    if params.activation_type == "KNNRule":
+        k = 1
+    elif params.activation_type == "Threshold":
+        k = min(params.threshold_capacity, codewords.shape[0])
+    else:
+        k = params.knn_k
+
+    n_model = mesh.shape["model"]
+    n_data = mesh.shape["data"]
+    c = codewords.shape[0]
+    pad_c = (-c) % n_model
+    cw = np.pad(np.asarray(codewords, np.float32), ((0, pad_c), (0, 0)))
+    cw_valid = np.arange(c + pad_c) < c
+    cw_sh = jax.device_put(cw, NamedSharding(mesh, P("model")))
+    cwm_sh = jax.device_put(cw_valid, NamedSharding(mesh, P("model")))
+
+    data_sharding = NamedSharding(mesh, P("data"))
+
+    @functools.partial(jax.jit, in_shardings=data_sharding,
+                       out_shardings=(data_sharding, data_sharding))
+    def run(q):
+        return knn(q, cw_sh, cwm_sh, k=k, metric=metric)
+
+    def activate(descriptors: np.ndarray):
+        f = descriptors.shape[0]
+        if c <= k:
+            # degenerate case parity with activate_knn_batch
+            idx = np.tile(np.arange(c), (f, 1))
+            return np.zeros_like(idx, np.float32), idx
+        pad_f = (-f) % n_data
+        q = np.pad(np.asarray(descriptors, np.float32), ((0, pad_f), (0, 0)))
+        with mesh:
+            d, idx = run(jax.device_put(q, data_sharding))
+        d, idx = np.asarray(d)[:f], np.asarray(idx)[:f]
+        if params.activation_type == "Threshold":
+            idx = np.where(d < params.threshold, idx, -1)
+        return d, idx
+
+    return activate
+
+
+def train_codebook_sharded(mesh: Mesh, features_per_model, class_per_model,
+                           instance_per_model, boxes_per_model,
+                           codeword_data: np.ndarray,
+                           codeword_positions: np.ndarray,
+                           params: CodebookParams, metric: str):
+    """The REAL codebook training (activation + vote tables + class sigmas +
+    center weights + 9-step statistical weights, codebook/codebook.cpp:64-365)
+    with the device-heavy activation stage sharded over the data x model
+    mesh.  The host-side vote recording/weighting is deterministic numpy, so
+    the result is bit-identical to models.codebook.train_codebook (pinned by
+    tests/test_sharded.py)."""
+    from ..models.codebook import train_codebook
+    act = sharded_training_activation(mesh, codeword_data, params, metric)
+    return train_codebook(features_per_model, class_per_model,
+                          instance_per_model, boxes_per_model,
+                          codeword_data, codeword_positions, params, metric,
+                          activation_fn=act)
+
+
 def batched_training_step(mesh: Mesh, cfg: JitPipelineConfig):
     """Jitted sharded 'training step': extract features for a batch of
     labeled clouds (data-sharded) and accumulate per-class descriptor moments

@@ -289,3 +289,78 @@ def test_detection_with_ransac(rng, tmp_path):
     maxima2, _ = ism.detect(scene)
     classes2 = {m.class_id for m in maxima2[:4]}
     assert 1 in classes2 and 2 in classes2, maxima2[:4]
+
+
+def test_reweight_host_matches_jit(rng):
+    """The host-numpy sequential reweight (voting._reweight_host) must match
+    the jitted scan (ops.mean_shift.density_and_reweight) it replaces on the
+    small-problem fast path."""
+    import jax.numpy as jnp
+    from point_cloud_donkey_tpu.models.voting import _reweight_host
+    from point_cloud_donkey_tpu.ops.mean_shift import density_and_reweight
+
+    v_pos = rng.normal(scale=1.5, size=(120, 3)).astype(np.float32)
+    v_w = rng.uniform(0.1, 1.0, 120).astype(np.float32)
+    m_pos = rng.normal(scale=1.5, size=(7, 3)).astype(np.float32)
+    for kernel in ("Gaussian", "Uniform"):
+        w_h, mem_h = _reweight_host(m_pos, v_pos, v_w, 0.9, kernel)
+        _, w_j, mem_j = density_and_reweight(
+            jnp.asarray(m_pos), jnp.ones(7, bool), jnp.asarray(v_pos),
+            jnp.asarray(v_w), jnp.ones(120, bool),
+            jnp.asarray(0.9, jnp.float32), kernel)
+        np.testing.assert_allclose(w_h, np.asarray(w_j), rtol=2e-6, atol=1e-7)
+        np.testing.assert_array_equal(mem_h, np.asarray(mem_j))
+
+
+def _batch_cfg(voting_extra=None, global_type="Dummy"):
+    voting = {"Bandwidth": 0.5, "SingleObjectMode": True,
+              "SingleObjectMaxType": "BandwidthVotes"}
+    voting.update(voting_extra or {})
+    return {"ObjectConfig": {"Children": {
+        "Clustering": {"Type": "None"},
+        "Codebook": {"Children": {"ActivationStrategy": {
+            "Parameters": {"K": 1}, "Type": "KNN"}}},
+        "FeatureWeighting": {"Type": "Uniform"},
+        "Features": {"Parameters": {
+            "Radius": 0.6, "ReferenceFrameRadius": 0.5}, "Type": "SHOT"},
+        "GlobalFeatures": {"Type": global_type},
+        "Keypoints": {"Parameters": {"LeafSize": 0.35}, "Type": "VoxelGrid"},
+        "Voting": {"Parameters": voting, "Type": "MeanShift"}},
+        "Parameters": {"DistanceType": "ChiSquared", "NormalRadius": 0.25,
+                       "ConsistentNormalsMethod": 2,
+                       "BoundingBoxType": "AABB"}}}
+
+
+@pytest.mark.parametrize("voting_extra", [
+    None,
+    {"SingleObjectMode": False, "MaxFilterType": "Merge",
+     "MinVotesThreshold": 1},
+])
+def test_detect_batch_matches_detect(rng, tmp_path, voting_extra):
+    """detect_batch must reproduce detect()'s per-cloud decisions exactly
+    (same maxima classes/instances, positions within fp noise)."""
+    from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+    from point_cloud_donkey_tpu.utils.config import IsmConfig
+
+    ism = ImplicitShapeModel(IsmConfig.from_json(_batch_cfg(voting_extra)))
+    for cid in range(3):
+        pts = shapes.make_instance(rng, cid, n=900, rotate=False, noise=0.005)
+        p = str(tmp_path / f"t{cid}.pcd")
+        save_pcd(p, PointCloud(xyz=pts))
+        ism.add_training_model(p, cid, cid)
+    ism.train()
+
+    clouds = [shapes.make_instance(rng, i % 3, n=900, rotate=True)
+              for i in range(5)]
+    singles = [ism.detect(c)[0] for c in clouds]
+    batched = ism.detect_batch(clouds)
+
+    assert len(batched) == len(clouds)
+    for (maxima_b, _), maxima_s in zip(batched, singles):
+        assert [m.class_id for m in maxima_b] == \
+            [m.class_id for m in maxima_s]
+        assert [m.instance_id for m in maxima_b] == \
+            [m.instance_id for m in maxima_s]
+        for mb, msn in zip(maxima_b, maxima_s):
+            np.testing.assert_allclose(mb.position, msn.position, atol=1e-4)
+            assert mb.weight == pytest.approx(msn.weight, rel=1e-3, abs=1e-5)

@@ -83,6 +83,69 @@ def test_merge_function_7_tconorm():
     assert abs(maxima[1].weight - 0.94) < 1e-6
 
 
+def test_roi_radius_is_mean_training_global_radius(rng, tmp_path):
+    """segmentROI uses the per-class MEAN of the training global features'
+    globalDescriptorRadius (global_classifier.cpp:55-67, applied at :147) --
+    NOT the median-bbox dimension (that one is only for maxima search radii,
+    maxima_handler.cpp:509-522).  Pins the round-2 divergence fix."""
+    config = {
+        "ObjectConfig": {
+            "Children": {
+                "Clustering": {"Type": "None"},
+                "Codebook": {"Children": {"ActivationStrategy": {
+                    "Parameters": {"K": 1}, "Type": "KNN"}}},
+                "FeatureWeighting": {"Type": "Uniform"},
+                "Features": {"Parameters": {
+                    "Radius": 0.6, "ReferenceFrameRadius": 0.5},
+                    "Type": "SHORT_SHOT"},
+                "GlobalFeatures": {"Type": "ESF"},
+                "Keypoints": {"Parameters": {"LeafSize": 0.35},
+                              "Type": "VoxelGrid"},
+                "Voting": {"Parameters": {
+                    "Bandwidth": 0.5, "UseGlobalFeatures": True,
+                    "GlobalFeaturesStrategy": "KNN"},
+                    "Type": "MeanShift"},
+            },
+            "Parameters": {"DistanceType": "ChiSquared",
+                           "BoundingBoxType": "AABB"},
+        }
+    }
+    ism = ImplicitShapeModel(IsmConfig.from_json(config))
+    for cid in range(2):
+        for j in range(2):
+            # scale instances differently so mean-radius != any single radius
+            pts = shapes.make_instance(rng, cid, n=600) * (1.0 + 0.5 * j)
+            p = str(tmp_path / f"t{cid}_{j}.pcd")
+            save_pcd(p, PointCloud(xyz=pts))
+            ism.add_training_model(p, cid, cid)
+    ism.train()
+
+    from point_cloud_donkey_tpu.models.ism import _voting_params
+    gc = ism._global_classifier(_voting_params(ism.config.child("Voting")))
+    gcls = np.asarray(ism.state.global_classes)
+    grad = np.asarray(ism.state.global_radii)
+    for cid in (0, 1):
+        expected = float(grad[gcls == cid].mean())
+        assert gc.average_radii[cid] == pytest.approx(expected, rel=1e-6)
+        # and it is NOT the old (buggy) median-bbox quantity
+        bbox_median = ism.state.dims_map[cid][1]
+        assert abs(gc.average_radii[cid] - bbox_median) > 1e-3
+
+    # the radius choice changes a verification outcome: a maximum sitting at
+    # the object center segments a different ROI under the two radii
+    pts = shapes.make_instance(rng, 0, n=600) * 1.5
+    center = pts.mean(axis=0).astype(np.float32)
+    m = VotingMaximum(class_id=0, position=center)
+    seg_correct, _ = gc.segment_roi(pts, None, m)
+    wrong = dict(gc.average_radii)
+    wrong[0] = ism.state.dims_map[0][1]
+    gc_wrong = type(gc)(descriptors=gc.descriptors, classes=gc.classes,
+                        instances=gc.instances, average_radii=wrong,
+                        metric=gc.metric)
+    seg_wrong, _ = gc_wrong.segment_roi(pts, None, m)
+    assert len(seg_correct) != len(seg_wrong)
+
+
 @pytest.mark.slow
 def test_end_to_end_with_svm_verification(rng, tmp_path):
     config = {

@@ -88,3 +88,63 @@ def test_batched_training_step_matches_per_cloud():
 
     np.testing.assert_allclose(desc_sum, ref_sum, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(desc_cnt, ref_cnt)
+
+
+def _toy_feature_models(rng, n_models=6, f_per=40, d=32, num_classes=3):
+    """Synthetic compacted FeatureSets + boxes for codebook training."""
+    from point_cloud_donkey_tpu.models.types import make_feature_set
+    from point_cloud_donkey_tpu.ops.geometry import BoundingBox
+
+    fss, classes, instances, boxes = [], [], [], []
+    for i in range(n_models):
+        desc = np.abs(rng.normal(size=(f_per, d))).astype(np.float32)
+        desc /= desc.sum(axis=1, keepdims=True)
+        pos = rng.normal(size=(f_per, 3)).astype(np.float32)
+        # random orthonormal frames
+        q, _ = np.linalg.qr(rng.normal(size=(f_per, 3, 3)))
+        fss.append(make_feature_set(desc, pos, q.astype(np.float32),
+                                    np.ones(f_per, bool)))
+        classes.append(i % num_classes)
+        instances.append(i % num_classes)
+        boxes.append(BoundingBox(
+            position=rng.normal(size=3).astype(np.float32),
+            size=np.abs(rng.normal(size=3)).astype(np.float32) + 0.5,
+            quat=np.array([1, 0, 0, 0], np.float32)))
+    return fss, classes, instances, boxes
+
+
+@pytest.mark.parametrize("activation", [
+    {"activation_type": "KNN", "knn_k": 1},
+    {"activation_type": "KNN", "knn_k": 3},
+    {"activation_type": "Threshold", "threshold": 0.5,
+     "threshold_capacity": 8},
+])
+@pytest.mark.parametrize("n_data,n_model", [(4, 2), (8, 1)])
+def test_sharded_codebook_training_bit_identical(n_data, n_model, activation):
+    """The REAL training pipeline (train_codebook: activation, vote tables,
+    sigmas, center weights, 9-step statistical weights) run with the
+    mesh-sharded activation must produce a bit-identical TrainedCodebook
+    (VERDICT r2 weak #5 / next #6)."""
+    from point_cloud_donkey_tpu.models.codebook import train_codebook
+    from point_cloud_donkey_tpu.parallel.sharded import (
+        make_mesh, train_codebook_sharded)
+
+    rng = np.random.default_rng(11)
+    fss, classes, instances, boxes = _toy_feature_models(rng)
+    # codewords = a subset of the features (Clustering None takes all;
+    # a strided subset keeps multi-vote codewords for k>1)
+    centers = np.concatenate([f.descriptors for f in fss])[::3]
+    cw_pos = np.concatenate([f.positions for f in fss])[::3]
+
+    params = CodebookParams(**activation)
+    host = train_codebook(fss, classes, instances, boxes, centers, cw_pos,
+                          params, "chisq")
+
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    sharded = train_codebook_sharded(mesh, fss, classes, instances, boxes,
+                                     centers, cw_pos, params, "chisq")
+
+    for name in host._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(host, name)), np.asarray(getattr(sharded, name)),
+            err_msg=f"field {name} differs")
