@@ -57,6 +57,29 @@ def _device_alive(timeout_s: float = 180.0) -> bool:
         return False
 
 
+def _pallas_status(timeout_s: float = 240.0) -> str:
+    """Probe pallas_call viability on the real device in a SUBPROCESS: on
+    the axon tunnel any pallas_call silently kills the whole process (no
+    traceback), so the probe must be isolated.  Returns "ok" (the doubling
+    kernel ran and returned 2x), "crashed", or "timeout"."""
+    import subprocess
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "from jax.experimental import pallas as pl\n"
+        "def k(x_ref, o_ref):\n"
+        "    o_ref[...] = x_ref[...] * 2\n"
+        "x = jnp.arange(256, dtype=jnp.float32).reshape(2, 128)\n"
+        "y = pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(x)\n"
+        "assert (y == x * 2).all()\n"
+        "print('PALLAS_OK')\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return "ok" if b"PALLAS_OK" in r.stdout else "crashed"
+    except Exception:
+        return "timeout"
+
+
 def main():
     import jax
 
@@ -244,6 +267,11 @@ def main():
         hard_acc_ext, hard_acc_global_only = \
             hard_shapes.run_hard_benchmark_extended()
 
+    # --- pallas viability (VERDICT r2 #9: re-probe each round) ---------------
+    pallas = None
+    if left() > 300:
+        pallas = _pallas_status()
+
     # --- scene-scale detection (tiled neighbor path, ops/tiled.py) -----------
     scene_pts_per_sec = scene_points = scene_recall = None
     if left() > 300:
@@ -321,6 +349,7 @@ def main():
                   "scene_detect_pts_per_sec": scene_pts_per_sec,
                   "scene_points": scene_points,
                   "scene_recall": scene_recall,
+                  "pallas": pallas,
                   "bench_wall_s": round(time.perf_counter() - bench_t0, 1),
                   "device": str(jax.devices()[0])},
     }))

@@ -278,6 +278,26 @@ class ImplicitShapeModel:
                              "flann", "voting", "maxima")}
         self._cast_cache = {}
         self._gc_cache = None
+        self._callbacks: List = []
+
+    # -- live progress signals ----------------------------------------------
+    # The reference streams stage results over boost signals while running
+    # (implicit_shape_model.h:256-261: m_signalPointCloud / BoundingBox /
+    # Normals / Features / Codebook / Maxima); the training_gui renders them
+    # live.  Here observers register a callback(event: str, payload: dict);
+    # the same event names are used, plus "votes" (the voting-space pane
+    # data) and "train_complete".  Wire viz.live.LiveHtmlProgress for a
+    # browser-refreshed live view.
+    def connect(self, callback) -> None:
+        """Register callback(event: str, payload: dict) for stage events."""
+        self._callbacks.append(callback)
+
+    def disconnect(self, callback) -> None:
+        self._callbacks.remove(callback)
+
+    def _emit(self, event: str, **payload) -> None:
+        for fn in list(self._callbacks):
+            fn(event, payload)
 
     # -- config-derived accessors -------------------------------------------
     @property
@@ -407,10 +427,17 @@ class ImplicitShapeModel:
                     quat=np.array([1.0, 0.0, 0.0, 0.0], np.float32))
             centroid = xyz.mean(axis=0)
             radius = float(np.linalg.norm(xyz - centroid, axis=1).max())
+            if self._callbacks:
+                self._emit("point_cloud", xyz=xyz, rgb=rgb, file=filename,
+                           class_id=class_id)
+                self._emit("bounding_box", box=box)
+                self._emit("normals", xyz=xyz, normals=normals)
 
             fs = self._cached_local_features(
                 filename, xyz, normals, fcfg, kp_cfg, normal_radius,
                 cn_method, rgb)
+            if self._callbacks:
+                self._emit("features", features=fs)
             features_per_model.append(fs)
             class_per_model.append(class_id)
             instance_per_model.append(instance_id)
@@ -468,6 +495,8 @@ class ImplicitShapeModel:
             [instance_per_model[i] for i in order],
             [boxes_per_model[i] for i in order],
             centers, cw_pos, cb_params, self.metric)
+        if self._callbacks:
+            self._emit("codebook", codebook=codebook)
 
         # forwardBoxesAndRadii (voting.cpp:497-551): per-class mean object
         # radius and mean median-bbox-dimension (+ variances)
@@ -515,6 +544,9 @@ class ImplicitShapeModel:
                 param_gamma=self.root.get("SvmParamGamma", 2.96),
                 k_fold=self.root.get("SvmParamKfold", 10))
 
+        if self._callbacks:
+            self._emit("train_complete", state=self.state)
+
     # -- detection -----------------------------------------------------------
     def detect_file(self, filename: str) -> Tuple[List[VotingMaximum], Dict[str, float]]:
         cloud = load_cloud(filename).remove_nan()
@@ -548,6 +580,10 @@ class ImplicitShapeModel:
         self.processing_times["normals"] += t_nrm
         self.processing_times["keypoints"] += t_kp
         self.processing_times["features"] += feat_total - t_nrm - t_kp
+        if self._callbacks:
+            self._emit("point_cloud", xyz=xyz, rgb=rgb)
+            self._emit("normals", xyz=xyz, normals=normals)
+            self._emit("features", features=fs)
 
         t_vote = time.perf_counter()
         desc, pos, frames, fmask = _pad_feature_batch(fs)
@@ -627,6 +663,10 @@ class ImplicitShapeModel:
 
         results = []
         for i in range(n):
+            if self._callbacks:
+                self._emit("point_cloud", xyz=clouds[i], rgb=rgb_list[i])
+                self._emit("normals", xyz=clouds[i], normals=normals_list[i])
+                self._emit("features", features=fss[i])
             maxima = self._finish_detect(votes_list[i], clouds[i],
                                          normals_list[i], rgb_list[i],
                                          vparams)
@@ -703,6 +743,8 @@ class ImplicitShapeModel:
                        vparams: VotingParams) -> List[VotingMaximum]:
         """Maxima search + global verification + merge + selection for one
         cloud's cast votes (shared by detect and detect_batch)."""
+        if self._callbacks:
+            self._emit("votes", votes=votes)
         # voting analysis dump (EnableVotingAnalysis / VotingAnalysisOutputPath,
         # implicit_shape_model.cpp:105-107; the GUI renders these live, here
         # they go to disk for offline visualization via viz/)
@@ -788,6 +830,8 @@ class ImplicitShapeModel:
         normalize_weights(maxima)
         maxima = select_maxima(maxima, vparams)
         self.processing_times["maxima"] += time.perf_counter() - t_max
+        if self._callbacks:
+            self._emit("maxima", maxima=maxima)
         return maxima
 
     def _global_classifier(self, vparams: VotingParams):

@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .fpfh import _pair_features
 from .neighbors import NeighborBlock
 from .shot import ShotResult, _histogram_from_slots
 
@@ -131,41 +130,48 @@ def pfh_descriptor(
     nbr: NeighborBlock,         # neighbors of each keypoint (capacity M)
     min_neighbors: int = 5,
 ) -> ShotResult:
-    """Joint 5x5x5 histogram of Darboux pair features over ALL neighbor
-    pairs inside the support (PCL computePointPFHSignature), increments
-    normalized to percentages.  O(K * M^2); cap the neighbor block
-    accordingly (PCL itself is O(k^2))."""
+    """Joint 5x5x5 histogram of Darboux pair features over ALL unordered
+    neighbor pairs inside the support (PCL computePointPFHSignature with
+    pcl::computePairFeatures' source/target swap), increment 100 / C(k, 2)
+    (PCL precomputes the denominator, so skipped degenerate pairs still
+    count in it).  Index packing b(f1 atan2) + 5*b(f2) + 25*b(f3), matching
+    PCL's h_index accumulation.  O(K * M^2); cap the neighbor block
+    accordingly (PCL itself is O(k^2)).  Oracle: tests/golden_ref.pfh_ref."""
+    from .fpfh import pair_features_pcl
     dtype = points.dtype
     K, M = nbr.idx.shape
     p = points[nbr.idx]          # [K, M, 3]
     n = normals[nbr.idx]
     v = nbr.valid
 
-    # all ordered pairs (i < j); PCL picks (source, target) by normal angle
-    # criterion inside pcl::computePairFeatures -- approximated with the
-    # fixed (i, j) ordering (divergence only flips f1/f3 signs symmetrically)
     pi = p[:, :, None, :]        # [K, M, 1, 3]
     pj = p[:, None, :, :]        # [K, 1, M, 3]
     ni = n[:, :, None, :]
     nj = n[:, None, :, :]
-    f1, f2, f3, d = _pair_features(pi, ni, pj, nj)   # [K, M, M]
+    f1, f2, f3, f4, degenerate = pair_features_pcl(pi, ni, pj, nj)  # [K, M, M]
 
     pair_valid = v[:, :, None] & v[:, None, :]
     iu = jnp.triu_indices(M, k=1)
     f1 = f1[:, iu[0], iu[1]]
     f2 = f2[:, iu[0], iu[1]]
     f3 = f3[:, iu[0], iu[1]]
+    f4 = f4[:, iu[0], iu[1]]
+    deg = degenerate[:, iu[0], iu[1]] | (f4[:, :] == 0.0)
     pv = pair_valid[:, iu[0], iu[1]]
 
-    b1 = jnp.clip((PFH_BINS * (f1 + 1.0) / 2.0).astype(jnp.int32), 0, PFH_BINS - 1)
-    b2 = jnp.clip((PFH_BINS * (f2 + 1.0) / 2.0).astype(jnp.int32), 0, PFH_BINS - 1)
-    b3 = jnp.clip((PFH_BINS * (f3 + jnp.pi) / (2 * jnp.pi)).astype(jnp.int32),
+    b1 = jnp.clip((PFH_BINS * (f1 + jnp.pi) / (2 * jnp.pi)).astype(jnp.int32),
                   0, PFH_BINS - 1)
+    b2 = jnp.clip((PFH_BINS * (f2 + 1.0) / 2.0).astype(jnp.int32), 0, PFH_BINS - 1)
+    b3 = jnp.clip((PFH_BINS * (f3 + 1.0) / 2.0).astype(jnp.int32), 0, PFH_BINS - 1)
     idx = b1 + b2 * PFH_BINS + b3 * PFH_BINS * PFH_BINS
 
-    n_pairs = jnp.maximum(jnp.sum(pv, axis=1), 1)
-    w = jnp.where(pv, 100.0 / n_pairs[:, None].astype(dtype), 0.0)
-    idx = jnp.where(pv, idx, 0)
+    # PCL: hist_incr = 100 / (k*(k-1)/2) with k = #neighbors -- the
+    # denominator includes degenerate (skipped) pairs
+    k_nb = jnp.sum(v, axis=1)
+    n_pairs = jnp.maximum(k_nb * (k_nb - 1) // 2, 1)
+    contrib = pv & ~deg
+    w = jnp.where(contrib, 100.0 / n_pairs[:, None].astype(dtype), 0.0)
+    idx = jnp.where(contrib, idx, 0)
 
     hist = _histogram_from_slots(idx[..., None], w[..., None], PFH_LEN)
     n_nb = jnp.sum(v, axis=1)

@@ -1,14 +1,18 @@
 """FPFH-33 descriptor (Rusu et al., PCL FPFHEstimation; the reference wraps
 it at features/features_fpfh.cpp).
 
-Per point p with normal n_p and neighbor q (normal n_q), the Darboux frame
-u = n_p, v = (q - p) x u / |.|, w = u x v gives the pair features
-  f1 = v . n_q           in [-1, 1]
-  f2 = u . (q - p) / d   in [-1, 1]
-  f3 = atan2(w . n_q, u . n_q) in [-pi, pi]
-SPFH(p) = three 11-bin histograms of (f1, f2, f3) over p's neighbors, each
-increment 100/#neighbors.  FPFH(p) = SPFH(p) + (1/k) sum_q SPFH(q)/d(p,q),
-then each 11-bin block renormalized to sum 100 (PCL semantics).
+Per pair (p, q) the Darboux-frame features come from
+pcl::computePairFeatures (pfh_tools.cpp) INCLUDING its source/target swap
+(the point whose normal has the smaller angle to the connecting line
+becomes the source):
+  f1 = atan2(w . n_t, n_s . n_t) in [-pi, pi]
+  f2 = v . n_t                   in [-1, 1]
+  f3 = n_s . (t - s) / d         in [-1, 1]
+SPFH(p) = three 11-bin histograms over p's neighbors in PCL's block order
+(f1 | f2 | f3), each increment 100/#neighbors; degenerate pairs are skipped
+but still count in the denominator.  FPFH(p) = SPFH(p) +
+(1/k) sum_q SPFH(q)/d(p,q)^2, then each block renormalized to sum 100.
+Oracle: tests/golden_ref.fpfh_ref.
 
 TPU formulation: SPFH for all surface points via fixed-capacity neighbor
 blocks + the chunked-bin histogram kernel; the FPFH weighting step is a
@@ -26,20 +30,13 @@ FPFH_BINS = 11
 FPFH_LEN = 3 * FPFH_BINS
 
 
-def _pair_features(p, n_p, q, n_q):
-    """Darboux-frame pair features; all inputs [..., 3]."""
-    d_vec = q - p
-    d = jnp.linalg.norm(d_vec, axis=-1)
-    d_safe = jnp.maximum(d, 1e-12)
-    u = n_p
-    v = jnp.cross(d_vec, u)
-    v_n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    v = v / jnp.maximum(v_n, 1e-12)
-    w = jnp.cross(u, v)
-    f1 = jnp.sum(v * n_q, axis=-1)
-    f2 = jnp.sum(u * d_vec, axis=-1) / d_safe
-    f3 = jnp.arctan2(jnp.sum(w * n_q, axis=-1), jnp.sum(u * n_q, axis=-1))
-    return f1, f2, f3, d
+def _spfh_bins(f1, f2, f3):
+    """PCL block packing: f1 (atan2) | f2 | f3, 11 bins each."""
+    b1 = jnp.clip((FPFH_BINS * (f1 + jnp.pi) / (2.0 * jnp.pi)).astype(jnp.int32),
+                  0, FPFH_BINS - 1)
+    b2 = jnp.clip((FPFH_BINS * (f2 + 1.0) / 2.0).astype(jnp.int32), 0, FPFH_BINS - 1)
+    b3 = jnp.clip((FPFH_BINS * (f3 + 1.0) / 2.0).astype(jnp.int32), 0, FPFH_BINS - 1)
+    return jnp.stack([b1, b2 + FPFH_BINS, b3 + 2 * FPFH_BINS], axis=-1)
 
 
 def spfh_all_points(points: jnp.ndarray, normals: jnp.ndarray,
@@ -50,18 +47,15 @@ def spfh_all_points(points: jnp.ndarray, normals: jnp.ndarray,
                                   exclude_zero_dist=True)
     q = points[nbr.idx]          # [N, M, 3]
     nq = normals[nbr.idx]
-    f1, f2, f3, _ = _pair_features(points[:, None, :], normals[:, None, :], q, nq)
+    f1, f2, f3, _, deg = pair_features_pcl(
+        points[:, None, :], normals[:, None, :], q, nq)
+    idx = _spfh_bins(f1, f2, f3)                                 # [N, M, 3]
 
-    b1 = jnp.clip((FPFH_BINS * (f1 + 1.0) / 2.0).astype(jnp.int32), 0, FPFH_BINS - 1)
-    b2 = jnp.clip((FPFH_BINS * (f2 + 1.0) / 2.0).astype(jnp.int32), 0, FPFH_BINS - 1)
-    b3 = jnp.clip((FPFH_BINS * (f3 + jnp.pi) / (2.0 * jnp.pi)).astype(jnp.int32),
-                  0, FPFH_BINS - 1)
-    idx = jnp.stack([b1, b2 + FPFH_BINS, b3 + 2 * FPFH_BINS], axis=-1)  # [N,M,3]
-
+    contrib = nbr.valid & ~deg
     count = jnp.maximum(jnp.sum(nbr.valid, axis=1), 1)
     incr = (100.0 / count.astype(points.dtype))[:, None, None]
-    w = jnp.where(nbr.valid[..., None], incr, 0.0) * jnp.ones_like(idx, points.dtype)
-    idx = jnp.where(nbr.valid[..., None], idx, 0)
+    w = jnp.where(contrib[..., None], incr, 0.0) * jnp.ones_like(idx, points.dtype)
+    idx = jnp.where(contrib[..., None], idx, 0)
     return _histogram_from_slots(idx, w, FPFH_LEN)
 
 
@@ -91,16 +85,14 @@ def fpfh_descriptor(
     kp_normals = normals[nearest]
     q = points[nbr_k.idx]
     nq = normals[nbr_k.idx]
-    f1, f2, f3, d = _pair_features(keypoints[:, None, :], kp_normals[:, None, :], q, nq)
-    b1 = jnp.clip((FPFH_BINS * (f1 + 1.0) / 2.0).astype(jnp.int32), 0, FPFH_BINS - 1)
-    b2 = jnp.clip((FPFH_BINS * (f2 + 1.0) / 2.0).astype(jnp.int32), 0, FPFH_BINS - 1)
-    b3 = jnp.clip((FPFH_BINS * (f3 + jnp.pi) / (2.0 * jnp.pi)).astype(jnp.int32),
-                  0, FPFH_BINS - 1)
-    idx = jnp.stack([b1, b2 + FPFH_BINS, b3 + 2 * FPFH_BINS], axis=-1)
+    f1, f2, f3, _, deg = pair_features_pcl(
+        keypoints[:, None, :], kp_normals[:, None, :], q, nq)
+    idx = _spfh_bins(f1, f2, f3)
+    contrib = nbr_k.valid & ~deg
     count = jnp.maximum(jnp.sum(nbr_k.valid, axis=1), 1)
     incr = (100.0 / count.astype(points.dtype))[:, None, None]
-    w = jnp.where(nbr_k.valid[..., None], incr, 0.0) * jnp.ones_like(idx, points.dtype)
-    idx = jnp.where(nbr_k.valid[..., None], idx, 0)
+    w = jnp.where(contrib[..., None], incr, 0.0) * jnp.ones_like(idx, points.dtype)
+    idx = jnp.where(contrib[..., None], idx, 0)
     spfh_kp = _histogram_from_slots(idx, w, FPFH_LEN)
 
     # weighted neighbor SPFH sum: fpfh = spfh_kp + (1/k) sum spfh_q / d^2
@@ -138,7 +130,10 @@ def pair_features_pcl(p1, n1, p2, n2):
     n1c = jnp.where(swap[..., None], n2, n1)
     n2c = jnp.where(swap[..., None], n1, n2)
     dpc = jnp.where(swap[..., None], -dpn, dpn)
-    f3 = jnp.where(swap, a2, a1)
+    # on swap the connecting line flips, so f3 = n_source . d is -a2
+    # (pcl pair_features: "f3 = angle2 * (-1)"); this also makes the pair
+    # features symmetric in argument order
+    f3 = jnp.where(swap, -a2, a1)
 
     v = jnp.cross(dpc, n1c)
     v_n = jnp.linalg.norm(v, axis=-1, keepdims=True)

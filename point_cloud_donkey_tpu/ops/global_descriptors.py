@@ -131,16 +131,17 @@ def vfh_descriptor(points: jnp.ndarray, normals: jnp.ndarray,
                    avg_normal: jnp.ndarray = None,
                    normalize_bins: bool = True) -> jnp.ndarray:
     """Viewpoint Feature Histogram: Darboux-frame angles of every point
-    against the (centroid, average-normal) pair, 45 bins each for
-    (cos alpha, cos phi, theta, normalized distance), percentage-normalized
-    (NormalizeBins=true), plus a 128-bin viewpoint component over
-    cos(angle(normal, viewpoint direction)).
+    against the (centroid, average-normal) pair via pcl::computePairFeatures
+    (incl. its source/target swap), 45 bins each in PCL's block order
+    (f1 = atan2, f2 = v.n, f3 = cos, normalized distance),
+    percentage-normalized (NormalizeBins=true), plus a 128-bin viewpoint
+    component over cos(angle(normal, viewpoint direction)).
 
     `centroid` / `avg_normal` override the cloud averages — PCL's
     UseGivenCentroid/UseGivenNormal path that CVFH drives per cluster;
     `normalize_bins=False` keeps raw counts (CVFH sets NormalizeBins
     false, features_cvfh.cpp:52)."""
-    from .fpfh import _pair_features
+    from .fpfh import pair_features_pcl
     dtype = points.dtype
     m = mask.astype(dtype)
     msum = jnp.maximum(m.sum(), 1.0)
@@ -152,23 +153,28 @@ def vfh_descriptor(points: jnp.ndarray, normals: jnp.ndarray,
         n_avg = avg_normal
     n_avg = n_avg / jnp.maximum(jnp.linalg.norm(n_avg), 1e-12)
 
-    f1, f2, f3, d = _pair_features(centroid[None, :], n_avg[None, :],
-                                   points, normals)
+    f1, f2, f3, d, deg = pair_features_pcl(
+        jnp.broadcast_to(centroid[None, :], points.shape),
+        jnp.broadcast_to(n_avg[None, :], points.shape), points, normals)
     max_d = jnp.max(jnp.where(mask, d, 0.0))
     dn = d / jnp.maximum(max_d, 1e-12)
 
+    # degenerate pairs (point == centroid / parallel) are skipped but the
+    # normalization denominator keeps the full size (PCL continue semantics)
+    mc = m * (~deg).astype(dtype)
     norm_fac = (100.0 / msum) if normalize_bins else 1.0
 
-    def hist45(vals, lo, hi):
+    def hist45(vals, lo, hi, weights):
         b = jnp.clip(((vals - lo) / (hi - lo) * VFH_BINS).astype(jnp.int32),
                      0, VFH_BINS - 1)
-        h = _histogram_from_slots(b[None, :, None], m[None, :, None], VFH_BINS)[0]
+        h = _histogram_from_slots(b[None, :, None], weights[None, :, None],
+                                  VFH_BINS)[0]
         return norm_fac * h
 
-    h1 = hist45(f1, -1.0, 1.0)
-    h2 = hist45(f2, -1.0, 1.0)
-    h3 = hist45(f3, -jnp.pi, jnp.pi)
-    hd = hist45(dn, 0.0, 1.0)
+    h1 = hist45(f1, -jnp.pi, jnp.pi, mc)
+    h2 = hist45(f2, -1.0, 1.0, mc)
+    h3 = hist45(f3, -1.0, 1.0, mc)
+    hd = hist45(dn, 0.0, 1.0, mc)
 
     vp = jnp.asarray(viewpoint, dtype)
     vdir = vp[None, :] - points

@@ -244,8 +244,11 @@ FPFH_BINS = 11
 
 
 def _spfh_ref(p, n_p, points, normals, radius):
-    """Three 11-bin histograms of the Darboux pair features over p's
-    in-radius neighbors (self excluded), each increment 100/#neighbors."""
+    """Three 11-bin histograms of the pcl::computePairFeatures pair features
+    (incl. the source/target swap) over p's in-radius neighbors (self
+    excluded), each increment 100/#neighbors; PCL block order f1 (atan2) |
+    f2 (v.n_t) | f3 (cos); degenerate pairs skipped but counted in the
+    denominator."""
     hist = np.zeros(3 * FPFH_BINS)
     nb = []
     for j in range(len(points)):
@@ -257,20 +260,14 @@ def _spfh_ref(p, n_p, points, normals, radius):
         return hist, 0
     incr = 100.0 / len(nb)
     for j in nb:
-        d_vec = points[j] - p
-        d = np.linalg.norm(d_vec)
-        u = n_p
-        v = np.cross(d_vec, u)
-        vn = np.linalg.norm(v)
-        v = v / max(vn, 1e-12)
-        w = np.cross(u, v)
-        f1 = float(v @ normals[j])
-        f2 = float(u @ d_vec) / max(d, 1e-12)
-        f3 = float(np.arctan2(w @ normals[j], u @ normals[j]))
-        b1 = min(max(int(FPFH_BINS * (f1 + 1.0) / 2.0), 0), FPFH_BINS - 1)
-        b2 = min(max(int(FPFH_BINS * (f2 + 1.0) / 2.0), 0), FPFH_BINS - 1)
-        b3 = min(max(int(FPFH_BINS * (f3 + np.pi) / (2 * np.pi)), 0),
+        pf = pair_features_pcl_ref(p, n_p, points[j], normals[j])
+        if pf is None:
+            continue
+        f1, f2, f3, _ = pf
+        b1 = min(max(int(FPFH_BINS * (f1 + np.pi) / (2 * np.pi)), 0),
                  FPFH_BINS - 1)
+        b2 = min(max(int(FPFH_BINS * (f2 + 1.0) / 2.0), 0), FPFH_BINS - 1)
+        b3 = min(max(int(FPFH_BINS * (f3 + 1.0) / 2.0), 0), FPFH_BINS - 1)
         hist[b1] += incr
         hist[FPFH_BINS + b2] += incr
         hist[2 * FPFH_BINS + b3] += incr
@@ -303,4 +300,556 @@ def fpfh_ref(kp, points, normals, radius, min_neighbors=5):
         blk = acc[b * FPFH_BINS:(b + 1) * FPFH_BINS]
         s = blk.sum()
         out[b * FPFH_BINS:(b + 1) * FPFH_BINS] = 100.0 * blk / max(s, 1e-30)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Color conversion (third_party/pcl_color_conversion/color_conversion.cpp,
+# PCL cshot.hpp RGB2CIELAB lineage) -- scalar loop transcription
+# ---------------------------------------------------------------------------
+
+
+def rgb2cielab_norm_ref(rgb):
+    """One color [3] in [0,1] -> normalized Lab (L in [0,1], a/b in [-1,1]),
+    reproducing the reference's LUT laws: 256-entry sRGB expansion (byte
+    index), 4000-entry cube-root LUT with index truncation."""
+    def srgb(f):
+        return ((f + 0.055) / 1.055) ** 2.4 if f > 0.04045 else f / 12.92
+
+    fr, fg, fb = (srgb(c) for c in rgb)
+    x = fr * 0.412453 + fg * 0.357580 + fb * 0.180423
+    y = fr * 0.212671 + fg * 0.715160 + fb * 0.072169
+    z = fr * 0.019334 + fg * 0.119193 + fb * 0.950227
+
+    def f_lut(t):
+        q = min(max(int(t * 4000.0), 0), 3999) / 4000.0
+        return q ** 0.3333 if q > 0.008856 else 7.787 * q + 16.0 / 116.0
+
+    vx, vy, vz = f_lut(x / 0.95047), f_lut(y), f_lut(z / 1.08883)
+    L = min(116.0 * vy - 16.0, 100.0)
+    a = min(max(500.0 * (vx - vy), -120.0), 120.0)
+    b = min(max(200.0 * (vy - vz), -120.0), 120.0)
+    return np.array([L / 100.0, a / 120.0, b / 120.0])
+
+
+def color_distance_ref(lab1, lab2):
+    """(|dL| + (|da| + |db|)/2) / 3 clamped to [0,1]
+    (color_conversion.cpp:86-96 / PCL cshot.hpp)."""
+    d = np.abs(np.asarray(lab1) - np.asarray(lab2))
+    return float(min(max((d[0] + (d[1] + d[2]) / 2.0) / 3.0, 0.0), 1.0))
+
+
+# ---------------------------------------------------------------------------
+# CSHOT-1344 (PCL SHOTColorEstimation::interpolateDoubleChannel; reference
+# wrapper features/features_cshot.cpp)
+# ---------------------------------------------------------------------------
+
+NR_COLOR_BINS = 30
+
+
+def cshot_ref(kp, kp_rgb, frame, points, normals, rgb, radius,
+              min_neighbors=5):
+    """[1344] CSHOT at one keypoint: SHOT-352 shape channel + a 31-slot
+    normalized-CIELab-distance histogram per spatial volume; the spatial
+    (radial / elevation / azimuth) interpolation weights apply to both
+    channels; joint L2 normalization."""
+    shape_len = NR_SECTORS * (NR_BINS + 1)
+    color_len = NR_SECTORS * (NR_COLOR_BINS + 1)
+    hist = np.zeros(shape_len + color_len)
+    x_ax, y_ax, z_ax = frame
+    r_half = radius / 2.0
+    r14, r34 = radius / 4.0, 3.0 * radius / 4.0
+    rad45, rad90, rad135 = np.pi / 4, np.pi / 2, 3 * np.pi / 4
+    rad_pi_7_8 = np.pi * 7.0 / 8.0
+    lab_kp = rgb2cielab_norm_ref(kp_rgb)
+
+    n_used = 0
+    for j in range(len(points)):
+        delta = points[j] - kp
+        d2 = float(delta @ delta)
+        if d2 > radius * radius or d2 <= 1e-15:
+            continue
+        if not np.all(np.isfinite(normals[j])):
+            continue
+        n_used += 1
+        d = np.sqrt(d2)
+        x_l, y_l, z_l = delta @ x_ax, delta @ y_ax, delta @ z_ax
+
+        # shape channel coordinate
+        cos_desc = float(np.clip(normals[j] @ z_ax, -1.0, 1.0))
+        bin_s = (1.0 + cos_desc) * NR_BINS / 2.0
+        step_s = int(np.floor(bin_s + 0.5))
+        bd_s = bin_s - step_s
+
+        # color channel coordinate
+        cdist = color_distance_ref(lab_kp, rgb2cielab_norm_ref(rgb[j]))
+        bin_c = cdist * NR_COLOR_BINS
+        step_c = int(np.floor(bin_c + 0.5))
+        bd_c = bin_c - step_c
+
+        # spatial volume (same bit pattern as SHOT)
+        bit4 = 1 if ((y_l > 0) or (y_l == 0.0 and x_l < 0)) else 0
+        if (x_l > 0) or (x_l == 0.0 and y_l > 0):
+            bit3 = 1 - bit4
+        else:
+            bit3 = bit4
+        desc = ((bit4 << 3) + (bit3 << 2)) << 1
+        if (x_l * y_l > 0) or (x_l == 0.0):
+            desc += 0 if abs(x_l) >= abs(y_l) else 4
+        else:
+            desc += 4 if abs(x_l) > abs(y_l) else 0
+        desc += 1 if z_l > 0 else 0
+        desc += 2 if d > r_half else 0
+        vol_s = desc * (NR_BINS + 1)
+        vol_c = shape_len + desc * (NR_COLOR_BINS + 1)
+
+        w_s = 1.0 - abs(bd_s)
+        w_c = 1.0 - abs(bd_c)
+
+        # cosine / color-bin interpolation (adjacent slot, modulo bins)
+        if bd_s > 0:
+            hist[vol_s + (step_s + 1) % NR_BINS] += abs(bd_s)
+        else:
+            hist[vol_s + (step_s - 1 + NR_BINS) % NR_BINS] += abs(bd_s)
+        if bd_c > 0:
+            hist[vol_c + (step_c + 1) % NR_COLOR_BINS] += abs(bd_c)
+        else:
+            hist[vol_c + (step_c - 1 + NR_COLOR_BINS) % NR_COLOR_BINS] += abs(bd_c)
+
+        # radial interpolation (shared spatial weight, both channels)
+        if d > r_half:
+            rd = (d - r34) / r_half
+            spatial = (1.0 - rd) if d > r34 else (1.0 + rd)
+            if d <= r34:
+                hist[(desc - 2) * (NR_BINS + 1) + step_s] += abs(rd)
+                hist[shape_len + (desc - 2) * (NR_COLOR_BINS + 1) + step_c] += abs(rd)
+        else:
+            rd = (d - r14) / r_half
+            spatial = (1.0 + rd) if d < r14 else (1.0 - rd)
+            if d >= r14:
+                hist[(desc + 2) * (NR_BINS + 1) + step_s] += abs(rd)
+                hist[shape_len + (desc + 2) * (NR_COLOR_BINS + 1) + step_c] += abs(rd)
+        w_s += spatial
+        w_c += spatial
+
+        # inclination interpolation
+        incl = np.arccos(np.clip(z_l / d, -1.0, 1.0))
+        if (incl > rad90) or (incl == rad90 and z_l <= 0):
+            idn = (incl - rad135) / rad90
+            spatial = (1.0 - idn) if incl > rad135 else (1.0 + idn)
+            if incl <= rad135:
+                hist[(desc + 1) * (NR_BINS + 1) + step_s] += abs(idn)
+                hist[shape_len + (desc + 1) * (NR_COLOR_BINS + 1) + step_c] += abs(idn)
+        else:
+            idn = (incl - rad45) / rad90
+            spatial = (1.0 + idn) if incl < rad45 else (1.0 - idn)
+            if incl >= rad45:
+                hist[(desc - 1) * (NR_BINS + 1) + step_s] += abs(idn)
+                hist[shape_len + (desc - 1) * (NR_COLOR_BINS + 1) + step_c] += abs(idn)
+        w_s += spatial
+        w_c += spatial
+
+        # azimuth interpolation
+        if x_l != 0.0 or y_l != 0.0:
+            azimuth = np.arctan2(y_l, x_l)
+            sel = desc >> 2
+            azd = (azimuth - (-rad_pi_7_8 + rad45 * sel)) / rad45
+            azd = float(np.clip(azd, -0.5, 0.5))
+            w_s += 1.0 - abs(azd)
+            w_c += 1.0 - abs(azd)
+            if azd > 0:
+                av = (desc + 4) % NR_SECTORS
+            else:
+                av = (desc - 4 + NR_SECTORS) % NR_SECTORS
+            hist[av * (NR_BINS + 1) + step_s] += abs(azd)
+            hist[shape_len + av * (NR_COLOR_BINS + 1) + step_c] += abs(azd)
+
+        hist[vol_s + step_s] += w_s
+        hist[vol_c + step_c] += w_c
+
+    if n_used < min_neighbors:
+        return None
+    norm = np.linalg.norm(hist)
+    return hist / norm if norm > 0 else hist
+
+
+# ---------------------------------------------------------------------------
+# SHORT_CSHOT (reference features_short_cshot.cpp:103-430)
+# ---------------------------------------------------------------------------
+
+
+def short_cshot_ref(kp, kp_rgb, frame, points, rgb, radius,
+                    r_bins=2, e_bins=2, a_bins=8,
+                    r_cbins=2, e_cbins=2, a_cbins=8, color_hist_size=15,
+                    min_radius=0.0, log_radius=False):
+    """Shape (SHORT_SHOT grid) + color (CIELab-distance histogram nested in
+    its own spherical grid) descriptor; transcribes compute_shape_descriptor
+    / compute_color_descriptor including the reference's c-secondary
+    increment quirk ((1-w_c)+(1-w_r)+w_t+w_p, :424-426).  Joint L2 norm."""
+    shape = np.zeros(r_bins * e_bins * a_bins)
+    color = np.zeros(r_cbins * e_cbins * a_cbins * color_hist_size)
+    x_ax, y_ax, z_ax = frame
+    lab_kp = rgb2cielab_norm_ref(kp_rgb)
+    ln_rmin = np.log(min_radius) if min_radius > 0 else 0.0
+    ln_span = np.log(radius / min_radius) if min_radius > 0 else 0.0
+
+    for j in range(len(points)):
+        delta = points[j] - kp
+        d2 = float(delta @ delta)
+        if d2 > radius * radius or d2 <= 1e-15:
+            continue
+        x_l, y_l, z_l = delta @ x_ax, delta @ y_ax, delta @ z_ax
+        r = np.sqrt(x_l * x_l + y_l * y_l + z_l * z_l)
+        if min_radius > 0 and r < min_radius:
+            continue
+        theta = np.degrees(np.arccos(np.clip(z_l / r, -1.0, 1.0)))
+        phi = np.degrees(np.arctan2(y_l, x_l))
+
+        # ---- shape part ----
+        if log_radius:
+            raw_r = (r_bins - 1) * (np.log(r) - ln_rmin) / ln_span + 1.0
+        else:
+            raw_r = r_bins * r / radius
+        raw_t = e_bins * theta / 180.0
+        raw_p = a_bins * (phi + 180.0) / 360.0
+        b_r = min(max(int(raw_r), 0), r_bins - 1)
+        b_t = min(int(raw_t), e_bins - 1)
+        b_p = min(int(raw_p), a_bins - 1)
+        w_r, o_r = _linear_interpolation(raw_r)
+        w_t, o_t = _linear_interpolation(raw_t)
+        w_p, o_p = _linear_interpolation(raw_p)
+
+        def lin(br, bt, bp):
+            return br + bt * r_bins + bp * r_bins * e_bins
+
+        shape[lin(b_r, b_t, b_p)] += w_r + w_t + w_p
+        if a_bins > 1:
+            b_p2 = _correct_bin(b_p + o_p, a_bins, True)
+            if b_p2 != b_p:
+                shape[lin(b_r, b_t, b_p2)] += w_r + w_t + (1.0 - w_p)
+        if e_bins > 1:
+            b_t2 = _correct_bin(b_t + o_t, e_bins, False)
+            if b_t2 != b_t:
+                shape[lin(b_r, b_t2, b_p)] += w_r + (1.0 - w_t) + w_p
+        if r_bins > 1:
+            b_r2 = _correct_bin(b_r + o_r, r_bins, False)
+            if b_r2 != b_r:
+                shape[lin(b_r2, b_t, b_p)] += (1.0 - w_r) + w_t + w_p
+
+        # ---- color part ----
+        cdist = color_distance_ref(lab_kp, rgb2cielab_norm_ref(rgb[j]))
+        if log_radius:
+            raw_cr = (r_cbins - 1) * (np.log(r) - ln_rmin) / ln_span + 1.0
+        else:
+            raw_cr = r_cbins * r / radius
+        raw_ct = e_cbins * theta / 180.0
+        raw_cp = a_cbins * (phi + 180.0) / 360.0
+        raw_c = cdist * color_hist_size
+        cb_r = min(max(int(raw_cr), 0), r_cbins - 1)
+        cb_t = min(int(raw_ct), e_cbins - 1)
+        cb_p = min(int(raw_cp), a_cbins - 1)
+        b_c = min(int(raw_c), color_hist_size - 1)
+        cw_r, co_r = _linear_interpolation(raw_cr)
+        cw_t, co_t = _linear_interpolation(raw_ct)
+        cw_p, co_p = _linear_interpolation(raw_cp)
+        w_c, o_c = _linear_interpolation(raw_c)
+
+        def clin(bc, br, bt, bp):
+            return (bc + br * color_hist_size
+                    + bt * color_hist_size * r_cbins
+                    + bp * color_hist_size * r_cbins * e_cbins)
+
+        color[clin(b_c, cb_r, cb_t, cb_p)] += w_c + cw_r + cw_t + cw_p
+        if a_cbins > 1:
+            cb_p2 = _correct_bin(cb_p + co_p, a_cbins, True)
+            if cb_p2 != cb_p:
+                color[clin(b_c, cb_r, cb_t, cb_p2)] += w_c + cw_r + cw_t + (1.0 - cw_p)
+        if e_cbins > 1:
+            cb_t2 = _correct_bin(cb_t + co_t, e_cbins, False)
+            if cb_t2 != cb_t:
+                color[clin(b_c, cb_r, cb_t2, cb_p)] += w_c + cw_r + (1.0 - cw_t) + cw_p
+        if r_cbins > 1:
+            cb_r2 = _correct_bin(cb_r + co_r, r_cbins, False)
+            if cb_r2 != cb_r:
+                color[clin(b_c, cb_r2, cb_t, cb_p)] += w_c + (1.0 - cw_r) + cw_t + cw_p
+        if color_hist_size > 1:
+            b_c2 = _correct_bin(b_c + o_c, color_hist_size, False)
+            if b_c2 != b_c:
+                # reference quirk: the c-secondary increment also flips w_r
+                # (features_short_cshot.cpp:424-426)
+                color[clin(b_c2, cb_r, cb_t, cb_p)] += \
+                    (1.0 - w_c) + (1.0 - cw_r) + cw_t + cw_p
+
+    fused = np.concatenate([shape, color])
+    norm = np.linalg.norm(fused)
+    return fused / norm if norm > 0 else fused
+
+
+# ---------------------------------------------------------------------------
+# PFH-125 (PCL PFHEstimation::computePointPFHSignature + computePairFeatures
+# incl. the source/target swap; reference wrapper features/features_pfh.cpp)
+# ---------------------------------------------------------------------------
+
+PFH_BINS = 5
+
+
+def pair_features_pcl_ref(p1, n1, p2, n2):
+    """pcl::computePairFeatures: the point whose normal has the smaller
+    angle to the connecting line becomes the source.  Returns
+    (f1 atan2, f2 = v.n2, f3 = cos angle, f4 = d) or None when degenerate."""
+    dp = p2 - p1
+    f4 = float(np.linalg.norm(dp))
+    if f4 == 0.0:
+        return None
+    dpn = dp / f4
+    a1 = float(n1 @ dpn)
+    a2 = float(n2 @ dpn)
+    if np.arccos(np.clip(abs(a1), 0, 1)) > np.arccos(np.clip(abs(a2), 0, 1)):
+        # the connecting line flips with the swap, so f3 = n_source . d
+        # becomes -a2 ("f3 = angle2 * (-1)"); keeps the features symmetric
+        # in argument order
+        n1c, n2c, dpc, f3 = n2, n1, -dpn, -a2
+    else:
+        n1c, n2c, dpc, f3 = n1, n2, dpn, a1
+    v = np.cross(dpc, n1c)
+    v_n = float(np.linalg.norm(v))
+    if v_n < 1e-12:
+        return None
+    v = v / v_n
+    w = np.cross(n1c, v)
+    f2 = float(v @ n2c)
+    f1 = float(np.arctan2(w @ n2c, n1c @ n2c))
+    return f1, f2, f3, f4
+
+
+def pfh_ref(kp, points, normals, radius, min_neighbors=5):
+    """[125] PFH at one keypoint: joint 5x5x5 histogram over ALL unordered
+    neighbor pairs inside the support; increment 100 / C(k,2) (denominator
+    counts skipped degenerate pairs too, as PCL precomputes it); index
+    packing f1 + 5*f2 + 25*f3 with f1 the atan2 feature."""
+    d_all = np.linalg.norm(points - kp[None, :], axis=1)
+    nb = [j for j in range(len(points)) if d_all[j] <= radius]
+    if len(nb) < min_neighbors or len(nb) < 2:
+        return None
+    hist = np.zeros(PFH_BINS ** 3)
+    incr = 100.0 / (len(nb) * (len(nb) - 1) / 2.0)
+    for ii in range(1, len(nb)):
+        for jj in range(ii):
+            pf = pair_features_pcl_ref(points[nb[ii]], normals[nb[ii]],
+                                       points[nb[jj]], normals[nb[jj]])
+            if pf is None:
+                continue
+            f1, f2, f3, _ = pf
+            b0 = min(max(int(PFH_BINS * (f1 + np.pi) / (2.0 * np.pi)), 0),
+                     PFH_BINS - 1)
+            b1 = min(max(int(PFH_BINS * (f2 + 1.0) / 2.0), 0), PFH_BINS - 1)
+            b2 = min(max(int(PFH_BINS * (f3 + 1.0) / 2.0), 0), PFH_BINS - 1)
+            hist[b0 + b1 * PFH_BINS + b2 * PFH_BINS * PFH_BINS] += incr
+    return hist
+
+
+# ---------------------------------------------------------------------------
+# Spin image 153 (Johnson; PCL SpinImageEstimation with image width 8,
+# reference wrapper features/features_spin_image.cpp) -- bilinear binning
+# ---------------------------------------------------------------------------
+
+SPIN_WIDTH = 8
+
+
+def spin_image_ref(kp, axis, points, radius, min_neighbors=5):
+    """[153] spin image at one keypoint: cylindrical coordinates
+    beta = axis.(q-p) (signed height), alpha = in-plane distance, bilinear
+    binning into a (W+1) x (2W+1) image, normalized to sum 1 (the kernel's
+    documented convention; ops/descriptors_misc.py)."""
+    W = SPIN_WIDTH
+    stride = 2 * W + 1
+    img = np.zeros((W + 1) * stride)
+    n_nb = 0
+    for j in range(len(points)):
+        delta = points[j] - kp
+        d2 = float(delta @ delta)
+        if d2 > radius * radius:
+            continue
+        n_nb += 1
+        beta = float(delta @ axis)
+        alpha = np.sqrt(max(d2 - beta * beta, 0.0))
+        a_bin = alpha / radius * W
+        b_bin = (beta / radius + 1.0) * W
+        if a_bin > W or b_bin < 0 or b_bin > 2 * W:
+            continue
+        a0 = min(max(int(np.floor(a_bin)), 0), W - 1)
+        b0 = min(max(int(np.floor(b_bin)), 0), 2 * W - 1)
+        fa, fb = a_bin - a0, b_bin - b0
+        base = a0 * stride + b0
+        img[base] += (1 - fa) * (1 - fb)
+        img[base + 1] += (1 - fa) * fb
+        img[base + stride] += fa * (1 - fb)
+        img[base + stride + 1] += fa * fb
+    if n_nb < min_neighbors:
+        return None
+    s = img.sum()
+    return img / s if s > 0 else img
+
+
+# ---------------------------------------------------------------------------
+# COSPAIR (reference third_party/cospair/cospair.cpp:18-297, rgb_type 5)
+# ---------------------------------------------------------------------------
+
+COSPAIR_LEVELS = 7
+COSPAIR_BINS = 9
+COSPAIR_RGB_BINS = 9
+
+
+def rgb2cielab_raw_ref(rgb):
+    """PCL SHOTColorEstimation::RGB2CIELAB raw (clamped) L, a, b."""
+    lab = rgb2cielab_norm_ref(rgb)
+    return np.array([lab[0] * 100.0, lab[1] * 120.0, lab[2] * 120.0])
+
+
+def cospair_ref(kp, n_kp, points, normals, rgb, radius, min_neighbors=5):
+    """[378] COSPAIR at one keypoint (a cloud point): 7 concentric shells,
+    per shell three 9-bin pcl::computePairFeatures angle histograms
+    (source = keypoint, incl. the swap) + three 9-bin CIELab histograms of
+    the neighbor color with the paper's normalization constants; each shell
+    normalized by its pair count and scaled by the level index."""
+    level_len = 3 * COSPAIR_BINS + 3 * COSPAIR_RGB_BINS
+    hist = np.zeros(COSPAIR_LEVELS * level_len)
+    counts = np.zeros(COSPAIR_LEVELS, int)
+
+    for j in range(len(points)):
+        delta = points[j] - kp
+        d = float(np.linalg.norm(delta))
+        if d * d <= 1e-15 or d > radius:
+            continue
+        # shell: smallest l with d <= l/7 * R (radiusSearch ring ranges)
+        lvl = int(np.ceil(d / radius * COSPAIR_LEVELS))
+        lvl = min(max(lvl, 1), COSPAIR_LEVELS) - 1
+
+        pf = pair_features_pcl_ref(kp, n_kp, points[j], normals[j])
+        if pf is None:
+            continue
+        f1, f2, f3, _ = pf
+        counts[lvl] += 1
+        deg1 = np.degrees(f1) + 180.0
+        deg2 = np.degrees(np.arccos(np.clip(f2, -1.0, 1.0)))
+        deg3 = np.degrees(np.arccos(np.clip(f3, -1.0, 1.0)))
+        b1 = min(max(int(deg1 / (360.0 / COSPAIR_BINS)), 0), COSPAIR_BINS - 1)
+        b2 = min(max(int(deg2 / (180.0 / COSPAIR_BINS)), 0), COSPAIR_BINS - 1)
+        b3 = min(max(int(deg3 / (180.0 / COSPAIR_BINS)), 0), COSPAIR_BINS - 1)
+        base = lvl * level_len
+        hist[base + b1] += 1.0
+        hist[base + COSPAIR_BINS + b2] += 1.0
+        hist[base + 2 * COSPAIR_BINS + b3] += 1.0
+
+        L, a, b = rgb2cielab_raw_ref(rgb[j])
+        ln = L / 100.0
+        an = (a + 86.185) / 184.439
+        bn = (b + 107.863) / 202.345
+        br = min(max(int(ln * COSPAIR_RGB_BINS), 0), COSPAIR_RGB_BINS - 1)
+        bg = min(max(int(an * COSPAIR_RGB_BINS), 0), COSPAIR_RGB_BINS - 1)
+        bb = min(max(int(bn * COSPAIR_RGB_BINS), 0), COSPAIR_RGB_BINS - 1)
+        cbase = base + 3 * COSPAIR_BINS
+        hist[cbase + br] += 1.0
+        hist[cbase + COSPAIR_RGB_BINS + bg] += 1.0
+        hist[cbase + 2 * COSPAIR_RGB_BINS + bb] += 1.0
+
+    for lvl in range(COSPAIR_LEVELS):
+        if counts[lvl]:
+            s = slice(lvl * level_len, (lvl + 1) * level_len)
+            hist[s] = hist[s] / counts[lvl] * (lvl + 1)
+    if counts.sum() < min_neighbors:
+        return None
+    return hist
+
+
+# ---------------------------------------------------------------------------
+# 3DSC / USC shape context (pcl::ShapeContext3DEstimation geometry with the
+# deterministic SHOT-LRF azimuth; 12 az x 11 el x 15 log-radial bins)
+# ---------------------------------------------------------------------------
+
+SC_AZ, SC_EL, SC_RAD = 12, 11, 15
+
+
+def shape_context_ref(kp, frame, points, radius, min_radius_factor=0.1,
+                      density_radius_factor=0.2, min_neighbors=5):
+    """[1980] shape context at one keypoint: log-radial shells between
+    radius/10 and radius, linear elevation/azimuth bins in the LRF, each
+    neighbor weighted 1 / (local point density * cbrt(bin volume))."""
+    hist = np.zeros(SC_AZ * SC_EL * SC_RAD)
+    x_ax, y_ax, z_ax = frame
+    rmin = min_radius_factor * radius
+    dr = density_radius_factor * radius
+    ln_span = np.log(radius / rmin)
+    n_used = 0
+    for j in range(len(points)):
+        delta = points[j] - kp
+        d2 = float(delta @ delta)
+        if d2 <= 1e-15 or d2 > radius * radius:
+            continue
+        d = np.sqrt(d2)
+        n_used += 1
+        if d < rmin:
+            continue
+        x_l, y_l, z_l = delta @ x_ax, delta @ y_ax, delta @ z_ax
+        az = (np.arctan2(y_l, x_l) + np.pi) / (2 * np.pi)
+        el = np.arccos(np.clip(z_l / d, -1.0, 1.0)) / np.pi
+        rb = np.log(max(d, rmin) / rmin) / ln_span
+        b_az = min(max(int(az * SC_AZ), 0), SC_AZ - 1)
+        b_el = min(max(int(el * SC_EL), 0), SC_EL - 1)
+        b_r = min(max(int(rb * SC_RAD), 0), SC_RAD - 1)
+
+        rho = sum(1 for q in points
+                  if float((q - points[j]) @ (q - points[j])) <= dr * dr)
+        r_lo = rmin * np.exp(b_r / SC_RAD * ln_span)
+        r_hi = rmin * np.exp((b_r + 1) / SC_RAD * ln_span)
+        el_lo = b_el / SC_EL * np.pi
+        el_hi = (b_el + 1) / SC_EL * np.pi
+        vol = ((r_hi ** 3 - r_lo ** 3) / 3.0) \
+            * (np.cos(el_lo) - np.cos(el_hi)) * (2 * np.pi / SC_AZ)
+        w = 1.0 / (rho * np.cbrt(vol))
+        hist[(b_az * SC_EL + b_el) * SC_RAD + b_r] += w
+    if n_used < min_neighbors:
+        return None
+    return hist
+
+
+# ---------------------------------------------------------------------------
+# BSHOT binarization (reference features_bshot.cpp:109-157)
+# ---------------------------------------------------------------------------
+
+
+def bshot_binarize_ref(shot_vec):
+    """[352] -> [352] binary: per group of 4, case A (all zero) / B (one
+    value > 0.9 sum) / C (pair, later pairs overwrite) / D (triple) /
+    E (all ones)."""
+    out = np.zeros_like(shot_vec)
+    for g0 in range(0, len(shot_vec), 4):
+        v = shot_vec[g0:g0 + 4]
+        s = float(v.sum())
+        result = [0, 0, 0, 0]
+        if s != 0:
+            for i in range(4):
+                if v[i] > s * 0.9:
+                    result[i] = 1
+            case_b = sum(result) == 1
+            case_c = False
+            if not case_b:
+                pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+                for i, j in pairs:
+                    if v[i] + v[j] > s * 0.9:
+                        result = [0, 0, 0, 0]
+                        result[i] = result[j] = 1
+                case_c = sum(result) == 2
+            case_d = False
+            if not case_b and not case_c:
+                triples = [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
+                for t in triples:
+                    if sum(v[i] for i in t) > s * 0.9:
+                        result = [0, 0, 0, 0]
+                        for i in t:
+                            result[i] = 1
+                case_d = sum(result) == 3
+            if not case_b and not case_c and not case_d:
+                result = [1, 1, 1, 1]
+        out[g0:g0 + 4] = result
     return out

@@ -30,7 +30,8 @@ N_KP = 6
 
 
 def _fixture_cloud():
-    """Fixed ellipsoid cloud with analytic normals and 6 keypoints."""
+    """Fixed ellipsoid cloud with analytic normals, smooth position-derived
+    colors, and 6 keypoints."""
     rng = np.random.default_rng(1234)
     a, b, c = 1.3, 0.8, 0.5
     v = rng.normal(size=(400, 3))
@@ -38,14 +39,21 @@ def _fixture_cloud():
     pts = (v * np.array([a, b, c])).astype(np.float32)
     nrm = pts / np.array([a * a, b * b, c * c], np.float32)
     nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    # byte-quantized colors (the reference indexes a 256-entry LUT by byte)
+    rgb_f = 0.5 + 0.5 * np.stack([np.sin(3.0 * pts[:, 0]),
+                                  np.cos(2.0 * pts[:, 1]),
+                                  np.sin(4.0 * pts[:, 2])], axis=1)
+    rgb = np.round(rgb_f * 255.0) / 255.0
     kp = pts[::67][:N_KP].copy()
-    return pts, nrm.astype(np.float32), kp
+    return pts, nrm.astype(np.float32), rgb.astype(np.float32), kp
 
 
 def _compute_golden():
-    pts, nrm, kp = _fixture_cloud()
+    pts, nrm, rgb, kp = _fixture_cloud()
     p64, n64, k64 = pts.astype(np.float64), nrm.astype(np.float64), \
         kp.astype(np.float64)
+    rgb64 = rgb.astype(np.float64)
+    kp_rgb64 = rgb64[::67][:N_KP].copy()
     frames = np.stack([golden_ref.shot_lrf_ref(k, p64, RADIUS) for k in k64])
     shot = np.stack([
         golden_ref.shot_ref(k, f, p64, n64, RADIUS)
@@ -54,9 +62,29 @@ def _compute_golden():
         golden_ref.short_shot_ref(k, f, p64, RADIUS)
         for k, f in zip(k64, frames)])
     fpfh = np.stack([golden_ref.fpfh_ref(k, p64, n64, RADIUS) for k in k64])
-    return {"points": pts, "normals": nrm, "keypoints": kp,
+    cshot = np.stack([
+        golden_ref.cshot_ref(k, kr, f, p64, n64, rgb64, RADIUS)
+        for k, kr, f in zip(k64, kp_rgb64, frames)])
+    scshot = np.stack([
+        golden_ref.short_cshot_ref(k, kr, f, p64, rgb64, RADIUS)
+        for k, kr, f in zip(k64, kp_rgb64, frames)])
+    pfh = np.stack([golden_ref.pfh_ref(k, p64, n64, RADIUS) for k in k64])
+    spin = np.stack([
+        golden_ref.spin_image_ref(k, n64[i * 67], p64, RADIUS)
+        for i, k in enumerate(k64)])
+    cospair = np.stack([
+        golden_ref.cospair_ref(k, n64[i * 67], p64, n64, rgb64, RADIUS)
+        for i, k in enumerate(k64)])
+    sc3d = np.stack([
+        golden_ref.shape_context_ref(k, f, p64, RADIUS)
+        for k, f in zip(k64, frames)])
+    bshot = np.stack([golden_ref.bshot_binarize_ref(s) for s in shot])
+    return {"points": pts, "normals": nrm, "rgb": rgb, "keypoints": kp,
+            "kp_rgb": rgb[::67][:N_KP].copy(),
             "frames": frames, "shot": shot, "short_shot": sshot,
-            "fpfh": fpfh}
+            "fpfh": fpfh, "cshot": cshot, "short_cshot": scshot,
+            "pfh": pfh, "spin_image": spin, "cospair": cospair,
+            "shape_context": sc3d, "bshot": bshot}
 
 
 @pytest.fixture(scope="module")
@@ -69,7 +97,9 @@ def golden():
 def test_oracle_matches_fixture(golden):
     """Pins the loop-based oracle itself: recompute and compare."""
     fresh = _compute_golden()
-    for key in ("frames", "shot", "short_shot", "fpfh"):
+    for key in ("frames", "shot", "short_shot", "fpfh", "cshot",
+                "short_cshot", "pfh", "spin_image", "cospair",
+                "shape_context", "bshot"):
         np.testing.assert_allclose(fresh[key], golden[key], atol=1e-12,
                                    err_msg=key)
 
@@ -119,6 +149,111 @@ def test_fpfh_matches_golden(golden):
     # FPFH bins hold values up to ~100 -> absolute tolerance scales with that
     np.testing.assert_allclose(np.asarray(res.descriptors), golden["fpfh"],
                                atol=0.15)
+
+
+def test_cshot_matches_golden(golden):
+    from point_cloud_donkey_tpu.ops.shot import cshot_descriptor_dense
+    pts, nrm, rgb = golden["points"], golden["normals"], golden["rgb"]
+    kp, kp_rgb = golden["keypoints"], golden["kp_rgb"]
+    frames = golden["frames"].astype(np.float32)
+    res = cshot_descriptor_dense(
+        jnp.asarray(kp), jnp.asarray(kp_rgb), jnp.asarray(frames),
+        jnp.ones(len(kp), bool), jnp.asarray(pts), jnp.asarray(nrm),
+        jnp.asarray(rgb), jnp.ones(len(pts), bool), RADIUS)
+    assert bool(np.all(res.valid))
+    np.testing.assert_allclose(np.asarray(res.descriptors), golden["cshot"],
+                               atol=2e-3)
+
+
+def test_short_cshot_matches_golden(golden):
+    from point_cloud_donkey_tpu.ops.neighbors import gather_radius_neighbors
+    from point_cloud_donkey_tpu.ops.short_shot import short_cshot_descriptor
+    pts, rgb = golden["points"], golden["rgb"]
+    kp, kp_rgb = golden["keypoints"], golden["kp_rgb"]
+    frames = golden["frames"].astype(np.float32)
+    nbr = gather_radius_neighbors(jnp.asarray(kp), jnp.asarray(pts),
+                                  jnp.ones(len(pts), bool), RADIUS,
+                                  capacity=len(pts))
+    res = short_cshot_descriptor(
+        jnp.asarray(kp), jnp.asarray(kp_rgb), jnp.asarray(frames),
+        jnp.ones(len(kp), bool), jnp.asarray(pts), jnp.asarray(rgb),
+        nbr, RADIUS)
+    assert bool(np.all(res.valid))
+    np.testing.assert_allclose(np.asarray(res.descriptors),
+                               golden["short_cshot"], atol=2e-3)
+
+
+def test_pfh_matches_golden(golden):
+    from point_cloud_donkey_tpu.ops.descriptors_misc import pfh_descriptor
+    from point_cloud_donkey_tpu.ops.neighbors import gather_radius_neighbors
+    pts, nrm, kp = golden["points"], golden["normals"], golden["keypoints"]
+    nbr = gather_radius_neighbors(jnp.asarray(kp), jnp.asarray(pts),
+                                  jnp.ones(len(pts), bool), RADIUS,
+                                  capacity=len(pts))
+    res = pfh_descriptor(jnp.asarray(kp), jnp.ones(len(kp), bool),
+                         jnp.asarray(pts), jnp.asarray(nrm), nbr)
+    assert bool(np.all(res.valid))
+    # bins hold percentages (up to ~100)
+    np.testing.assert_allclose(np.asarray(res.descriptors), golden["pfh"],
+                               atol=0.15)
+
+
+def test_spin_image_matches_golden(golden):
+    from point_cloud_donkey_tpu.ops.descriptors_misc import spin_image_descriptor
+    from point_cloud_donkey_tpu.ops.neighbors import gather_radius_neighbors
+    pts, nrm, kp = golden["points"], golden["normals"], golden["keypoints"]
+    axes = nrm[::67][:N_KP]
+    nbr = gather_radius_neighbors(jnp.asarray(kp), jnp.asarray(pts),
+                                  jnp.ones(len(pts), bool), RADIUS,
+                                  capacity=len(pts))
+    res = spin_image_descriptor(jnp.asarray(kp), jnp.asarray(axes),
+                                jnp.ones(len(kp), bool), jnp.asarray(pts),
+                                nbr, RADIUS)
+    assert bool(np.all(res.valid))
+    np.testing.assert_allclose(np.asarray(res.descriptors),
+                               golden["spin_image"], atol=2e-4)
+
+
+def test_cospair_matches_golden(golden):
+    from point_cloud_donkey_tpu.ops.cospair import cospair_descriptor
+    from point_cloud_donkey_tpu.ops.neighbors import gather_radius_neighbors
+    pts, nrm, rgb = golden["points"], golden["normals"], golden["rgb"]
+    kp = golden["keypoints"]
+    kp_nrm = nrm[::67][:N_KP]
+    kp_rgb = golden["kp_rgb"]
+    nbr = gather_radius_neighbors(jnp.asarray(kp), jnp.asarray(pts),
+                                  jnp.ones(len(pts), bool), RADIUS,
+                                  capacity=len(pts))
+    res = cospair_descriptor(jnp.asarray(kp), jnp.asarray(kp_nrm),
+                             jnp.asarray(kp_rgb), jnp.ones(len(kp), bool),
+                             jnp.asarray(pts), jnp.asarray(nrm),
+                             jnp.asarray(rgb), nbr, RADIUS)
+    assert bool(np.all(res.valid))
+    np.testing.assert_allclose(np.asarray(res.descriptors),
+                               golden["cospair"], atol=2e-3)
+
+
+def test_shape_context_matches_golden(golden):
+    from point_cloud_donkey_tpu.ops.shape_context import shape_context_descriptor
+    from point_cloud_donkey_tpu.ops.neighbors import gather_radius_neighbors
+    pts, kp = golden["points"], golden["keypoints"]
+    frames = golden["frames"].astype(np.float32)
+    nbr = gather_radius_neighbors(jnp.asarray(kp), jnp.asarray(pts),
+                                  jnp.ones(len(pts), bool), RADIUS,
+                                  capacity=len(pts))
+    res = shape_context_descriptor(jnp.asarray(kp), jnp.asarray(frames),
+                                   jnp.ones(len(kp), bool), jnp.asarray(pts),
+                                   nbr, RADIUS)
+    assert bool(np.all(res.valid))
+    np.testing.assert_allclose(np.asarray(res.descriptors),
+                               golden["shape_context"], rtol=2e-3, atol=1e-4)
+
+
+def test_bshot_matches_golden(golden):
+    from point_cloud_donkey_tpu.ops.descriptors_misc import bshot_binarize
+    out = np.asarray(bshot_binarize(jnp.asarray(golden["shot"],
+                                                jnp.float32)))
+    np.testing.assert_array_equal(out, golden["bshot"])
 
 
 if __name__ == "__main__":

@@ -64,3 +64,67 @@ def test_view_cli(rng, tmp_path):
     assert view_main([pcd, "-a", str(ann), "-o", out]) == 0
     data = _extract_data(open(out).read())
     assert data["boxes"] and data["boxes"][0]["label"] == "torus"
+
+
+def test_progress_callbacks_and_live_view(rng, tmp_path):
+    """The boost-signal analog (implicit_shape_model.h:256-261): a recording
+    callback sees every stage event across one train+detect cycle, and the
+    LiveHtmlProgress observer renders browser-refreshable pages."""
+    import shapes
+    from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+    from point_cloud_donkey_tpu.utils.config import IsmConfig
+    from point_cloud_donkey_tpu.utils.io import PointCloud, save_pcd
+    from point_cloud_donkey_tpu.viz.live import LiveHtmlProgress
+
+    config = {"ObjectConfig": {"Children": {
+        "Clustering": {"Type": "None"},
+        "Codebook": {"Children": {"ActivationStrategy": {
+            "Parameters": {"K": 1}, "Type": "KNN"}}},
+        "FeatureWeighting": {"Type": "Uniform"},
+        "Features": {"Parameters": {
+            "Radius": 0.6, "ReferenceFrameRadius": 0.5}, "Type": "SHORT_SHOT"},
+        "GlobalFeatures": {"Type": "Dummy"},
+        "Keypoints": {"Parameters": {"LeafSize": 0.35}, "Type": "VoxelGrid"},
+        "Voting": {"Parameters": {
+            "Bandwidth": 0.5, "SingleObjectMode": True,
+            "SingleObjectMaxType": "BandwidthVotes"}, "Type": "MeanShift"}},
+        "Parameters": {"DistanceType": "ChiSquared", "BoundingBoxType": "AABB"}}}
+    ism = ImplicitShapeModel(IsmConfig.from_json(config))
+    events = []
+    ism.connect(lambda ev, payload: events.append((ev, payload)))
+    live = LiveHtmlProgress(str(tmp_path / "live"), min_interval_s=0.0)
+    ism.connect(live)
+
+    n_models = 2
+    for cid in range(n_models):
+        pts = shapes.make_instance(rng, cid, n=500)
+        p = str(tmp_path / f"t{cid}.pcd")
+        save_pcd(p, PointCloud(xyz=pts))
+        ism.add_training_model(p, cid, cid)
+    ism.train()
+
+    names = [e for e, _ in events]
+    for ev in ("point_cloud", "bounding_box", "normals", "features"):
+        assert names.count(ev) == n_models, (ev, names)
+    assert names.count("codebook") == 1
+    assert names.count("train_complete") == 1
+
+    events.clear()
+    maxima, _ = ism.detect(shapes.make_instance(rng, 0, n=500, rotate=True))
+    names = [e for e, _ in events]
+    for ev in ("point_cloud", "normals", "features", "votes", "maxima"):
+        assert names.count(ev) == 1, (ev, names)
+    # detect_batch emits the same per-cloud events
+    events.clear()
+    ism.detect_batch([shapes.make_instance(rng, 1, n=500, rotate=True)])
+    names = [e for e, _ in events]
+    for ev in ("point_cloud", "normals", "features", "votes", "maxima"):
+        assert names.count(ev) == 1, (ev, names)
+
+    # the live observer rendered all three pages
+    for page in ("index.html", "model.html", "voting.html"):
+        f = tmp_path / "live" / page
+        assert f.exists() and f.stat().st_size > 0
+    assert "maxima" in (tmp_path / "live" / "index.html").read_text()
+
+    ism.disconnect(live)
