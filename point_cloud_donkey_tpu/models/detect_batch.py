@@ -44,7 +44,8 @@ MB = 8
 
 
 def batch_supported(fcfg: FeatureConfig, kp_params: KeypointParams,
-                    clouds: Sequence[np.ndarray]) -> bool:
+                    clouds: Sequence[np.ndarray],
+                    is_training: bool = False) -> bool:
     """The batched path covers the standard pipeline; exotic cases fall back
     to the per-cloud host path (identical results, just slower)."""
     from ..ops.tiled import SCENE_TILE_THRESHOLD
@@ -55,6 +56,7 @@ def batch_supported(fcfg: FeatureConfig, kp_params: KeypointParams,
     geo = kp_params.filter_method_geometry.lower()
     col = kp_params.filter_method_color.lower()
     plain = (kp_params.type == "VoxelGrid"
+             or (is_training and kp_params.disable_filter_in_training)
              or (geo == "none" and col == "none"))
     if not plain:
         return False
@@ -128,12 +130,15 @@ def extract_local_features_batch(
     normal_radius: float,
     consistent_normals_method: int,
     times: Optional[Dict[str, float]] = None,
+    is_training: bool = False,
 ) -> List[FeatureSet]:
     """Batched analogue of features.extract_local_features over a list of
-    clouds (detection mode).  Clouds are grouped by padded bucket size; each
-    group is processed in MB-wide chunks with one vmapped program per stage."""
+    clouds.  Clouds are grouped by padded bucket size; each group is
+    processed in MB-wide chunks with one vmapped program per stage.
+    is_training only affects eligibility (keypoint culling is disabled in
+    training by default, making VoxelGridCulling behave as plain VoxelGrid)."""
     kp_params = KeypointParams.from_config(keypoint_cfg)
-    assert batch_supported(fcfg, kp_params, clouds)
+    assert batch_supported(fcfg, kp_params, clouds, is_training)
 
     out: List[Optional[FeatureSet]] = [None] * len(clouds)
 

@@ -400,6 +400,12 @@ class ImplicitShapeModel:
         global_feats: List[Tuple[FeatureSet, int, int]] = []
 
         set_color_to_zero = self.root.get("SetColorToZero", False)
+
+        # pass 1: load / preprocess / crop, boxes and radii
+        clouds_xyz: List[np.ndarray] = []
+        clouds_nrm: List[Optional[np.ndarray]] = []
+        clouds_rgb: List[Optional[np.ndarray]] = []
+        files: List[str] = []
         for filename, class_id, instance_id, gt_box in self._training:
             cloud = load_cloud(filename).remove_nan()
             cloud = preprocess_cloud(cloud, self.root)
@@ -432,18 +438,46 @@ class ImplicitShapeModel:
                            class_id=class_id)
                 self._emit("bounding_box", box=box)
                 self._emit("normals", xyz=xyz, normals=normals)
-
-            fs = self._cached_local_features(
-                filename, xyz, normals, fcfg, kp_cfg, normal_radius,
-                cn_method, rgb)
-            if self._callbacks:
-                self._emit("features", features=fs)
-            features_per_model.append(fs)
+            clouds_xyz.append(xyz)
+            clouds_nrm.append(normals)
+            clouds_rgb.append(rgb)
+            files.append(filename)
             class_per_model.append(class_id)
             instance_per_model.append(instance_id)
             boxes_per_model.append(box)
             radii_per_model.append(radius)
 
+        # pass 2: local features -- batched across models when eligible
+        # (same cross-cloud batching as detect_batch; one vmapped program
+        # per stage per chunk instead of 3-4 dispatches per model)
+        from .detect_batch import batch_supported, extract_local_features_batch
+        from .keypoints import KeypointParams
+        use_batch = (not self.root.get("CacheFeatures", False)
+                     and len(clouds_xyz) > 1
+                     and batch_supported(fcfg,
+                                         KeypointParams.from_config(kp_cfg),
+                                         clouds_xyz, is_training=True))
+        if use_batch:
+            features_per_model = extract_local_features_batch(
+                clouds_xyz, clouds_nrm, clouds_rgb, fcfg, kp_cfg,
+                normal_radius, cn_method, is_training=True)
+            if self._callbacks:
+                for fs in features_per_model:
+                    self._emit("features", features=fs)
+        else:
+            for filename, xyz, normals, rgb in zip(files, clouds_xyz,
+                                                   clouds_nrm, clouds_rgb):
+                fs = self._cached_local_features(
+                    filename, xyz, normals, fcfg, kp_cfg, normal_radius,
+                    cn_method, rgb)
+                if self._callbacks:
+                    self._emit("features", features=fs)
+                features_per_model.append(fs)
+
+        # pass 3: global features (whole-cloud descriptors, per model)
+        for xyz, normals, rgb, class_id, instance_id in zip(
+                clouds_xyz, clouds_nrm, clouds_rgb, class_per_model,
+                instance_per_model):
             gfs = extract_global_features(xyz, normals, gcfg,
                                           normal_radius, cn_method, rgb=rgb)
             global_feats.append((gfs, class_id, instance_id))
