@@ -121,6 +121,101 @@ def _chunk_indices(order: List[int]) -> List[List[int]]:
     return [order[i:i + MB] for i in range(0, len(order), MB)]
 
 
+@functools.lru_cache(maxsize=None)
+def _global_batch_program(b: int, n: int, fcfg: FeatureConfig):
+    from .features import _whole_cloud_fn
+    fn = _whole_cloud_fn(fcfg)
+
+    @jax.jit
+    def run(pts, mask, nrm, rgb, radius):
+        return jax.vmap(lambda p, m, nr, rg: fn(p, m, nr, rg, radius))(
+            pts, mask, nrm, rgb)
+    return run
+
+
+WHOLE_CLOUD_GLOBALS = ("ESF", "VFH", "GRSD", "GASD")
+
+
+def extract_global_features_batch(
+    clouds: Sequence[np.ndarray],
+    normals_list: Sequence[Optional[np.ndarray]],
+    rgb_list: Sequence[Optional[np.ndarray]],
+    gcfg: FeatureConfig,
+    normal_radius: float,
+    consistent_normals_method: int,
+) -> List[FeatureSet]:
+    """Batched whole-cloud global descriptors (ESF / VFH / GRSD / GASD: one
+    vmapped program per chunk); every other global type falls back to the
+    per-cloud features.extract_global_features (identical results)."""
+    from .features import extract_global_features
+
+    if gcfg.type not in WHOLE_CLOUD_GLOBALS:
+        return [extract_global_features(c, nl, gcfg, normal_radius,
+                                        consistent_normals_method, rgb=rl)
+                for c, nl, rl in zip(clouds, normals_list, rgb_list)]
+
+    has_rgb = gcfg.type == "GASD" and gcfg.gasd_with_color
+    if has_rgb and any(r is None for r in rgb_list):
+        raise ValueError("GASD with color needs RGB data "
+                         "(set GasdWithColor false)")
+
+    out: List[Optional[FeatureSet]] = [None] * len(clouds)
+    groups: Dict[int, List[int]] = {}
+    for i, xyz in enumerate(clouds):
+        groups.setdefault(bucket_size(len(xyz)), []).append(i)
+
+    for n, idxs in groups.items():
+        for chunk in _chunk_indices(idxs):
+            real = len(chunk)
+            padded = chunk + [chunk[-1]] * (MB - real)
+            pts_b = np.zeros((MB, n, 3), np.float32)
+            mask_b = np.zeros((MB, n), bool)
+            nrm_b = np.zeros((MB, n, 3), np.float32)
+            rgb_b = np.zeros((MB, n, 3), np.float32)
+            for r, ci in enumerate(padded):
+                p, m = pad_cloud(clouds[ci], bucket=n)
+                pts_b[r], mask_b[r] = p, m
+                if rgb_list[ci] is not None:
+                    rgb_b[r, :len(clouds[ci])] = rgb_list[ci]
+            if gcfg.needs_normals():
+                provided = [normals_list[ci] is not None
+                            and len(normals_list[ci]) == len(clouds[ci])
+                            for ci in padded]
+                if not all(provided):
+                    m = 0 if consistent_normals_method == 3 \
+                        else consistent_normals_method
+                    comp = np.asarray(_normals_batch_program(
+                        MB, n, float(normal_radius), int(m))(
+                            jnp.asarray(pts_b), jnp.asarray(mask_b)))
+                for r, ci in enumerate(padded):
+                    if provided[r]:
+                        nrm_b[r, :len(clouds[ci])] = normals_list[ci]
+                    elif consistent_normals_method == 3:
+                        from ..ops.normals import orient_emst
+                        nrm_b[r, :len(clouds[ci])] = orient_emst(
+                            clouds[ci], comp[r][:len(clouds[ci])])
+                    else:
+                        nrm_b[r, :len(clouds[ci])] = comp[r][:len(clouds[ci])]
+
+            desc_b = np.asarray(_global_batch_program(MB, n, gcfg)(
+                jnp.asarray(pts_b), jnp.asarray(mask_b), jnp.asarray(nrm_b),
+                jnp.asarray(rgb_b), jnp.asarray(gcfg.radius, jnp.float32)))
+
+            for r in range(real):
+                ci = chunk[r]
+                xyz = clouds[ci]
+                desc = desc_b[r][None, :]
+                centroid = xyz.mean(axis=0).astype(np.float32)
+                radius = float(np.linalg.norm(xyz - centroid, axis=1).max())
+                valid = np.asarray([np.all(np.isfinite(desc))])
+                out[ci] = make_feature_set(
+                    desc, centroid[None, :],
+                    np.eye(3, dtype=np.float32)[None], valid,
+                    np.zeros(1, np.float32), np.full(1, radius, np.float32))
+
+    return [fs for fs in out]  # type: ignore[misc]
+
+
 def extract_local_features_batch(
     clouds: Sequence[np.ndarray],
     normals_list: Sequence[Optional[np.ndarray]],

@@ -912,12 +912,13 @@ def _cvfh_global(xyz, normals_in, fcfg: FeatureConfig,
         np.zeros(g, np.float32), np.full(g, radius, np.float32))
 
 
-@functools.lru_cache(maxsize=None)
-def _whole_cloud_stage(n: int, fcfg: FeatureConfig):
+def _whole_cloud_fn(fcfg: FeatureConfig):
+    """Raw (unjitted) whole-cloud descriptor body; shared by the per-cloud
+    jit (_whole_cloud_stage) and the cross-cloud vmapped batch program
+    (models/detect_batch.py)."""
     from ..ops.global_descriptors import (esf_descriptor, gasd_descriptor,
                                           grsd_descriptor, vfh_descriptor)
 
-    @jax.jit
     def run(points, mask, normals, rgb, radius):
         if fcfg.type == "ESF":
             return esf_descriptor(points, mask)
@@ -929,6 +930,11 @@ def _whole_cloud_stage(n: int, fcfg: FeatureConfig):
             return gasd_descriptor(points, mask, rgb)
         raise ValueError(fcfg.type)
     return run
+
+
+@functools.lru_cache(maxsize=None)
+def _whole_cloud_stage(n: int, fcfg: FeatureConfig):
+    return jax.jit(_whole_cloud_fn(fcfg))
 
 
 def _whole_cloud_global(xyz, normals, rgb, fcfg: FeatureConfig,

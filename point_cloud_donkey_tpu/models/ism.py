@@ -474,12 +474,14 @@ class ImplicitShapeModel:
                     self._emit("features", features=fs)
                 features_per_model.append(fs)
 
-        # pass 3: global features (whole-cloud descriptors, per model)
-        for xyz, normals, rgb, class_id, instance_id in zip(
-                clouds_xyz, clouds_nrm, clouds_rgb, class_per_model,
-                instance_per_model):
-            gfs = extract_global_features(xyz, normals, gcfg,
-                                          normal_radius, cn_method, rgb=rgb)
+        # pass 3: global features (whole-cloud ESF/VFH/GRSD/GASD batched
+        # across models; other types per model)
+        from .detect_batch import extract_global_features_batch
+        gfs_list = extract_global_features_batch(
+            clouds_xyz, clouds_nrm, clouds_rgb, gcfg, normal_radius,
+            cn_method)
+        for gfs, class_id, instance_id in zip(gfs_list, class_per_model,
+                                              instance_per_model):
             global_feats.append((gfs, class_id, instance_id))
 
         # feature ranking (redundancy-free codebooks,
@@ -695,6 +697,20 @@ class ImplicitShapeModel:
         votes_list = self._cast_votes_batch(fss, cb_params)
         self.processing_times["voting"] += time.perf_counter() - t_vote
 
+        # single-object-mode verification classifies the WHOLE cloud once
+        # per cloud (voting.cpp:240-261) -- batch those global descriptors
+        # across clouds too when the type allows it
+        gfs_list = [None] * n
+        if vparams.use_global_features and vparams.single_object_mode:
+            from .detect_batch import (WHOLE_CLOUD_GLOBALS,
+                                       extract_global_features_batch)
+            gcfg = self._global_feature_cfg()
+            if gcfg.type in WHOLE_CLOUD_GLOBALS:
+                gfs_list = extract_global_features_batch(
+                    clouds, normals_list, rgb_list, gcfg,
+                    self.root.get("NormalRadius", 0.05),
+                    self.root.get("ConsistentNormalsMethod", 2))
+
         results = []
         for i in range(n):
             if self._callbacks:
@@ -703,7 +719,7 @@ class ImplicitShapeModel:
                 self._emit("features", features=fss[i])
             maxima = self._finish_detect(votes_list[i], clouds[i],
                                          normals_list[i], rgb_list[i],
-                                         vparams)
+                                         vparams, precomputed_gfs=gfs_list[i])
             results.append((maxima, dict(self.processing_times)))
         self.processing_times["complete"] += time.perf_counter() - t0
         return results
@@ -774,9 +790,13 @@ class ImplicitShapeModel:
     def _finish_detect(self, votes: CastVotes, xyz: np.ndarray,
                        normals: Optional[np.ndarray],
                        rgb: Optional[np.ndarray],
-                       vparams: VotingParams) -> List[VotingMaximum]:
+                       vparams: VotingParams,
+                       precomputed_gfs: Optional[FeatureSet] = None
+                       ) -> List[VotingMaximum]:
         """Maxima search + global verification + merge + selection for one
-        cloud's cast votes (shared by detect and detect_batch)."""
+        cloud's cast votes (shared by detect and detect_batch).
+        `precomputed_gfs` short-circuits the single-object-mode whole-cloud
+        global descriptor (detect_batch computes those batched)."""
         if self._callbacks:
             self._emit("votes", votes=votes)
         # voting analysis dump (EnableVotingAnalysis / VotingAnalysisOutputPath,
@@ -821,7 +841,8 @@ class ImplicitShapeModel:
                         gc.classify(np.zeros((0, 1), np.float32), m, False)
             else:
                 # classify the whole cloud once (voting.cpp:240-261)
-                gfs = extract_global_features(xyz, normals, gcfg, nr, cn, rgb=rgb)
+                gfs = precomputed_gfs if precomputed_gfs is not None else \
+                    extract_global_features(xyz, normals, gcfg, nr, cn, rgb=rgb)
                 probe = VotingMaximum()
                 if gfs.descriptors.shape[0]:
                     gc.classify(gfs.descriptors, probe, True)

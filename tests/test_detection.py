@@ -331,18 +331,23 @@ def _batch_cfg(voting_extra=None, global_type="Dummy"):
                        "BoundingBoxType": "AABB"}}}
 
 
-@pytest.mark.parametrize("voting_extra", [
-    None,
-    {"SingleObjectMode": False, "MaxFilterType": "Merge",
-     "MinVotesThreshold": 1},
+@pytest.mark.parametrize("voting_extra,global_type", [
+    (None, "Dummy"),
+    ({"SingleObjectMode": False, "MaxFilterType": "Merge",
+      "MinVotesThreshold": 1}, "Dummy"),
+    # single-object global verification: the whole-cloud ESF descriptor is
+    # precomputed batched in detect_batch -- decisions must still match
+    ({"UseGlobalFeatures": True, "GlobalFeaturesStrategy": "KNN",
+      "GlobalFeatureInfluenceType": 5}, "ESF"),
 ])
-def test_detect_batch_matches_detect(rng, tmp_path, voting_extra):
+def test_detect_batch_matches_detect(rng, tmp_path, voting_extra, global_type):
     """detect_batch must reproduce detect()'s per-cloud decisions exactly
     (same maxima classes/instances, positions within fp noise)."""
     from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
     from point_cloud_donkey_tpu.utils.config import IsmConfig
 
-    ism = ImplicitShapeModel(IsmConfig.from_json(_batch_cfg(voting_extra)))
+    ism = ImplicitShapeModel(IsmConfig.from_json(
+        _batch_cfg(voting_extra, global_type=global_type)))
     for cid in range(3):
         pts = shapes.make_instance(rng, cid, n=900, rotate=False, noise=0.005)
         p = str(tmp_path / f"t{cid}.pcd")
