@@ -369,3 +369,26 @@ def test_detect_batch_matches_detect(rng, tmp_path, voting_extra, global_type):
         for mb, msn in zip(maxima_b, maxima_s):
             np.testing.assert_allclose(mb.position, msn.position, atol=1e-4)
             assert mb.weight == pytest.approx(msn.weight, rel=1e-3, abs=1e-5)
+
+
+def test_global_features_batch_matches_single(rng):
+    """extract_global_features_batch must equal the per-cloud extractor for
+    every whole-cloud type (vmap only adds a batch dimension)."""
+    from point_cloud_donkey_tpu.models.detect_batch import (
+        extract_global_features_batch)
+    from point_cloud_donkey_tpu.models.features import (FeatureConfig,
+                                                        extract_global_features)
+
+    clouds = [shapes.make_instance(rng, i % 3, n=300 + 40 * i)
+              for i in range(4)]
+    rgbs = [np.abs(np.sin(c * 3.0)).astype(np.float32) for c in clouds]
+    for gtype in ("ESF", "VFH", "GRSD", "GASD"):
+        gcfg = FeatureConfig(type=gtype, radius=0.2)
+        batched = extract_global_features_batch(
+            clouds, [None] * 4, rgbs, gcfg, 0.25, 1)
+        for c, r, fs_b in zip(clouds, rgbs, batched):
+            fs_s = extract_global_features(c, None, gcfg, 0.25, 1, rgb=r)
+            np.testing.assert_allclose(fs_b.descriptors, fs_s.descriptors,
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=gtype)
+            np.testing.assert_array_equal(fs_b.mask, fs_s.mask)
