@@ -950,11 +950,44 @@ class ImplicitShapeModel:
             arrays.update(self.state.svm.to_arrays())
         np.savez_compressed(path + "d.npz", **arrays)
 
+    def save_reference(self, path: str) -> None:
+        """Write the reference implementation's file pairing: `.ism` JSON
+        with an ObjectData key + boost binary `.ismd` blob readable by
+        vseib/point-cloud-donkey (utils/json_object.cpp:50-95,
+        utils/boost_archive.py documents the byte layout)."""
+        from ..utils.boost_archive import state_to_ref_data, write_ismd
+        data_name = os.path.basename(path) + "d"
+        with open(path, "w") as f:
+            json.dump({"ObjectConfig": self.config.root.to_json(),
+                       "ObjectData": data_name}, f, indent=3, sort_keys=True)
+        write_ismd(os.path.join(os.path.dirname(path) or ".", data_name),
+                   state_to_ref_data(self.state,
+                                     getattr(self, "label_maps", None)))
+
     @classmethod
     def load(cls, path: str) -> "ImplicitShapeModel":
         ism = cls(IsmConfig.load(path))
         import os
         data_path = path + "d.npz"
+        if not os.path.exists(data_path):
+            # reference pairing: the .ism JSON's ObjectData names a boost
+            # binary blob (default `<path>d`, json_object.cpp:50-64)
+            try:
+                with open(path) as f:
+                    cand = json.load(f).get("ObjectData")
+            except Exception:
+                cand = None
+            candidates = [os.path.join(os.path.dirname(path), cand)] \
+                if cand else []
+            candidates.append(path + "d")
+            for p in candidates:
+                if os.path.exists(p):
+                    from ..utils.boost_archive import (read_ismd,
+                                                      ref_data_to_state)
+                    state, label_maps = ref_data_to_state(read_ismd(p))
+                    ism.state = state
+                    ism.label_maps = label_maps
+                    return ism
         if os.path.exists(data_path):
             z = np.load(data_path, allow_pickle=False)
             cb = TrainedCodebook(**{

@@ -200,3 +200,73 @@ def test_pcd_binary_roundtrip(tmp_path):
     np.testing.assert_allclose(ca.xyz, cb.xyz, atol=0)
     np.testing.assert_array_equal(cb.normals, nrm)
     np.testing.assert_allclose(cb.rgb, ca.rgb)
+
+
+def test_boost_ismd_roundtrip_and_load(rng, tmp_path):
+    """The reference `.ismd` boost-archive codec: byte-level roundtrip plus
+    a trained model exported with save_reference and re-imported through
+    ImplicitShapeModel.load (the ObjectData pairing, json_object.cpp:50-95)
+    must reproduce the npz-loaded model's detection decisions."""
+    import shapes
+    from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+    from point_cloud_donkey_tpu.utils.boost_archive import (
+        read_ismd, ref_data_to_state, state_to_ref_data, write_ismd)
+    from point_cloud_donkey_tpu.utils.config import IsmConfig
+    from point_cloud_donkey_tpu.utils.io import PointCloud, save_pcd
+
+    config = {"ObjectConfig": {"Children": {
+        "Clustering": {"Type": "None"},
+        "Codebook": {"Children": {"ActivationStrategy": {
+            "Parameters": {"K": 1}, "Type": "KNN"}}},
+        "FeatureWeighting": {"Type": "Uniform"},
+        "Features": {"Parameters": {
+            "Radius": 0.6, "ReferenceFrameRadius": 0.5}, "Type": "SHORT_SHOT"},
+        "GlobalFeatures": {"Type": "ESF"},
+        "Keypoints": {"Parameters": {"LeafSize": 0.35}, "Type": "VoxelGrid"},
+        "Voting": {"Parameters": {
+            "Bandwidth": 0.5, "SingleObjectMode": True,
+            "SingleObjectMaxType": "BandwidthVotes"}, "Type": "MeanShift"}},
+        "Parameters": {"DistanceType": "ChiSquared",
+                       "BoundingBoxType": "AABB"}}}
+    ism = ImplicitShapeModel(IsmConfig.from_json(config))
+    for cid in range(3):
+        pts = shapes.make_instance(rng, cid, n=600)
+        p = str(tmp_path / f"t{cid}.pcd")
+        save_pcd(p, PointCloud(xyz=pts))
+        ism.add_training_model(p, cid, cid)
+    ism.train()
+    ism.state.instance_to_class = {0: 0, 1: 1, 2: 2}
+    ism.label_maps = {"class": {"0": "a", "1": "b", "2": "c"},
+                      "instance": {}, "usage": "CLASS_ONLY"}
+
+    # 1. codec roundtrip: write -> read -> write is byte-identical
+    data = state_to_ref_data(ism.state, ism.label_maps)
+    p1 = str(tmp_path / "m.ismd")
+    write_ismd(p1, data)
+    data2 = read_ismd(p1)
+    p2 = str(tmp_path / "m2.ismd")
+    write_ismd(p2, data2)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+    # the payload survives the array conversions
+    st2, _ = ref_data_to_state(data2)
+    cb1, cb2 = ism.state.codebook, st2.codebook
+    np.testing.assert_allclose(cb1.codewords[cb1.cw_mask],
+                               cb2.codewords[cb2.cw_mask], rtol=1e-6)
+    np.testing.assert_array_equal(cb1.vote_mask, cb2.vote_mask)
+    np.testing.assert_allclose(cb1.votes, cb2.votes, rtol=1e-6)
+    np.testing.assert_allclose(cb1.class_sigma, cb2.class_sigma, rtol=1e-6)
+    assert st2.dims_map.keys() == ism.state.dims_map.keys()
+
+    # 2. save_reference -> load (boost path) reproduces decisions
+    ref_path = str(tmp_path / "ref.ism")
+    ism.save_reference(ref_path)
+    assert (tmp_path / "ref.ismd").exists()
+    ism2 = ImplicitShapeModel.load(ref_path)
+    assert ism2.state is not None
+    assert ism2.label_maps["class"]["1"] == "b"
+    for cid in range(3):
+        pts = shapes.make_instance(rng, cid, n=600, rotate=True)
+        m1, _ = ism.detect(pts)
+        m2, _ = ism2.detect(pts)
+        assert [m.class_id for m in m1] == [m.class_id for m in m2]
