@@ -825,18 +825,34 @@ class ImplicitShapeModel:
             nr = self.root.get("NormalRadius", 0.05)
             cn = self.root.get("ConsistentNormalsMethod", 2)
             if not vparams.single_object_mode:
+                # per-maximum ROI segmentation (host numpy) + global
+                # descriptors batched across the qualifying ROIs (one
+                # vmapped program per chunk for the whole-cloud types
+                # instead of one dispatch chain per maximum,
+                # voting.cpp:218-230 hot path)
+                segs, seg_rgbs, oks = [], [], []
                 for m in maxima:
                     seg_pts, seg_nrm = gc.segment_roi(xyz, normals, m)
-                    ok = len(seg_pts) > vparams.global_min_points
-                    if ok:
-                        seg_rgb = rgb[np.linalg.norm(
+                    segs.append((seg_pts, seg_nrm))
+                    oks.append(len(seg_pts) > vparams.global_min_points)
+                    seg_rgbs.append(
+                        rgb[np.linalg.norm(
                             xyz - m.position[None, :], axis=1)
-                            <= gc.average_radii.get(m.class_id, 0.0)] \
-                            if rgb is not None else None
-                        gfs = extract_global_features(seg_pts, seg_nrm, gcfg,
-                                                      nr, cn, rgb=seg_rgb)
-                        gc.classify(gfs.descriptors, m, True)
-                        roi_centroid = seg_pts.mean(axis=0).astype(np.float32)
+                            <= gc.average_radii.get(m.class_id, 0.0)]
+                        if (rgb is not None and oks[-1]) else None)
+                idxs = [i for i, ok in enumerate(oks) if ok]
+                if idxs:
+                    from .detect_batch import extract_global_features_batch
+                    gfs_rois = extract_global_features_batch(
+                        [segs[i][0] for i in idxs],
+                        [segs[i][1] for i in idxs],
+                        [seg_rgbs[i] for i in idxs], gcfg, nr, cn)
+                roi_iter = dict(zip(idxs, gfs_rois)) if idxs else {}
+                for i, m in enumerate(maxima):
+                    if oks[i]:
+                        gc.classify(roi_iter[i].descriptors, m, True)
+                        roi_centroid = segs[i][0].mean(axis=0).astype(
+                            np.float32)
                     else:
                         gc.classify(np.zeros((0, 1), np.float32), m, False)
             else:

@@ -339,6 +339,12 @@ def _batch_cfg(voting_extra=None, global_type="Dummy"):
     # precomputed batched in detect_batch -- decisions must still match
     ({"UseGlobalFeatures": True, "GlobalFeaturesStrategy": "KNN",
       "GlobalFeatureInfluenceType": 5}, "ESF"),
+    # non-single-object verification: per-maximum ROI global descriptors
+    # run batched across the maxima
+    ({"SingleObjectMode": False, "MaxFilterType": "Merge",
+      "MinVotesThreshold": 1, "UseGlobalFeatures": True,
+      "GlobalFeaturesStrategy": "KNN", "GlobalFeatureInfluenceType": 5,
+      "GlobalFeatureMinPoints": 50}, "ESF"),
 ])
 def test_detect_batch_matches_detect(rng, tmp_path, voting_extra, global_type):
     """detect_batch must reproduce detect()'s per-cloud decisions exactly
