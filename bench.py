@@ -222,7 +222,6 @@ def main():
         # warm the per-bucket compile caches (feature counts vary per cloud)
         # so the metric reports steady-state throughput
         ism.detect_batch([clouds[i] for i in range(min(8, HOST_DETECT_N))])
-        ism.detect(clouds[0])
         t0 = time.perf_counter()
         results = ism.detect_batch([clouds[i] for i in range(HOST_DETECT_N)])
         host_dt = time.perf_counter() - t0
@@ -231,11 +230,15 @@ def main():
             if maxima and maxima[0].class_id == labels[i])
         host_clouds_per_sec = round(HOST_DETECT_N / host_dt, 2)
         host_acc = host_correct / HOST_DETECT_N
-        t0 = time.perf_counter()
-        for i in range(min(4, HOST_DETECT_N)):
-            ism.detect(clouds[i])
-        host_single_clouds_per_sec = round(
-            min(4, HOST_DETECT_N) / (time.perf_counter() - t0), 2)
+        if left() > 240:
+            # per-call API number for comparison (compiles the per-cloud
+            # programs; skipped when the budget is tight)
+            ism.detect(clouds[0])  # warm the single-cloud programs
+            t0 = time.perf_counter()
+            for i in range(min(4, HOST_DETECT_N)):
+                ism.detect(clouds[i])
+            host_single_clouds_per_sec = round(
+                min(4, HOST_DETECT_N) / (time.perf_counter() - t0), 2)
 
     # --- training throughput (warm programs) ---------------------------------
     train_clouds_per_sec = None

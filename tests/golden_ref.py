@@ -853,3 +853,76 @@ def bshot_binarize_ref(shot_vec):
                 result = [1, 1, 1, 1]
         out[g0:g0 + 4] = result
     return out
+
+
+# ---------------------------------------------------------------------------
+# RSD (radius-based surface descriptor, full-histogram variant;
+# pcl::RSDEstimation with UseFullRSDHistogram, features_rsd.cpp)
+# ---------------------------------------------------------------------------
+
+RSD_SUBDIV = 5
+
+
+def rsd_ref(kp, kp_normal, points, normals, radius, min_neighbors=5):
+    """[25] joint (distance, normal-angle) 5x5 histogram over the keypoint's
+    in-radius neighbors, count-normalized; the keypoint normal is the
+    nearest surface point's normal (passed in)."""
+    hist = np.zeros(RSD_SUBDIV * RSD_SUBDIV)
+    n_nb = 0
+    for j in range(len(points)):
+        delta = points[j] - kp
+        d2 = float(delta @ delta)
+        if d2 <= 1e-15 or d2 > radius * radius:
+            continue
+        n_nb += 1
+        d = np.sqrt(d2)
+        ang = np.arccos(np.clip(normals[j] @ kp_normal, -1.0, 1.0))
+        b_d = min(max(int(d / radius * RSD_SUBDIV), 0), RSD_SUBDIV - 1)
+        b_a = min(max(int(ang / np.pi * RSD_SUBDIV), 0), RSD_SUBDIV - 1)
+        hist[b_d * RSD_SUBDIV + b_a] += 1.0
+    if n_nb < min_neighbors:
+        return None
+    return hist / max(n_nb, 1)
+
+
+# ---------------------------------------------------------------------------
+# RIFT-32 (PCL RIFTEstimation: distance rings x gradient-angle bins,
+# bilinear, gradient-magnitude weighted; gradients passed in)
+# ---------------------------------------------------------------------------
+
+RIFT_DIST_BINS = 4
+RIFT_ANGLE_BINS = 8
+
+
+def rift_ref(kp, points, gradients, radius, min_neighbors=5):
+    """[32] RIFT at one keypoint given per-point intensity gradients."""
+    hist = np.zeros(RIFT_DIST_BINS * RIFT_ANGLE_BINS)
+    n_nb = 0
+    for j in range(len(points)):
+        delta = points[j] - kp
+        d2 = float(delta @ delta)
+        if d2 <= 1e-15 or d2 > radius * radius:
+            continue
+        n_nb += 1
+        d = np.sqrt(d2)
+        radial = delta / d
+        g = gradients[j]
+        gmag = float(np.linalg.norm(g))
+        gdir = g / max(gmag, 1e-12)
+        theta = np.arccos(np.clip(radial @ gdir, -1.0, 1.0))
+
+        db = d / radius * RIFT_DIST_BINS - 0.5
+        ab = theta / np.pi * RIFT_ANGLE_BINS - 0.5
+        d0 = min(max(int(np.floor(db)), 0), RIFT_DIST_BINS - 2)
+        a0 = min(max(int(np.floor(ab)), 0), RIFT_ANGLE_BINS - 2)
+        fd = min(max(db - d0, 0.0), 1.0)
+        fa = min(max(ab - a0, 0.0), 1.0)
+        base = d0 * RIFT_ANGLE_BINS + a0
+        hist[base] += (1 - fd) * (1 - fa) * gmag
+        hist[base + 1] += (1 - fd) * fa * gmag
+        hist[base + RIFT_ANGLE_BINS] += fd * (1 - fa) * gmag
+        hist[base + RIFT_ANGLE_BINS + 1] += fd * fa * gmag
+    if n_nb < min_neighbors:
+        return None
+    s = hist.sum()
+    return hist / s if s > 0 else hist

@@ -79,12 +79,25 @@ def _compute_golden():
         golden_ref.shape_context_ref(k, f, p64, RADIUS)
         for k, f in zip(k64, frames)])
     bshot = np.stack([golden_ref.bshot_binarize_ref(s) for s in shot])
+    rsd = np.stack([
+        golden_ref.rsd_ref(k, n64[i * 67], p64, n64, RADIUS)
+        for i, k in enumerate(k64)])
+    # RIFT: gradients are a shared input (like frames for SHOT) so the
+    # histogram stage is pinned independently of gradient estimation
+    from point_cloud_donkey_tpu.ops.shape_context import intensity_gradients
+    intensity = np.mean(rgb, axis=1).astype(np.float32)
+    grads = np.asarray(intensity_gradients(
+        jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(intensity),
+        jnp.ones(len(pts), bool), RADIUS)).astype(np.float64)
+    rift = np.stack([
+        golden_ref.rift_ref(k, p64, grads, RADIUS) for k in k64])
     return {"points": pts, "normals": nrm, "rgb": rgb, "keypoints": kp,
             "kp_rgb": rgb[::67][:N_KP].copy(),
             "frames": frames, "shot": shot, "short_shot": sshot,
             "fpfh": fpfh, "cshot": cshot, "short_cshot": scshot,
             "pfh": pfh, "spin_image": spin, "cospair": cospair,
-            "shape_context": sc3d, "bshot": bshot}
+            "shape_context": sc3d, "bshot": bshot, "rsd": rsd,
+            "gradients": grads.astype(np.float32), "rift": rift}
 
 
 @pytest.fixture(scope="module")
@@ -99,7 +112,7 @@ def test_oracle_matches_fixture(golden):
     fresh = _compute_golden()
     for key in ("frames", "shot", "short_shot", "fpfh", "cshot",
                 "short_cshot", "pfh", "spin_image", "cospair",
-                "shape_context", "bshot"):
+                "shape_context", "bshot", "rsd", "rift"):
         np.testing.assert_allclose(fresh[key], golden[key], atol=1e-12,
                                    err_msg=key)
 
@@ -247,6 +260,36 @@ def test_shape_context_matches_golden(golden):
     assert bool(np.all(res.valid))
     np.testing.assert_allclose(np.asarray(res.descriptors),
                                golden["shape_context"], rtol=2e-3, atol=1e-4)
+
+
+def test_rsd_matches_golden(golden):
+    from point_cloud_donkey_tpu.ops.neighbors import gather_radius_neighbors
+    from point_cloud_donkey_tpu.ops.shape_context import rsd_descriptor
+    pts, nrm, kp = golden["points"], golden["normals"], golden["keypoints"]
+    nbr = gather_radius_neighbors(jnp.asarray(kp), jnp.asarray(pts),
+                                  jnp.ones(len(pts), bool), RADIUS,
+                                  capacity=len(pts))
+    res = rsd_descriptor(jnp.asarray(kp), jnp.ones(len(kp), bool),
+                         jnp.asarray(pts), jnp.asarray(nrm), nbr, RADIUS,
+                         use_hist=True)
+    assert bool(np.all(res.valid))
+    np.testing.assert_allclose(np.asarray(res.descriptors), golden["rsd"],
+                               atol=1e-5)
+
+
+def test_rift_matches_golden(golden):
+    from point_cloud_donkey_tpu.ops.neighbors import gather_radius_neighbors
+    from point_cloud_donkey_tpu.ops.shape_context import rift_descriptor
+    pts, kp = golden["points"], golden["keypoints"]
+    nbr = gather_radius_neighbors(jnp.asarray(kp), jnp.asarray(pts),
+                                  jnp.ones(len(pts), bool), RADIUS,
+                                  capacity=len(pts))
+    res = rift_descriptor(jnp.asarray(kp), jnp.ones(len(kp), bool),
+                          jnp.asarray(pts), jnp.asarray(golden["gradients"]),
+                          nbr, RADIUS)
+    assert bool(np.all(res.valid))
+    np.testing.assert_allclose(np.asarray(res.descriptors), golden["rift"],
+                               atol=2e-4)
 
 
 def test_bshot_matches_golden(golden):
