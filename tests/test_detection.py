@@ -398,3 +398,32 @@ def test_global_features_batch_matches_single(rng):
                                        rtol=1e-5, atol=1e-6,
                                        err_msg=gtype)
             np.testing.assert_array_equal(fs_b.mask, fs_s.mask)
+
+
+def test_detect_batch_mixed_sizes_and_degenerate(rng, tmp_path):
+    """detect_batch over clouds spanning different padding buckets plus a
+    near-empty cloud: per-cloud results still match detect()."""
+    from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+    from point_cloud_donkey_tpu.utils.config import IsmConfig
+
+    ism = ImplicitShapeModel(IsmConfig.from_json(_batch_cfg(None)))
+    for cid in range(2):
+        pts = shapes.make_instance(rng, cid, n=800, rotate=False, noise=0.005)
+        p = str(tmp_path / f"t{cid}.pcd")
+        save_pcd(p, PointCloud(xyz=pts))
+        ism.add_training_model(p, cid, cid)
+    ism.train()
+
+    clouds = [
+        shapes.make_instance(rng, 0, n=200, rotate=True),    # small bucket
+        shapes.make_instance(rng, 1, n=800, rotate=True),
+        shapes.make_instance(rng, 0, n=1500, rotate=True),   # bigger bucket
+        rng.normal(size=(8, 3)).astype(np.float32) * 0.01,   # degenerate
+        shapes.make_instance(rng, 1, n=800, rotate=True),
+    ]
+    singles = [ism.detect(c)[0] for c in clouds]
+    batched = ism.detect_batch(clouds)
+    for (mb, _), ms in zip(batched, singles):
+        assert [m.class_id for m in mb] == [m.class_id for m in ms]
+        for a, b in zip(mb, ms):
+            np.testing.assert_allclose(a.position, b.position, atol=1e-4)
