@@ -121,15 +121,54 @@ def _chunk_indices(order: List[int]) -> List[List[int]]:
     return [order[i:i + MB] for i in range(0, len(order), MB)]
 
 
+def _batch_normals(padded: List[int], clouds: Sequence[np.ndarray],
+                   normals_list: Sequence[Optional[np.ndarray]],
+                   pts_j, mask_j, n: int, normal_radius: float,
+                   consistent_normals_method: int) -> List[np.ndarray]:
+    """Per-row oriented normals for one MB-wide chunk: provided normals are
+    passed through, the rest come from ONE vmapped dispatch (+ host EMST
+    orientation for method 3).  Shared by the local and global batch
+    extractors so the provided/compute/orient rules cannot drift."""
+    provided = [normals_list[ci] is not None
+                and len(normals_list[ci]) == len(clouds[ci])
+                for ci in padded]
+    if not all(provided):
+        m = 0 if consistent_normals_method == 3 \
+            else consistent_normals_method
+        comp = np.asarray(_normals_batch_program(
+            MB, n, float(normal_radius), int(m))(pts_j, mask_j))
+    out: List[np.ndarray] = []
+    for r, ci in enumerate(padded):
+        if provided[r]:
+            out.append(np.asarray(normals_list[ci], np.float32))
+        elif consistent_normals_method == 3:
+            from ..ops.normals import orient_emst
+            pca = comp[r][:len(clouds[ci])]
+            out.append(orient_emst(clouds[ci], pca).astype(np.float32))
+        else:
+            out.append(comp[r][:len(clouds[ci])].astype(np.float32))
+    return out
+
+
 @functools.lru_cache(maxsize=None)
-def _global_batch_program(b: int, n: int, fcfg: FeatureConfig):
+def _global_batch_program(b: int, n: int, fcfg: FeatureConfig,
+                          has_rgb: bool):
     from .features import _whole_cloud_fn
     fn = _whole_cloud_fn(fcfg)
 
-    @jax.jit
-    def run(pts, mask, nrm, rgb, radius):
-        return jax.vmap(lambda p, m, nr, rg: fn(p, m, nr, rg, radius))(
-            pts, mask, nrm, rgb)
+    # rgb=None vs an array changes the descriptor length for GASD
+    # (features_gasd.cpp GasdWithColor); encode the branch in the program so
+    # the batch path produces the same variant as the per-cloud path
+    if has_rgb:
+        @jax.jit
+        def run(pts, mask, nrm, rgb, radius):
+            return jax.vmap(lambda p, m, nr, rg: fn(p, m, nr, rg, radius))(
+                pts, mask, nrm, rgb)
+    else:
+        @jax.jit
+        def run(pts, mask, nrm, radius):
+            return jax.vmap(lambda p, m, nr: fn(p, m, nr, None, radius))(
+                pts, mask, nrm)
     return run
 
 
@@ -147,6 +186,7 @@ def extract_global_features_batch(
     """Batched whole-cloud global descriptors (ESF / VFH / GRSD / GASD: one
     vmapped program per chunk); every other global type falls back to the
     per-cloud features.extract_global_features (identical results)."""
+    from ..ops.tiled import SCENE_TILE_THRESHOLD
     from .features import extract_global_features
 
     if gcfg.type not in WHOLE_CLOUD_GLOBALS:
@@ -162,6 +202,14 @@ def extract_global_features_batch(
     out: List[Optional[FeatureSet]] = [None] * len(clouds)
     groups: Dict[int, List[int]] = {}
     for i, xyz in enumerate(clouds):
+        if len(xyz) > SCENE_TILE_THRESHOLD:
+            # scene-scale clouds use the per-cloud path, whose normals
+            # route through the tiled kernels (features.py:compute_cloud_
+            # normals); the dense batch program would build [n, n] sweeps
+            out[i] = extract_global_features(
+                xyz, normals_list[i], gcfg, normal_radius,
+                consistent_normals_method, rgb=rgb_list[i])
+            continue
         groups.setdefault(bucket_size(len(xyz)), []).append(i)
 
     for n, idxs in groups.items():
@@ -175,31 +223,22 @@ def extract_global_features_batch(
             for r, ci in enumerate(padded):
                 p, m = pad_cloud(clouds[ci], bucket=n)
                 pts_b[r], mask_b[r] = p, m
-                if rgb_list[ci] is not None:
+                if has_rgb:
                     rgb_b[r, :len(clouds[ci])] = rgb_list[ci]
+            pts_j, mask_j = jnp.asarray(pts_b), jnp.asarray(mask_b)
             if gcfg.needs_normals():
-                provided = [normals_list[ci] is not None
-                            and len(normals_list[ci]) == len(clouds[ci])
-                            for ci in padded]
-                if not all(provided):
-                    m = 0 if consistent_normals_method == 3 \
-                        else consistent_normals_method
-                    comp = np.asarray(_normals_batch_program(
-                        MB, n, float(normal_radius), int(m))(
-                            jnp.asarray(pts_b), jnp.asarray(mask_b)))
+                rows = _batch_normals(padded, clouds, normals_list,
+                                      pts_j, mask_j, n, normal_radius,
+                                      consistent_normals_method)
                 for r, ci in enumerate(padded):
-                    if provided[r]:
-                        nrm_b[r, :len(clouds[ci])] = normals_list[ci]
-                    elif consistent_normals_method == 3:
-                        from ..ops.normals import orient_emst
-                        nrm_b[r, :len(clouds[ci])] = orient_emst(
-                            clouds[ci], comp[r][:len(clouds[ci])])
-                    else:
-                        nrm_b[r, :len(clouds[ci])] = comp[r][:len(clouds[ci])]
+                    nrm_b[r, :len(clouds[ci])] = rows[r]
 
-            desc_b = np.asarray(_global_batch_program(MB, n, gcfg)(
-                jnp.asarray(pts_b), jnp.asarray(mask_b), jnp.asarray(nrm_b),
-                jnp.asarray(rgb_b), jnp.asarray(gcfg.radius, jnp.float32)))
+            prog = _global_batch_program(MB, n, gcfg, has_rgb)
+            args = (pts_j, mask_j, jnp.asarray(nrm_b))
+            if has_rgb:
+                args += (jnp.asarray(rgb_b),)
+            desc_b = np.asarray(
+                prog(*args, jnp.asarray(gcfg.radius, jnp.float32)))
 
             for r in range(real):
                 ci = chunk[r]
@@ -260,25 +299,9 @@ def extract_local_features_batch(
             cloud_normals: List[Optional[np.ndarray]] = [None] * MB
             if fcfg.needs_normals():
                 t_n = time.perf_counter()
-                provided = [normals_list[ci] is not None
-                            and len(normals_list[ci]) == len(clouds[ci])
-                            for ci in padded]
-                if not all(provided):
-                    m = 0 if consistent_normals_method == 3 \
-                        else consistent_normals_method
-                    nrm_b = np.asarray(_normals_batch_program(
-                        MB, n, float(normal_radius), int(m))(pts_j, mask_j))
-                for r, ci in enumerate(padded):
-                    if provided[r]:
-                        cloud_normals[r] = np.asarray(
-                            normals_list[ci], np.float32)
-                    elif consistent_normals_method == 3:
-                        from ..ops.normals import orient_emst
-                        pca = nrm_b[r][:len(clouds[ci])]
-                        cloud_normals[r] = orient_emst(
-                            clouds[ci], pca).astype(np.float32)
-                    else:
-                        cloud_normals[r] = nrm_b[r][:len(clouds[ci])]
+                cloud_normals = _batch_normals(
+                    padded, clouds, normals_list, pts_j, mask_j, n,
+                    normal_radius, consistent_normals_method)
                 if times is not None:
                     times["normals"] = times.get("normals", 0.0) \
                         + time.perf_counter() - t_n

@@ -484,6 +484,11 @@ class ImplicitShapeModel:
                                               instance_per_model):
             global_feats.append((gfs, class_id, instance_id))
 
+        # raw clouds are only needed by passes 2/3; release them so peak
+        # host memory through the codebook/SVM stages is O(features), not
+        # O(dataset) (the reference's per-model loop frees each cloud too)
+        del clouds_xyz[:], clouds_nrm[:], clouds_rgb[:], gfs_list
+
         # feature ranking (redundancy-free codebooks,
         # feature_ranking/feature_ranking.cpp:36-120)
         from .ranking import RankingParams, rank_features
@@ -595,6 +600,8 @@ class ImplicitShapeModel:
                rgb: Optional[np.ndarray] = None
                ) -> Tuple[List[VotingMaximum], Dict[str, float]]:
         assert self.state is not None, "not trained / loaded"
+        if self.root.get("SetColorToZero", False):
+            rgb = None  # same rule as detect_file/detect_batch
         t0 = time.perf_counter()
         fcfg = self._feature_cfg()
         kp_cfg = self.config.child("Keypoints")
@@ -751,7 +758,7 @@ class ImplicitShapeModel:
     def _cast_votes_batch(self, fss, cb_params: CodebookParams):
         """Vote casting for many feature sets: group by feature bucket,
         process MB-wide chunks through ONE vmapped cast program each."""
-        from .detect_batch import MB
+        from .detect_batch import MB, _chunk_indices
         from .features import bucket_size
 
         votes_out: List[Optional[CastVotes]] = [None] * len(fss)
@@ -762,27 +769,23 @@ class ImplicitShapeModel:
                 []).append(i)
 
         for fb, idxs in groups.items():
-            for s in range(0, len(idxs), MB):
-                chunk = idxs[s:s + MB]
+            for chunk in _chunk_indices(idxs):
                 padded = chunk + [chunk[-1]] * (MB - len(chunk))
                 d_b, p_b, f_b, m_b = [], [], [], []
                 for ci in padded:
                     d, p, fr, m = _pad_feature_batch(fss[ci], fb)
                     d_b.append(d); p_b.append(p); f_b.append(fr); m_b.append(m)
+                args = tuple(jnp.asarray(np.stack(x))
+                             for x in (d_b, p_b, f_b, m_b))
                 key = ("batch", MB, fb, self.metric)
                 if key not in self._cast_cache:
                     t_flann = time.perf_counter()
                     one = self._cast_packed_fn(cb_params)
                     prog = jax.jit(jax.vmap(one))
-                    self._cast_cache[key] = prog.lower(
-                        jnp.asarray(np.stack(d_b)), jnp.asarray(np.stack(p_b)),
-                        jnp.asarray(np.stack(f_b)), jnp.asarray(np.stack(m_b))
-                    ).compile()
+                    self._cast_cache[key] = prog.lower(*args).compile()
                     self.processing_times["flann"] += \
                         time.perf_counter() - t_flann
-                packed = np.asarray(self._cast_cache[key](
-                    jnp.asarray(np.stack(d_b)), jnp.asarray(np.stack(p_b)),
-                    jnp.asarray(np.stack(f_b)), jnp.asarray(np.stack(m_b))))
+                packed = np.asarray(self._cast_cache[key](*args))
                 for r, ci in enumerate(chunk):
                     votes_out[ci] = _unpack_cast(packed[r])
         return votes_out

@@ -388,16 +388,22 @@ def test_global_features_batch_matches_single(rng):
     clouds = [shapes.make_instance(rng, i % 3, n=300 + 40 * i)
               for i in range(4)]
     rgbs = [np.abs(np.sin(c * 3.0)).astype(np.float32) for c in clouds]
-    for gtype in ("ESF", "VFH", "GRSD", "GASD"):
-        gcfg = FeatureConfig(type=gtype, radius=0.2)
+    cfgs = [FeatureConfig(type=t, radius=0.2)
+            for t in ("ESF", "VFH", "GRSD", "GASD")]
+    # GasdWithColor=False switches GASD to the 512-dim shape-only variant;
+    # the batch path must produce the same variant as the per-cloud path
+    cfgs.append(FeatureConfig(type="GASD", radius=0.2, gasd_with_color=False))
+    for gcfg in cfgs:
         batched = extract_global_features_batch(
             clouds, [None] * 4, rgbs, gcfg, 0.25, 1)
         for c, r, fs_b in zip(clouds, rgbs, batched):
             fs_s = extract_global_features(c, None, gcfg, 0.25, 1, rgb=r)
+            assert fs_b.descriptors.shape == fs_s.descriptors.shape, gcfg
             np.testing.assert_allclose(fs_b.descriptors, fs_s.descriptors,
                                        rtol=1e-5, atol=1e-6,
-                                       err_msg=gtype)
+                                       err_msg=gcfg.type)
             np.testing.assert_array_equal(fs_b.mask, fs_s.mask)
+    assert batched[0].descriptors.shape[1] == 512  # shape-only GASD
 
 
 def test_detect_batch_mixed_sizes_and_degenerate(rng, tmp_path):
