@@ -926,3 +926,125 @@ def rift_ref(kp, points, gradients, radius, min_neighbors=5):
         return None
     s = hist.sum()
     return hist / s if s > 0 else hist
+
+
+# ---------------------------------------------------------------------------
+# RoPS (Guo et al. rotational projection statistics, point-sampled
+# formulation documented in ops/rops.py: distance-weighted covariance LRF,
+# 3 axes x 3 rotations x 3 plane projections x 5 statistics)
+# ---------------------------------------------------------------------------
+
+ROPS_BINS = 5
+ROPS_ROTATIONS = 3
+
+
+def _rops_stats(u, v):
+    """5 statistics of one 2D projection: 5x5 distribution matrix over the
+    points' bounding box -> central moments mu11/mu21/mu12/mu22 + entropy."""
+    B = ROPS_BINS
+    u_min, u_max = u.min(), u.max()
+    v_min, v_max = v.min(), v.max()
+    du = max(u_max - u_min, 1e-12)
+    dv = max(v_max - v_min, 1e-12)
+    hist = np.zeros((B, B))
+    for ui, vi in zip(u, v):
+        bu = min(max(int((ui - u_min) / du * B), 0), B - 1)
+        bv = min(max(int((vi - v_min) / dv * B), 0), B - 1)
+        hist[bu, bv] += 1.0
+    p = hist / max(hist.sum(), 1e-12)
+    coords = (np.arange(B) + 0.5) / B
+    mi = float((p * coords[:, None]).sum())
+    mj = float((p * coords[None, :]).sum())
+    di, dj = coords - mi, coords - mj
+
+    def mu(a, b):
+        return float((p * np.outer(di ** a, dj ** b)).sum())
+
+    ent = float(-(p[p > 0] * np.log(p[p > 0])).sum())
+    return [mu(1, 1), mu(2, 1), mu(1, 2), mu(2, 2), ent]
+
+
+def rops_ref(kp, points, radius, min_neighbors=5):
+    """[135] RoPS at one keypoint.  Layout: rotation-major (axis x,y,z outer,
+    angle step k=1..3 inner), then per rotation [xy stats, xz stats, yz
+    stats] (ops/rops.py concatenation order)."""
+    rel, wts = [], []
+    for q in points:
+        d = float(np.linalg.norm(q - kp))
+        if d <= radius:
+            rel.append(q - kp)
+            wts.append(radius - d)
+    rel = np.array(rel)
+    w = np.array(wts)
+    if len(rel) < min_neighbors:
+        return None
+    cov = np.zeros((3, 3))
+    for wi, ri in zip(w, rel):
+        cov += wi * np.outer(ri, ri)
+    cov /= w.sum()
+    _, vecs = np.linalg.eigh(cov)   # ascending eigenvalues, column vectors
+
+    def orient(v):
+        plus = sum(1 for ri in rel if ri @ v >= 0)
+        return -v if plus < len(rel) - plus else v
+
+    x_axis = orient(vecs[:, 2])
+    z_axis = orient(vecs[:, 0])
+    frame = np.stack([x_axis, np.cross(z_axis, x_axis), z_axis])  # rows
+    local = rel @ frame.T
+
+    desc = []
+    step = np.pi / 2.0 / ROPS_ROTATIONS
+    for axis in range(3):
+        for k in range(1, ROPS_ROTATIONS + 1):
+            a = step * k
+            c, s = np.cos(a), np.sin(a)
+            if axis == 0:
+                R = np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+            elif axis == 1:
+                R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+            else:
+                R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+            rot = local @ R.T
+            for (ai, bi) in ((0, 1), (0, 2), (1, 2)):
+                desc.extend(_rops_stats(rot[:, ai], rot[:, bi]))
+    return np.array(desc)
+
+
+# ---------------------------------------------------------------------------
+# CGF raw spherical histogram (third_party/cgf/cgf.cpp:100-165 binning:
+# 17 log-radial x 11 polar x 12 azimuth, density-normalized; LRF z flipped
+# toward the keypoint normal by negating the whole frame)
+# ---------------------------------------------------------------------------
+
+CGF_R_BINS = 17
+CGF_P_BINS = 11
+CGF_A_BINS = 12
+
+
+def cgf_raw_ref(kp, kp_normal, frame, points, radius, min_radius_rel=0.05):
+    """[2244] density-normalized raw CGF histogram at one keypoint with a
+    precomputed (valid) LRF."""
+    fr = np.array(frame, float)
+    if fr[2] @ kp_normal < 0:
+        fr = -fr
+    rmin = min_radius_rel * radius
+    ln_rmin = np.log(rmin)
+    ln_span = np.log(radius / rmin)
+    hist = np.zeros(CGF_R_BINS * CGF_P_BINS * CGF_A_BINS)
+    count = 0
+    for q in points:
+        delta = q - kp
+        d = float(np.linalg.norm(delta))
+        if d <= 1e-15 or d > radius:
+            continue
+        count += 1
+        x_l, y_l, z_l = fr @ delta
+        theta = np.degrees(np.arccos(np.clip(z_l / d, -1.0, 1.0)))
+        phi = np.degrees(np.arctan2(y_l, x_l))
+        b_r = min(max(int((CGF_R_BINS - 1) * (np.log(d) - ln_rmin)
+                          / ln_span + 1.0), 0), CGF_R_BINS - 1)
+        b_t = min(int(CGF_P_BINS * theta / 180.0), CGF_P_BINS - 1)
+        b_p = min(int(CGF_A_BINS * (phi + 180.0) / 360.0), CGF_A_BINS - 1)
+        hist[b_r + b_t * CGF_R_BINS + b_p * CGF_R_BINS * CGF_P_BINS] += 1.0
+    return hist / max(count, 1)

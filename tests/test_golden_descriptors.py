@@ -91,13 +91,18 @@ def _compute_golden():
         jnp.ones(len(pts), bool), RADIUS)).astype(np.float64)
     rift = np.stack([
         golden_ref.rift_ref(k, p64, grads, RADIUS) for k in k64])
+    rops = np.stack([golden_ref.rops_ref(k, p64, RADIUS) for k in k64])
+    cgf_raw = np.stack([
+        golden_ref.cgf_raw_ref(k, n64[i * 67], f, p64, RADIUS)
+        for i, (k, f) in enumerate(zip(k64, frames))])
     return {"points": pts, "normals": nrm, "rgb": rgb, "keypoints": kp,
             "kp_rgb": rgb[::67][:N_KP].copy(),
             "frames": frames, "shot": shot, "short_shot": sshot,
             "fpfh": fpfh, "cshot": cshot, "short_cshot": scshot,
             "pfh": pfh, "spin_image": spin, "cospair": cospair,
             "shape_context": sc3d, "bshot": bshot, "rsd": rsd,
-            "gradients": grads.astype(np.float32), "rift": rift}
+            "gradients": grads.astype(np.float32), "rift": rift,
+            "rops": rops, "cgf_raw": cgf_raw}
 
 
 @pytest.fixture(scope="module")
@@ -112,7 +117,8 @@ def test_oracle_matches_fixture(golden):
     fresh = _compute_golden()
     for key in ("frames", "shot", "short_shot", "fpfh", "cshot",
                 "short_cshot", "pfh", "spin_image", "cospair",
-                "shape_context", "bshot", "rsd", "rift"):
+                "shape_context", "bshot", "rsd", "rift", "rops",
+                "cgf_raw"):
         np.testing.assert_allclose(fresh[key], golden[key], atol=1e-12,
                                    err_msg=key)
 
@@ -290,6 +296,38 @@ def test_rift_matches_golden(golden):
     assert bool(np.all(res.valid))
     np.testing.assert_allclose(np.asarray(res.descriptors), golden["rift"],
                                atol=2e-4)
+
+
+def test_rops_matches_golden(golden):
+    from point_cloud_donkey_tpu.ops.neighbors import gather_radius_neighbors
+    from point_cloud_donkey_tpu.ops.rops import rops_descriptor
+    pts, kp = golden["points"], golden["keypoints"]
+    nbr = gather_radius_neighbors(jnp.asarray(kp), jnp.asarray(pts),
+                                  jnp.ones(len(pts), bool), RADIUS,
+                                  capacity=len(pts))
+    res = rops_descriptor(jnp.asarray(kp), jnp.ones(len(kp), bool),
+                          jnp.asarray(pts), nbr, RADIUS)
+    assert bool(np.all(res.valid))
+    # hard 5x5 binning after an fp32 LRF: a single boundary flip moves a
+    # moment by ~1/|support|; tolerance sits below that while still pinning
+    # any systematic divergence
+    np.testing.assert_allclose(np.asarray(res.descriptors), golden["rops"],
+                               atol=5e-3)
+
+
+def test_cgf_raw_matches_golden(golden):
+    from point_cloud_donkey_tpu.ops.cgf import cgf_raw_histogram
+    from point_cloud_donkey_tpu.ops.neighbors import gather_radius_neighbors
+    pts, nrm, kp = golden["points"], golden["normals"], golden["keypoints"]
+    kp_nrm = nrm[::67][:N_KP]
+    frames = golden["frames"].astype(np.float32)
+    nbr = gather_radius_neighbors(jnp.asarray(kp), jnp.asarray(pts),
+                                  jnp.ones(len(pts), bool), RADIUS,
+                                  capacity=len(pts))
+    out = cgf_raw_histogram(jnp.asarray(kp), jnp.asarray(kp_nrm),
+                            jnp.asarray(frames), jnp.ones(len(kp), bool),
+                            jnp.asarray(pts), nbr, RADIUS)
+    np.testing.assert_allclose(np.asarray(out), golden["cgf_raw"], atol=2e-4)
 
 
 def test_bshot_matches_golden(golden):
