@@ -270,7 +270,21 @@ def gasd_descriptor(points: jnp.ndarray, mask: jnp.ndarray,
     centered = points - c
     cov = jnp.einsum("n,ni,nj->ij", m, centered, centered) / msum
     _, vecs = eigh3x3(cov)
-    axes = vecs.T  # rows = axes (ascending eigenvalue)
+
+    # sign disambiguation: each extreme axis points toward the cloud's
+    # third-moment (skewness) majority, so the frame does not depend on the
+    # eigensolver's arbitrary eigenvector signs and is repeatable across
+    # views of the same object.  PCL's GASD flips toward the camera
+    # viewpoint (pcl gasd.hpp); these clouds carry no viewpoint, so the
+    # intrinsic skewness rule replaces it (documented divergence).
+    def _flip(v):
+        s = jnp.sum(m * (centered @ v) ** 3)
+        return jnp.where(s < 0, -v, v)
+
+    a0 = _flip(vecs[:, 0])          # smallest eigenvalue
+    a2 = _flip(vecs[:, 2])          # largest eigenvalue
+    a1 = jnp.cross(a2, a0)          # right-handed middle axis
+    axes = jnp.stack([a0, a1, a2])  # rows = axes (ascending eigenvalue)
     local = centered @ axes.T
 
     half = jnp.max(jnp.where(mask[:, None], jnp.abs(local), 0.0))

@@ -1048,3 +1048,110 @@ def cgf_raw_ref(kp, kp_normal, frame, points, radius, min_radius_rel=0.05):
         b_p = min(int(CGF_A_BINS * (phi + 180.0) / 360.0), CGF_A_BINS - 1)
         hist[b_r + b_t * CGF_R_BINS + b_p * CGF_R_BINS * CGF_P_BINS] += 1.0
     return hist / max(count, 1)
+
+
+# ---------------------------------------------------------------------------
+# GASD (Lima & Teichrieb; pcl::GASDEstimation layouts, with the repo's
+# documented skewness sign rule replacing PCL's viewpoint flip)
+# ---------------------------------------------------------------------------
+
+
+def gasd_ref(points, rgb=None):
+    """[512] shape-only (8^3 grid) or [984] with color (6^3 shape + 4^3 x 12
+    hue): PCA frame with skewness-disambiguated axis signs, grid-normalized
+    point-count histograms."""
+    n = len(points)
+    c = points.mean(axis=0)
+    centered = points - c
+    cov = centered.T @ centered / n
+    _, vecs = np.linalg.eigh(cov)   # ascending
+
+    def flip(v):
+        return -v if float(((centered @ v) ** 3).sum()) < 0 else v
+
+    a0, a2 = flip(vecs[:, 0]), flip(vecs[:, 2])
+    axes = np.stack([a0, np.cross(a2, a0), a2])
+    local = centered @ axes.T
+    half = max(np.abs(local).max(), 1e-12)
+    unit = np.clip((local / half + 1.0) / 2.0, 0.0, 1.0 - 1e-6)
+
+    def grid_hist(g):
+        h = np.zeros(g ** 3)
+        for u in unit:
+            i0, i1, i2 = (u * g).astype(int)
+            h[(i0 * g + i1) * g + i2] += 1.0
+        return h / n
+
+    if rgb is None:
+        return grid_hist(8)
+    shape = grid_hist(6)
+    color = np.zeros(4 ** 3 * 12)
+    for u, (r, g_, b) in zip(unit, rgb):
+        mx, mn_ = max(r, g_, b), min(r, g_, b)
+        diff = max(mx - mn_, 1e-12)
+        if mx == r:
+            hue = (g_ - b) / diff
+        elif mx == g_:
+            hue = 2.0 + (b - r) / diff
+        else:
+            hue = 4.0 + (r - g_) / diff
+        hue = (hue * 60.0) % 360.0
+        hb = min(max(int(hue / 360.0 * 12), 0), 11)
+        c4 = (u * 4).astype(int)
+        color[((c4[0] * 4 + c4[1]) * 4 + c4[2]) * 12 + hb] += 1.0
+    return np.concatenate([shape, color / n])
+
+
+# ---------------------------------------------------------------------------
+# NARF-36 descriptor (star-beam formulation documented in ops/narf.py:
+# 36 beams x 10 steps of bilinear range samples with hole fallback,
+# distance-weighted range derivative, atan squash, dominant-beam roll)
+# ---------------------------------------------------------------------------
+
+NARF_LEN = 36
+NARF_BEAM_STEPS = 10
+
+
+def narf_ref(range_img, kp_vu, kp_xyz, support_size, focal,
+             rotation_invariant=True):
+    """[36] NARF descriptor at one keypoint given the range image ([H, W]
+    with +inf holes), its (row, col) pixel position and back-projected 3D
+    position."""
+    H, W = range_img.shape
+    fin = np.isfinite(range_img)
+    img = np.where(fin, range_img, 0.0)
+
+    def bilinear(vv, uu):
+        v0 = min(max(int(np.floor(vv)), 0), H - 2)
+        u0 = min(max(int(np.floor(uu)), 0), W - 2)
+        fv, fu = vv - v0, uu - u0
+        acc = wacc = 0.0
+        for dv in (0, 1):
+            for du in (0, 1):
+                w = (fv if dv else 1 - fv) * (fu if du else 1 - fu)
+                if fin[v0 + dv, u0 + du]:
+                    acc += w * img[v0 + dv, u0 + du]
+                    wacc += w
+        return acc / max(wacc, 1e-6), wacc > 1e-3
+
+    rr = max(float(np.linalg.norm(kp_xyz)), 1e-3)
+    pix_radius = focal * (support_size * 0.5) / rr
+    center, _ = bilinear(kp_vu[0], kp_vu[1])
+    desc = np.zeros(NARF_LEN)
+    for b in range(NARF_LEN):
+        a = 2.0 * np.pi * b / NARF_LEN
+        prev = center
+        num = den = 0.0
+        for s in range(1, NARF_BEAM_STEPS + 1):
+            t = s / NARF_BEAM_STEPS
+            val, ok = bilinear(kp_vu[0] + np.sin(a) * t * pix_radius,
+                               kp_vu[1] + np.cos(a) * t * pix_radius)
+            w = (1.0 - t) * (1.0 if ok else 0.0)
+            num += (val - prev) * w
+            den += w
+            prev = val
+        beam = num / max(den, 1e-6)
+        desc[b] = np.arctan(beam / max(support_size / NARF_LEN, 1e-6)) / np.pi
+    if rotation_invariant:
+        desc = np.roll(desc, -int(np.argmax(np.abs(desc))))
+    return desc

@@ -27,6 +27,29 @@ GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden",
 
 RADIUS = 0.6
 N_KP = 6
+NARF_SUPPORT = 0.5
+NARF_FOCAL = 100.0
+
+
+def _narf_fixture():
+    """Small synthetic range image (smooth waves + a depth step + a hole
+    block) and 4 keypoints; shared input for the NARF descriptor oracle the
+    way `frames` is for SHOT."""
+    H, W = 96, 128
+    v, u = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    img = 2.0 + 0.3 * np.sin(u / 9.0) * np.cos(v / 7.0)
+    img[:, 80:] += 0.6                       # depth step edge
+    img[30:42, 20:34] = np.inf               # hole block
+    img = img.astype(np.float32)
+    kp_vu = np.array([[48.0, 40.0], [50.0, 78.0], [36.0, 40.0],
+                      [70.0, 100.0]], np.float32)
+    kp_xyz = []
+    for vv, uu in kp_vu:
+        d = np.array([(uu - W / 2.0) / NARF_FOCAL,
+                      (vv - H / 2.0) / NARF_FOCAL, 1.0])
+        d /= np.linalg.norm(d)
+        kp_xyz.append(d * img[int(vv), int(uu)])
+    return img, kp_vu, np.array(kp_xyz, np.float32)
 
 
 def _fixture_cloud():
@@ -95,6 +118,18 @@ def _compute_golden():
     cgf_raw = np.stack([
         golden_ref.cgf_raw_ref(k, n64[i * 67], f, p64, RADIUS)
         for i, (k, f) in enumerate(zip(k64, frames))])
+    # SHORT_SHOT_PCL = PCL SHOT with default ("fake") zero normals
+    # (features_short_shot_pcl.cpp:42-53) -> same oracle, zeroed normals
+    shot_pcl = np.stack([
+        golden_ref.shot_ref(k, f, p64, np.zeros_like(n64), RADIUS)
+        for k, f in zip(k64, frames)])
+    gasd = golden_ref.gasd_ref(p64)
+    gasd_color = golden_ref.gasd_ref(p64, rgb64)
+    n_img, n_vu, n_xyz = _narf_fixture()
+    narf = np.stack([
+        golden_ref.narf_ref(n_img.astype(np.float64), vu, x,
+                            NARF_SUPPORT, NARF_FOCAL)
+        for vu, x in zip(n_vu, n_xyz)])
     return {"points": pts, "normals": nrm, "rgb": rgb, "keypoints": kp,
             "kp_rgb": rgb[::67][:N_KP].copy(),
             "frames": frames, "shot": shot, "short_shot": sshot,
@@ -102,7 +137,10 @@ def _compute_golden():
             "pfh": pfh, "spin_image": spin, "cospair": cospair,
             "shape_context": sc3d, "bshot": bshot, "rsd": rsd,
             "gradients": grads.astype(np.float32), "rift": rift,
-            "rops": rops, "cgf_raw": cgf_raw}
+            "rops": rops, "cgf_raw": cgf_raw, "shot_pcl": shot_pcl,
+            "gasd": gasd, "gasd_color": gasd_color,
+            "narf_img": n_img, "narf_vu": n_vu, "narf_xyz": n_xyz,
+            "narf": narf}
 
 
 @pytest.fixture(scope="module")
@@ -118,7 +156,7 @@ def test_oracle_matches_fixture(golden):
     for key in ("frames", "shot", "short_shot", "fpfh", "cshot",
                 "short_cshot", "pfh", "spin_image", "cospair",
                 "shape_context", "bshot", "rsd", "rift", "rops",
-                "cgf_raw"):
+                "cgf_raw", "shot_pcl", "gasd", "gasd_color", "narf"):
         np.testing.assert_allclose(fresh[key], golden[key], atol=1e-12,
                                    err_msg=key)
 
@@ -328,6 +366,44 @@ def test_cgf_raw_matches_golden(golden):
                             jnp.asarray(frames), jnp.ones(len(kp), bool),
                             jnp.asarray(pts), nbr, RADIUS)
     np.testing.assert_allclose(np.asarray(out), golden["cgf_raw"], atol=2e-4)
+
+
+def test_short_shot_pcl_matches_golden(golden):
+    from point_cloud_donkey_tpu.ops.shot import shot_descriptor_dense
+    pts, kp = golden["points"], golden["keypoints"]
+    frames = golden["frames"].astype(np.float32)
+    res = shot_descriptor_dense(
+        jnp.asarray(kp), jnp.asarray(frames), jnp.ones(len(kp), bool),
+        jnp.asarray(pts), jnp.zeros_like(jnp.asarray(pts)),
+        jnp.ones(len(pts), bool), RADIUS)
+    assert bool(np.all(res.valid))
+    np.testing.assert_allclose(np.asarray(res.descriptors),
+                               golden["shot_pcl"], atol=2e-3)
+
+
+def test_gasd_matches_golden(golden):
+    from point_cloud_donkey_tpu.ops.global_descriptors import gasd_descriptor
+    pts, rgb = golden["points"], golden["rgb"]
+    ones = jnp.ones(len(pts), bool)
+    out = np.asarray(gasd_descriptor(jnp.asarray(pts), ones))
+    # counts/N over hard grid bins: one fp32/fp64 boundary flip moves two
+    # bins by 1/400 each
+    np.testing.assert_allclose(out, golden["gasd"], atol=6e-3)
+    out_c = np.asarray(gasd_descriptor(jnp.asarray(pts), ones,
+                                       jnp.asarray(rgb)))
+    np.testing.assert_allclose(out_c, golden["gasd_color"], atol=6e-3)
+
+
+def test_narf_matches_golden(golden):
+    from point_cloud_donkey_tpu.ops.narf import NarfKeypoints, narf_descriptor
+    kp_vu, kp_xyz = golden["narf_vu"], golden["narf_xyz"]
+    kp = NarfKeypoints(uv=jnp.asarray(kp_vu), xyz=jnp.asarray(kp_xyz),
+                       score=jnp.ones(len(kp_vu)),
+                       valid=jnp.ones(len(kp_vu), bool))
+    desc, valid = narf_descriptor(jnp.asarray(golden["narf_img"]), kp,
+                                  NARF_SUPPORT, focal=NARF_FOCAL)
+    assert bool(np.all(valid))
+    np.testing.assert_allclose(np.asarray(desc), golden["narf"], atol=2e-4)
 
 
 def test_bshot_matches_golden(golden):
