@@ -30,13 +30,36 @@ ESF_SAMPLES = 20000
 ESF_GRID = 64
 
 
+def esf_sample_indices(n: int, mask: jnp.ndarray, seed: int = 0,
+                       samples: int = ESF_SAMPLES):
+    """The three index streams of point pairs/triples ESF samples.
+    Deterministic PRNG sampling replaces the reference's rand()
+    (divergence: sample sequence, not structure).  Split out so the golden
+    oracle can treat the indices as shared inputs (like frames for SHOT).
+
+    Draws are uniform over the `count` valid points (stable order), so the
+    stream depends only on the valid prefix content, not the padding bucket
+    size — the same cloud yields the same descriptor at any padded length."""
+    del n
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    count = jnp.maximum(mask.sum(), 1)
+    order = jnp.argsort(~mask, stable=True)   # valid indices first
+
+    def pick(k, shape):
+        return order[jax.random.randint(k, shape, 0, count)]
+
+    return (pick(k1, (samples,)), pick(k2, (samples,)),
+            pick(k3, (samples,)))
+
+
 def esf_descriptor(points: jnp.ndarray, mask: jnp.ndarray,
-                   seed: int = 0) -> jnp.ndarray:
+                   seed: int = 0, indices=None) -> jnp.ndarray:
     """[640] = 10 x 64-bin histograms: D2 distances, A3 angles and D3 areas
     of random point pairs/triples, each split by the line-tracing class
     (IN on-surface / OUT free-space / MIXED) over a 64^3 occupancy grid,
-    plus the in/out ratio histogram.  Deterministic PRNG sampling replaces
-    the reference's rand() (divergence: sample sequence, not structure)."""
+    plus the in/out ratio histogram.  `indices` overrides the sampled
+    (ia, ib, ic) streams (golden-oracle hook)."""
     n = points.shape[0]
     dtype = points.dtype
     m = mask.astype(dtype)
@@ -53,19 +76,8 @@ def esf_descriptor(points: jnp.ndarray, mask: jnp.ndarray,
     flat = (cells[:, 0] * ESF_GRID + cells[:, 1]) * ESF_GRID + cells[:, 2]
     occ = jnp.zeros(ESF_GRID ** 3, bool).at[jnp.where(mask, flat, 0)].set(True)
 
-    key = jax.random.PRNGKey(seed)
-    k1, k2, k3 = jax.random.split(key, 3)
-    # sample valid point indices (uniform over the first count entries after
-    # sorting valid first would need a gather; sample over [0, n) and
-    # redirect invalid picks to index of some valid point)
-    first_valid = jnp.argmax(mask)
-    def pick(k, shape):
-        idx = jax.random.randint(k, shape, 0, n)
-        return jnp.where(mask[idx], idx, first_valid)
-
-    ia = pick(k1, (ESF_SAMPLES,))
-    ib = pick(k2, (ESF_SAMPLES,))
-    ic = pick(k3, (ESF_SAMPLES,))
+    ia, ib, ic = esf_sample_indices(n, mask, seed) \
+        if indices is None else indices
 
     pa, pb, pc = unit[ia], unit[ib], unit[ic]
 

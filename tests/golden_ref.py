@@ -1155,3 +1155,71 @@ def narf_ref(range_img, kp_vu, kp_xyz, support_size, focal,
     if rotation_invariant:
         desc = np.roll(desc, -int(np.argmax(np.abs(desc))))
     return desc
+
+
+# ---------------------------------------------------------------------------
+# ESF-640 (Wohlkinger & Vincze; the sampled pair/triple index streams are
+# shared inputs, like frames for SHOT, so the deterministic grid / line
+# -tracing / histogram structure is what gets pinned)
+# ---------------------------------------------------------------------------
+
+ESF_GRID = 64
+ESF_BINS = 64
+ESF_LINE_STEPS = 16
+
+
+def esf_ref(points, ia, ib, ic):
+    """[640] ESF descriptor given the three sampled index streams."""
+    mn, mx = points.min(axis=0), points.max(axis=0)
+    scale = max(float((mx - mn).max()), 1e-12)
+    unit = (points - mn) / scale
+
+    occ = np.zeros((ESF_GRID, ESF_GRID, ESF_GRID), bool)
+    for u in unit:
+        c = np.clip((u * (ESF_GRID - 1)).astype(int), 0, ESF_GRID - 1)
+        occ[c[0], c[1], c[2]] = True
+
+    def line_class(p, q):
+        hits = 0
+        for s in range(1, ESF_LINE_STEPS + 1):
+            t = s / (ESF_LINE_STEPS + 1)
+            sm = p * (1 - t) + q * t
+            c = np.clip((sm * (ESF_GRID - 1)).astype(int), 0, ESF_GRID - 1)
+            if occ[c[0], c[1], c[2]]:
+                hits += 1
+        frac = hits / ESF_LINE_STEPS
+        return (0 if frac > 0.9 else 1 if frac < 0.1 else 2), frac
+
+    def bin_of(val, lo, hi):
+        return min(max(int((val - lo) / (hi - lo) * ESF_BINS), 0),
+                   ESF_BINS - 1)
+
+    h_d2 = np.zeros((3, ESF_BINS))
+    h_ratio = np.zeros(ESF_BINS)
+    h_a3 = np.zeros((3, ESF_BINS))
+    h_d3 = np.zeros((3, ESF_BINS))
+    for a, b, c in zip(ia, ib, ic):
+        pa, pb, pc = unit[a], unit[b], unit[c]
+        cls_ab, frac_ab = line_class(pa, pb)
+        cls_ac, _ = line_class(pa, pc)
+        cls_bc, _ = line_class(pb, pc)
+
+        d2 = float(np.linalg.norm(pa - pb))
+        h_d2[cls_ab, bin_of(d2, 0.0, np.sqrt(3.0))] += 1.0
+        h_ratio[bin_of(frac_ab, 0.0, 1.0)] += 1.0
+
+        v1, v2 = pa - pb, pc - pb
+        den = max(float(np.linalg.norm(v1) * np.linalg.norm(v2)), 1e-12)
+        ang = float(np.arccos(np.clip(v1 @ v2 / den, -1.0, 1.0)))
+        h_a3[cls_ac, bin_of(ang, 0.0, np.pi)] += 1.0
+
+        area = 0.5 * float(np.linalg.norm(np.cross(pb - pa, pc - pa)))
+        votes_in = (cls_ab == 0) + (cls_ac == 0) + (cls_bc == 0)
+        votes_out = (cls_ab == 1) + (cls_ac == 1) + (cls_bc == 1)
+        tri_cls = 0 if votes_in >= 2 else 1 if votes_out >= 2 else 2
+        h_d3[tri_cls, bin_of(np.sqrt(area), 0.0,
+                             np.sqrt(0.5 * np.sqrt(3.0)))] += 1.0
+
+    full = np.concatenate([h_d2.reshape(-1), h_a3.reshape(-1),
+                           h_d3.reshape(-1), h_ratio])
+    return full / max(full.sum(), 1e-30)

@@ -29,6 +29,15 @@ RADIUS = 0.6
 N_KP = 6
 NARF_SUPPORT = 0.5
 NARF_FOCAL = 100.0
+ESF_SAMPLES_TEST = 2000   # full 20000 would make the loop oracle minutes
+
+
+def _esf_indices(pts):
+    from point_cloud_donkey_tpu.ops.global_descriptors import \
+        esf_sample_indices
+    ia, ib, ic = esf_sample_indices(len(pts), jnp.ones(len(pts), bool),
+                                    seed=0, samples=ESF_SAMPLES_TEST)
+    return np.asarray(ia), np.asarray(ib), np.asarray(ic)
 
 
 def _narf_fixture():
@@ -130,6 +139,10 @@ def _compute_golden():
         golden_ref.narf_ref(n_img.astype(np.float64), vu, x,
                             NARF_SUPPORT, NARF_FOCAL)
         for vu, x in zip(n_vu, n_xyz)])
+    # ESF: the sampled index streams are shared inputs (like frames for
+    # SHOT), pinning the grid / line-tracing / histogram structure
+    esf_idx = np.stack(_esf_indices(pts))
+    esf = golden_ref.esf_ref(p64, *esf_idx)
     return {"points": pts, "normals": nrm, "rgb": rgb, "keypoints": kp,
             "kp_rgb": rgb[::67][:N_KP].copy(),
             "frames": frames, "shot": shot, "short_shot": sshot,
@@ -140,7 +153,7 @@ def _compute_golden():
             "rops": rops, "cgf_raw": cgf_raw, "shot_pcl": shot_pcl,
             "gasd": gasd, "gasd_color": gasd_color,
             "narf_img": n_img, "narf_vu": n_vu, "narf_xyz": n_xyz,
-            "narf": narf}
+            "narf": narf, "esf_idx": esf_idx, "esf": esf}
 
 
 @pytest.fixture(scope="module")
@@ -156,7 +169,8 @@ def test_oracle_matches_fixture(golden):
     for key in ("frames", "shot", "short_shot", "fpfh", "cshot",
                 "short_cshot", "pfh", "spin_image", "cospair",
                 "shape_context", "bshot", "rsd", "rift", "rops",
-                "cgf_raw", "shot_pcl", "gasd", "gasd_color", "narf"):
+                "cgf_raw", "shot_pcl", "gasd", "gasd_color", "narf",
+                "esf"):
         np.testing.assert_allclose(fresh[key], golden[key], atol=1e-12,
                                    err_msg=key)
 
@@ -404,6 +418,30 @@ def test_narf_matches_golden(golden):
                                   NARF_SUPPORT, focal=NARF_FOCAL)
     assert bool(np.all(valid))
     np.testing.assert_allclose(np.asarray(desc), golden["narf"], atol=2e-4)
+
+
+def test_esf_matches_golden(golden):
+    from point_cloud_donkey_tpu.ops.global_descriptors import esf_descriptor
+    pts = golden["points"]
+    idx = tuple(jnp.asarray(i) for i in golden["esf_idx"])
+    out = np.asarray(esf_descriptor(jnp.asarray(pts),
+                                    jnp.ones(len(pts), bool), indices=idx))
+    # counts normalized over ~4x2000 samples; one fp32/fp64 voxel flip
+    # moves two bins by ~1/8000
+    np.testing.assert_allclose(out, golden["esf"], atol=1e-3)
+
+
+def test_esf_padding_invariant(golden):
+    """The sample-index streams draw over valid points only, so padding the
+    cloud to a larger bucket must not change the descriptor."""
+    from point_cloud_donkey_tpu.ops.global_descriptors import esf_descriptor
+    pts = golden["points"]
+    n = len(pts)
+    base = np.asarray(esf_descriptor(jnp.asarray(pts), jnp.ones(n, bool)))
+    pad = np.concatenate([pts, np.full((57, 3), 1e6, pts.dtype)])
+    padded = np.asarray(esf_descriptor(jnp.asarray(pad),
+                                       jnp.arange(n + 57) < n))
+    np.testing.assert_allclose(padded, base, atol=0)
 
 
 def test_bshot_matches_golden(golden):
