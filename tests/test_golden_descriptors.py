@@ -444,6 +444,39 @@ def test_esf_padding_invariant(golden):
     np.testing.assert_allclose(padded, base, atol=0)
 
 
+def test_esf_local_matches_oracle_subclouds(golden):
+    """ESF_LOCAL = the pinned ESF core over each keypoint's in-radius
+    sub-cloud (features_esf_local.cpp:36-83: flann radius search -> PCL ESF
+    per sub-cloud).  The sub-clouds are rebuilt independently in numpy
+    (exact distances, ascending sort = the PCL radiusSearch order), so this
+    pins the dispatch path's neighbor gather and count gating on top of the
+    ESF core already pinned against the loop oracle."""
+    from point_cloud_donkey_tpu.models.features import (FeatureConfig,
+                                                        _descriptor_fn)
+    from point_cloud_donkey_tpu.ops.global_descriptors import esf_descriptor
+    pts, kp = golden["points"], golden["keypoints"]
+    n, k = len(pts), len(kp)
+    # one far-away keypoint: <3 neighbors must invalidate, not crash
+    kp_all = np.concatenate([kp, [[50.0, 50.0, 50.0]]]).astype(pts.dtype)
+    run = _descriptor_fn(n, FeatureConfig(type="ESF_LOCAL", radius=RADIUS))
+    desc, valid, _, _ = run(jnp.asarray(kp_all), jnp.ones(k + 1, bool),
+                            jnp.asarray(pts), jnp.ones(n, bool),
+                            jnp.asarray(golden["normals"]),
+                            jnp.zeros((n, 3), jnp.float32),
+                            jnp.zeros((k + 1, 3), jnp.float32),
+                            RADIUS, RADIUS)
+    desc, valid = np.asarray(desc), np.asarray(valid)
+    assert not valid[-1]
+    for i in range(k):
+        d = np.linalg.norm(pts - kp_all[i], axis=1)
+        order = np.argsort(d, kind="stable")
+        sub = pts[order[d[order] <= RADIUS]]
+        assert valid[i] and len(sub) >= 3
+        exp = np.asarray(esf_descriptor(jnp.asarray(sub),
+                                        jnp.ones(len(sub), bool)))
+        np.testing.assert_allclose(desc[i], exp, atol=1e-6, err_msg=f"kp {i}")
+
+
 def test_bshot_matches_golden(golden):
     from point_cloud_donkey_tpu.ops.descriptors_misc import bshot_binarize
     out = np.asarray(bshot_binarize(jnp.asarray(golden["shot"],
