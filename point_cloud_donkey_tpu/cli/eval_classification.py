@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-m", "--models", nargs="*", help="Train: model files")
     p.add_argument("-c", "--classes", nargs="*", type=int,
                    help="Train: class ids for -m models")
+    p.add_argument("-p", "--pointclouds", nargs="*",
+                   help="Test: input point clouds (alternative to -f, "
+                        "eval_classification.cpp:62)")
+    p.add_argument("-g", "--groundtruth", nargs="*", type=int,
+                   help="Test: ground-truth class ids for -p clouds")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="write a jax.profiler trace of the run to DIR")
     p.add_argument("--fast", action="store_true",
@@ -224,10 +229,29 @@ def _fast_classify(ism, filenames, batch_size):
     return results, times
 
 
+def _test_file_list(args):
+    """The `-f` list, or one built from `-p`/`-g` (the reference's
+    'replaces p and g in testing', eval_classification.cpp:52-63)."""
+    from ..utils.io import FileList
+    if args.inputfile:
+        return parse_file_list(args.inputfile)
+    if args.pointclouds and args.groundtruth:
+        if len(args.pointclouds) != len(args.groundtruth):
+            raise SystemExit("-p and -g must have the same length")
+        ids = [int(g) for g in args.groundtruth]
+        return FileList(mode="test", filenames=list(args.pointclouds),
+                        class_labels=ids, instance_labels=list(ids),
+                        using_instances=False,
+                        class_map={str(c): c for c in ids},
+                        instance_map={str(c): c for c in ids},
+                        instance_to_class={c: c for c in ids})
+    raise SystemExit("no test input given: use -f, or -p with -g")
+
+
 def run_classification(args) -> int:
     ism_file = args.detect or args.train
     ism = ImplicitShapeModel.load(ism_file)
-    fl = parse_file_list(args.inputfile)
+    fl = _test_file_list(args)
     usage, gt_class_ids, gt_instance_ids = resolve_labels(
         fl, ism.root.get("InstanceLabelsPrimary", True))
     inst2cls = ism.state.instance_to_class or fl.instance_to_class

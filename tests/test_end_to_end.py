@@ -228,3 +228,51 @@ def test_fast_cli_matches_host_decisions(tmp_path):
     fast = [ln for ln in open(tmp_path / "fast" / "summary.txt")
             if ln.startswith("file:")]
     assert host == fast and len(host) == 6
+
+
+def test_cli_pointcloud_groundtruth_args(tmp_path):
+    """-m/-c (training) and -p/-g (testing) replace the -f file lists
+    (eval_classification.cpp:52-63)."""
+    import json
+
+    from point_cloud_donkey_tpu.cli.eval_classification import main as cls_main
+
+    rng = np.random.default_rng(5)
+    config = {"ObjectConfig": {"Children": {
+        "Clustering": {"Type": "None"},
+        "Codebook": {"Children": {"ActivationStrategy": {
+            "Parameters": {"K": 1}, "Type": "KNN"}}},
+        "FeatureWeighting": {"Type": "Uniform"},
+        "Features": {"Parameters": {
+            "Radius": 0.6, "ReferenceFrameRadius": 0.5}, "Type": "SHORT_SHOT"},
+        "GlobalFeatures": {"Type": "Dummy"},
+        "Keypoints": {"Parameters": {"LeafSize": 0.35}, "Type": "VoxelGrid"},
+        "Voting": {"Parameters": {
+            "Bandwidth": 0.5, "SingleObjectMode": True,
+            "SingleObjectMaxType": "BandwidthVotes"}, "Type": "MeanShift"}},
+        "Parameters": {"DistanceType": "ChiSquared",
+                       "BoundingBoxType": "AABB"}}}
+    cfg_path = str(tmp_path / "config.ism")
+    json.dump(config, open(cfg_path, "w"))
+
+    train_files, train_ids, test_files, test_ids = [], [], [], []
+    for cid in (1, 2):
+        for j in range(2):
+            pts = shapes.make_instance(rng, cid, n=1024, rotate=False)
+            p = str(tmp_path / f"tr_{cid}_{j}.pcd")
+            save_pcd(p, PointCloud(xyz=pts))
+            train_files.append(p)
+            train_ids.append(str(cid))
+        pts = shapes.make_instance(rng, cid, n=1024, rotate=True)
+        p = str(tmp_path / f"te_{cid}.pcd")
+        save_pcd(p, PointCloud(xyz=pts))
+        test_files.append(p)
+        test_ids.append(str(cid))
+
+    assert cls_main(["-t", cfg_path, "-m", *train_files, "-c", *train_ids,
+                     "-o", str(tmp_path / "model")]) == 0
+    assert cls_main(["-d", str(tmp_path / "model.ism"),
+                     "-p", *test_files, "-g", *test_ids,
+                     "-o", str(tmp_path / "out")]) == 0
+    lines = open(tmp_path / "out" / "summary.txt").read()
+    assert lines.count("file:") == 2
