@@ -99,7 +99,10 @@ def main():
         probe_t0 = time.perf_counter()
         alive, probes = _device_alive(), 1
         while not alive and (time.perf_counter() - probe_t0) < wait_budget:
-            time.sleep(300)
+            # never sleep past the remaining budget (a small budget should
+            # yield the outage record promptly, not overshoot by minutes)
+            time.sleep(max(0.0, min(
+                300.0, wait_budget - (time.perf_counter() - probe_t0))))
             alive, probes = _device_alive(), probes + 1
 
         if not alive:

@@ -287,20 +287,21 @@ def run_classification(args) -> int:
         # per-cloud detect loop (pinned by tests/test_detection.py)
         from ..models.ism import preprocess_cloud
         from ..utils.io import load_cloud
-        host_maxima = []
-        chunk = 8
         strip_color = ism.root.get("SetColorToZero", False)
-        for i0 in range(0, n, chunk):
-            clouds, nrms, rgbs = [], [], []
-            for path in fl.filenames[i0:i0 + chunk]:
-                print(f"Processing file: {path}")
-                pc = preprocess_cloud(load_cloud(path).remove_nan(), ism.root)
-                clouds.append(pc.xyz)
-                nrms.append(pc.normals if pc.has_normals() else None)
-                rgbs.append(None if strip_color else pc.rgb)
-            for maxima, times_i in ism.detect_batch(clouds, nrms, rgbs):
-                host_maxima.append(maxima)
-                times = times_i
+        clouds, nrms, rgbs = [], [], []
+        for path in fl.filenames:
+            print(f"Processing file: {path}")
+            pc = preprocess_cloud(load_cloud(path).remove_nan(), ism.root)
+            clouds.append(pc.xyz)
+            nrms.append(pc.normals if pc.has_normals() else None)
+            rgbs.append(None if strip_color else pc.rgb)
+        # ONE detect_batch call over all files: it groups clouds by padding
+        # bucket itself, so pre-chunking here would force half-full chunks
+        # (padded with duplicate clouds) at every bucket boundary
+        host_maxima = []
+        for maxima, times_i in ism.detect_batch(clouds, nrms, rgbs):
+            host_maxima.append(maxima)
+            times = times_i
 
     for idx, (path, true_cls, true_inst) in enumerate(
             zip(fl.filenames, gt_class_ids, gt_instance_ids)):

@@ -433,11 +433,6 @@ class ImplicitShapeModel:
                     quat=np.array([1.0, 0.0, 0.0, 0.0], np.float32))
             centroid = xyz.mean(axis=0)
             radius = float(np.linalg.norm(xyz - centroid, axis=1).max())
-            if self._callbacks:
-                self._emit("point_cloud", xyz=xyz, rgb=rgb, file=filename,
-                           class_id=class_id)
-                self._emit("bounding_box", box=box)
-                self._emit("normals", xyz=xyz, normals=normals)
             clouds_xyz.append(xyz)
             clouds_nrm.append(normals)
             clouds_rgb.append(rgb)
@@ -457,21 +452,31 @@ class ImplicitShapeModel:
                      and batch_supported(fcfg,
                                          KeypointParams.from_config(kp_cfg),
                                          clouds_xyz, is_training=True))
+        def _emit_model(i, fs):
+            # the reference's boost signals interleave per model (cloud,
+            # box, normals, then features) -- keep that pairing so live
+            # viewers render model i's keypoints over model i's cloud
+            self._emit("point_cloud", xyz=clouds_xyz[i], rgb=clouds_rgb[i],
+                       file=files[i], class_id=class_per_model[i])
+            self._emit("bounding_box", box=boxes_per_model[i])
+            self._emit("normals", xyz=clouds_xyz[i], normals=clouds_nrm[i])
+            self._emit("features", features=fs)
+
         if use_batch:
             features_per_model = extract_local_features_batch(
                 clouds_xyz, clouds_nrm, clouds_rgb, fcfg, kp_cfg,
                 normal_radius, cn_method, is_training=True)
             if self._callbacks:
-                for fs in features_per_model:
-                    self._emit("features", features=fs)
+                for i, fs in enumerate(features_per_model):
+                    _emit_model(i, fs)
         else:
-            for filename, xyz, normals, rgb in zip(files, clouds_xyz,
-                                                   clouds_nrm, clouds_rgb):
+            for i, (filename, xyz, normals, rgb) in enumerate(
+                    zip(files, clouds_xyz, clouds_nrm, clouds_rgb)):
                 fs = self._cached_local_features(
                     filename, xyz, normals, fcfg, kp_cfg, normal_radius,
                     cn_method, rgb)
                 if self._callbacks:
-                    self._emit("features", features=fs)
+                    _emit_model(i, fs)
                 features_per_model.append(fs)
 
         # pass 3: global features (whole-cloud ESF/VFH/GRSD/GASD batched
@@ -718,18 +723,21 @@ class ImplicitShapeModel:
                     self.root.get("NormalRadius", 0.05),
                     self.root.get("ConsistentNormalsMethod", 2))
 
-        results = []
+        maxima_list = []
         for i in range(n):
             if self._callbacks:
                 self._emit("point_cloud", xyz=clouds[i], rgb=rgb_list[i])
                 self._emit("normals", xyz=clouds[i], normals=normals_list[i])
                 self._emit("features", features=fss[i])
-            maxima = self._finish_detect(votes_list[i], clouds[i],
-                                         normals_list[i], rgb_list[i],
-                                         vparams, precomputed_gfs=gfs_list[i])
-            results.append((maxima, dict(self.processing_times)))
+            maxima_list.append(
+                self._finish_detect(votes_list[i], clouds[i],
+                                    normals_list[i], rgb_list[i],
+                                    vparams, precomputed_gfs=gfs_list[i]))
+        # account the batch's wall time BEFORE snapshotting the per-cloud
+        # times: callers keep the last snapshot as the run's timing map, and
+        # it must include this batch under "complete" (detect() parity)
         self.processing_times["complete"] += time.perf_counter() - t0
-        return results
+        return [(m, dict(self.processing_times)) for m in maxima_list]
 
     def _cast_packed_fn(self, cb_params: CodebookParams):
         """The (unjitted) cast-votes body over one padded feature set,

@@ -74,7 +74,10 @@ def esf_descriptor(points: jnp.ndarray, mask: jnp.ndarray,
     # occupancy grid
     cells = jnp.clip((unit * (ESF_GRID - 1)).astype(jnp.int32), 0, ESF_GRID - 1)
     flat = (cells[:, 0] * ESF_GRID + cells[:, 1]) * ESF_GRID + cells[:, 2]
-    occ = jnp.zeros(ESF_GRID ** 3, bool).at[jnp.where(mask, flat, 0)].set(True)
+    # invalid rows route to an out-of-range index and are dropped — routing
+    # them to index 0 would spuriously occupy voxel (0,0,0) on padded clouds
+    occ = jnp.zeros(ESF_GRID ** 3, bool) \
+        .at[jnp.where(mask, flat, ESF_GRID ** 3)].set(True, mode="drop")
 
     ia, ib, ic = esf_sample_indices(n, mask, seed) \
         if indices is None else indices

@@ -26,6 +26,16 @@ for the types used); the reader accepts any version and switches the
 collection-size width accordingly.  Round-tripped against itself in
 tests/test_aux_utils.py; byte-layout assumptions are documented above so a
 mismatch against a particular boost build is diagnosable.
+
+Count-width provenance (verified field-by-field against the reference
+source): every map/list in the iSaveData chain writes its count MANUALLY
+as a 4-byte int/unsigned (e.g. implicit_shape_model.cpp:1146/1165,
+codebook.cpp:742/751, codeword_distribution.cpp:353/366/376,
+voting.cpp:562/574/587-598) -- boost's std::map serialization is never
+used.  The only boost-STL-serialized members are std::vector<float>/
+<unsigned> (codeword.cpp:75 m_data, codeword_distribution.cpp:362-364,
+ism_feature.h:30 descriptor) and std::string labels, which take the
+8-byte collection_size_type / size_t framing handled by vec_*/string.
 """
 
 from __future__ import annotations

@@ -443,6 +443,21 @@ def test_esf_padding_invariant(golden):
                                        jnp.arange(n + 57) < n))
     np.testing.assert_allclose(padded, base, atol=0)
 
+    # adversarial min-corner case: padding rows must NOT spuriously occupy
+    # voxel (0,0,0) — the cloud has points near the min corner so traced
+    # lines cross that cell and would flip IN/OUT classes if it were set
+    rng = np.random.default_rng(8)
+    corner = np.concatenate([
+        np.array([[0.02, 0.0, 0.0], [0.0, 0.02, 0.02]], np.float32),
+        rng.uniform(0.3, 1.0, (303, 3)).astype(np.float32)])
+    m = len(corner)
+    base_c = np.asarray(esf_descriptor(jnp.asarray(corner),
+                                       jnp.ones(m, bool)))
+    pad_c = np.concatenate([corner, np.full((50, 3), 1e6, np.float32)])
+    padded_c = np.asarray(esf_descriptor(jnp.asarray(pad_c),
+                                         jnp.arange(m + 50) < m))
+    np.testing.assert_allclose(padded_c, base_c, atol=0)
+
 
 def test_esf_local_matches_oracle_subclouds(golden):
     """ESF_LOCAL = the pinned ESF core over each keypoint's in-radius

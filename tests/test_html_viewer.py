@@ -108,6 +108,13 @@ def test_progress_callbacks_and_live_view(rng, tmp_path):
         assert names.count(ev) == n_models, (ev, names)
     assert names.count("codebook") == 1
     assert names.count("train_complete") == 1
+    # events interleave per model (cloud -> bbox -> normals -> features, the
+    # reference's signal order) so live viewers pair model i's keypoints
+    # with model i's cloud, not the last-loaded cloud
+    stage_seq = [e for e in names if e in
+                 ("point_cloud", "bounding_box", "normals", "features")]
+    assert stage_seq == ["point_cloud", "bounding_box", "normals",
+                         "features"] * n_models, stage_seq
 
     events.clear()
     maxima, _ = ism.detect(shapes.make_instance(rng, 0, n=500, rotate=True))
