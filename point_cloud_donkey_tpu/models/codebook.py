@@ -207,7 +207,29 @@ def train_codebook(
     classes = sorted(set(class_per_model))
     class_sigmas: Dict[int, float] = {}
 
-    # --- step 1: activation + vote recording (vectorized per model) --------
+    # --- step 0: activation for ALL models in one batch ---------------------
+    # A per-model activation call costs a full device dispatch round-trip
+    # each (the dominant training cost through the axon tunnel); kNN / INN /
+    # Threshold activation are per-query independent, so one batched call
+    # over the concatenated descriptors is bit-identical to per-model calls.
+    sizes = [fs.descriptors.shape[0] for fs in features_per_model]
+    act_nonzero = [i for i, s in enumerate(sizes) if s]
+    act_per_model: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    if act_nonzero:
+        all_desc = np.concatenate(
+            [features_per_model[i].descriptors for i in act_nonzero], axis=0)
+        if activation_fn is not None:
+            all_d, all_i = activation_fn(all_desc)
+        else:
+            all_d, all_i = training_activation(all_desc, codeword_data,
+                                               params, metric)
+        off = 0
+        for i in act_nonzero:
+            act_per_model[i] = (all_d[off:off + sizes[i]],
+                                all_i[off:off + sizes[i]])
+            off += sizes[i]
+
+    # --- step 1: vote recording (vectorized per model) ----------------------
     rec_cw: List[np.ndarray] = []
     rec_vote: List[np.ndarray] = []
     rec_class: List[np.ndarray] = []
@@ -235,11 +257,7 @@ def train_codebook(
             n = fs.descriptors.shape[0]
             if n == 0:
                 continue
-            if activation_fn is not None:
-                dists, idx = activation_fn(fs.descriptors)
-            else:
-                dists, idx = training_activation(
-                    fs.descriptors, codeword_data, params, metric)
+            dists, idx = act_per_model[mi]
             center = np.asarray(box.position, np.float32)
             box_quat = np.asarray(box.quat, np.float32)
 
