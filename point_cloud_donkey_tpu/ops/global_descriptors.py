@@ -244,15 +244,23 @@ def _surface_type(r_min, r_max, radius):
 
 
 def grsd_descriptor(points: jnp.ndarray, normals: jnp.ndarray,
-                    mask: jnp.ndarray, radius: float) -> jnp.ndarray:
+                    mask: jnp.ndarray, radius: float,
+                    types=None) -> jnp.ndarray:
     """[21] = upper-triangle (incl. diagonal) of the 6x6 surface-type
     transition matrix between neighboring points (type 5 = free space is not
     observable from a single cloud and stays empty, matching GRSD's empty-
-    space column only when ray tracing is unavailable)."""
+    space column only when ray tracing is unavailable).  `types` overrides
+    the per-point surface classes (golden-oracle hook: the RSD radius
+    estimate d / (2 sin(angle/2)) is precision-unstable for near-parallel
+    normals, so class labels near thresholds can differ between fp32 and a
+    fp64 oracle)."""
     from .neighbors import pairwise_sqdist
-    r_min, r_max, has = _rsd_radii(points, normals, mask, radius)
-    t = _surface_type(r_min, r_max, radius)
-    t = jnp.where(has & mask, t, 5)
+    if types is None:
+        r_min, r_max, has = _rsd_radii(points, normals, mask, radius)
+        t = _surface_type(r_min, r_max, radius)
+        t = jnp.where(has & mask, t, 5)
+    else:
+        t = types
 
     d2 = pairwise_sqdist(points, points)
     adj = (d2 <= radius * radius) & (d2 > 1e-12) & mask[None, :] & mask[:, None]

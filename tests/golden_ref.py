@@ -1223,3 +1223,109 @@ def esf_ref(points, ia, ib, ic):
     full = np.concatenate([h_d2.reshape(-1), h_a3.reshape(-1),
                            h_d3.reshape(-1), h_ratio])
     return full / max(full.sum(), 1e-30)
+
+
+# ---------------------------------------------------------------------------
+# VFH-308 (Rusu et al.; features_vfh.cpp wrapper: NormalizeBins=true,
+# NormalizeDistance=false -> the distance block holds d/max_d counts)
+# ---------------------------------------------------------------------------
+
+VFH_BINS = 45
+VFH_VP_BINS = 128
+
+
+def vfh_ref(points, normals, viewpoint=(0.0, 0.0, 0.0),
+            normalize_bins=True):
+    """[308] = 4 x 45 bins (f1 atan2 / f2 v.n / f3 cos / normalized
+    distance) of pcl::computePairFeatures between the (centroid, averaged
+    normal) pair and every point, + 128 viewpoint-angle bins; percentage
+    normalization when normalize_bins."""
+    n = len(points)
+    c = points.mean(axis=0)
+    n_avg = normals.sum(axis=0)
+    n_avg = n_avg / np.linalg.norm(n_avg)
+    vp = np.asarray(viewpoint, float)
+
+    d_all = np.linalg.norm(points - c, axis=1)
+    max_d = d_all.max()
+
+    h = np.zeros((4, VFH_BINS))
+    for i in range(n):
+        pf = pair_features_pcl_ref(c, n_avg, points[i], normals[i])
+        if pf is None:
+            continue
+        f1, f2, f3, f4 = pf
+        dn = f4 / max_d
+        for row, (val, lo, hi) in enumerate([
+                (f1, -np.pi, np.pi), (f2, -1.0, 1.0), (f3, -1.0, 1.0),
+                (dn, 0.0, 1.0)]):
+            b = min(max(int((val - lo) / (hi - lo) * VFH_BINS), 0),
+                    VFH_BINS - 1)
+            h[row, b] += 1.0
+
+    hvp = np.zeros(VFH_VP_BINS)
+    for i in range(n):
+        vdir = vp - points[i]
+        vdir = vdir / max(np.linalg.norm(vdir), 1e-12)
+        cos_vp = float(normals[i] @ vdir)
+        b = min(max(int((cos_vp + 1.0) / 2.0 * VFH_VP_BINS), 0),
+                VFH_VP_BINS - 1)
+        hvp[b] += 1.0
+
+    norm_fac = 100.0 / n if normalize_bins else 1.0
+    return norm_fac * np.concatenate([h.reshape(-1), hvp])
+
+
+# ---------------------------------------------------------------------------
+# GRSD-21 (Marton et al.): upper triangle of the 6x6 surface-type
+# transition matrix over neighboring points (type 5 free-space unobserved)
+# ---------------------------------------------------------------------------
+
+
+def grsd_types_ref(points, normals, radius):
+    """Per-point surface classes (plane/cylinder/noise/sphere/edge/empty).
+    Returned separately because the RSD radius estimate d/(2 sin(ang/2)) is
+    precision-unstable near parallel normals -- the types are a shared
+    input to the transition histogram, like frames for SHOT."""
+    n = len(points)
+    d = np.linalg.norm(points[:, None] - points[None], axis=-1)
+    types = np.zeros(n, int)
+    for i in range(n):
+        r_min, r_max, has = np.inf, 0.0, False
+        for j in range(n):
+            if d[i, j] ** 2 <= 1e-12 or d[i, j] > radius:
+                continue
+            has = True
+            ang = np.arccos(np.clip(normals[i] @ normals[j], -1.0, 1.0))
+            r = d[i, j] / max(2.0 * np.sin(ang / 2.0), 1e-3)
+            r = min(max(r, 0.0), 1e3)
+            r_min, r_max = min(r_min, r), max(r_max, r)
+        if not has:
+            types[i] = 5
+            continue
+        if r_min > 2.0 * radius:
+            types[i] = 0          # plane
+        elif r_min < 2.0 * radius < r_max and r_min > 0.5 * radius:
+            types[i] = 1          # cylinder
+        elif r_max < 2.0 * radius and r_min > 0.5 * radius:
+            types[i] = 3          # sphere
+        elif r_min < 0.15 * radius:
+            types[i] = 4          # edge
+        else:
+            types[i] = 2          # noise / corner
+    return types
+
+
+def grsd_ref(points, normals, radius, types=None):
+    if types is None:
+        types = grsd_types_ref(points, normals, radius)
+    n = len(points)
+    d = np.linalg.norm(points[:, None] - points[None], axis=-1)
+    h = np.zeros(21)
+    for i in range(n):
+        for j in range(n):
+            if d[i, j] ** 2 <= 1e-12 or d[i, j] > radius:
+                continue
+            lo, hi = min(types[i], types[j]), max(types[i], types[j])
+            h[(lo * (11 - lo)) // 2 + (hi - lo)] += 1.0
+    return h / max(h.sum(), 1e-30)

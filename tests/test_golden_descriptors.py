@@ -143,6 +143,9 @@ def _compute_golden():
     # SHOT), pinning the grid / line-tracing / histogram structure
     esf_idx = np.stack(_esf_indices(pts))
     esf = golden_ref.esf_ref(p64, *esf_idx)
+    vfh = golden_ref.vfh_ref(p64, n64)
+    grsd_types = golden_ref.grsd_types_ref(p64, n64, RADIUS)
+    grsd = golden_ref.grsd_ref(p64, n64, RADIUS, types=grsd_types)
     return {"points": pts, "normals": nrm, "rgb": rgb, "keypoints": kp,
             "kp_rgb": rgb[::67][:N_KP].copy(),
             "frames": frames, "shot": shot, "short_shot": sshot,
@@ -153,7 +156,8 @@ def _compute_golden():
             "rops": rops, "cgf_raw": cgf_raw, "shot_pcl": shot_pcl,
             "gasd": gasd, "gasd_color": gasd_color,
             "narf_img": n_img, "narf_vu": n_vu, "narf_xyz": n_xyz,
-            "narf": narf, "esf_idx": esf_idx, "esf": esf}
+            "narf": narf, "esf_idx": esf_idx, "esf": esf,
+            "vfh": vfh, "grsd": grsd, "grsd_types": grsd_types}
 
 
 @pytest.fixture(scope="module")
@@ -170,7 +174,7 @@ def test_oracle_matches_fixture(golden):
                 "short_cshot", "pfh", "spin_image", "cospair",
                 "shape_context", "bshot", "rsd", "rift", "rops",
                 "cgf_raw", "shot_pcl", "gasd", "gasd_color", "narf",
-                "esf"):
+                "esf", "vfh", "grsd"):
         np.testing.assert_allclose(fresh[key], golden[key], atol=1e-12,
                                    err_msg=key)
 
@@ -457,6 +461,44 @@ def test_esf_padding_invariant(golden):
     padded_c = np.asarray(esf_descriptor(jnp.asarray(pad_c),
                                          jnp.arange(m + 50) < m))
     np.testing.assert_allclose(padded_c, base_c, atol=0)
+
+
+def test_vfh_matches_golden(golden):
+    from point_cloud_donkey_tpu.ops.global_descriptors import vfh_descriptor
+    pts, nrm = golden["points"], golden["normals"]
+    out = np.asarray(vfh_descriptor(jnp.asarray(pts), jnp.asarray(nrm),
+                                    jnp.ones(len(pts), bool)))
+    # percentage-normalized counts (one count = 0.25 on the 400-pt cloud);
+    # fp32 bin-edge flips would show as paired +/-0.25 moves
+    np.testing.assert_allclose(out, golden["vfh"], atol=1e-3)
+
+
+def test_grsd_matches_golden(golden):
+    """Transition histogram pinned exactly given the oracle's surface
+    classes (shared input); the fp32 class stage is pinned separately with
+    a borderline allowance in test_grsd_types_near_oracle."""
+    from point_cloud_donkey_tpu.ops.global_descriptors import grsd_descriptor
+    pts, nrm = golden["points"], golden["normals"]
+    out = np.asarray(grsd_descriptor(jnp.asarray(pts), jnp.asarray(nrm),
+                                     jnp.ones(len(pts), bool), RADIUS,
+                                     types=jnp.asarray(golden["grsd_types"])))
+    # a few pairs at d ~= radius flip between the fp32 matmul distance and
+    # the exact fp64 oracle distance; each moves a normalized count ~2e-4
+    np.testing.assert_allclose(out, golden["grsd"], atol=1e-3)
+
+
+def test_grsd_types_near_oracle(golden):
+    """The fp32 surface classes agree with the fp64 oracle except for a
+    small borderline fraction (the RSD radius d/(2 sin(ang/2)) amplifies
+    precision noise for near-parallel normals around the thresholds)."""
+    from point_cloud_donkey_tpu.ops.global_descriptors import (_rsd_radii,
+                                                               _surface_type)
+    pts, nrm = golden["points"], golden["normals"]
+    r_min, r_max, has = _rsd_radii(jnp.asarray(pts), jnp.asarray(nrm),
+                                   jnp.ones(len(pts), bool), RADIUS)
+    t = np.asarray(jnp.where(has, _surface_type(r_min, r_max, RADIUS), 5))
+    mismatch = np.mean(t != golden["grsd_types"])
+    assert mismatch <= 0.05, f"{mismatch:.3f} of surface classes flipped"
 
 
 def test_esf_local_matches_oracle_subclouds(golden):
