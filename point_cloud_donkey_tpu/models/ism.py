@@ -63,6 +63,45 @@ def _mvbb_host(xyz: np.ndarray) -> "geo.BoundingBox":
                            quat=np.asarray(quat))
 
 
+@functools.lru_cache(maxsize=None)
+def _mvbb_batch_program(b: int, n: int):
+    @jax.jit
+    def run(pts, mask):   # [B, n, 3], [B, n]
+        def one(p, m):
+            bb = geo.compute_mvbb(p, m)
+            return bb.position, bb.size, bb.quat
+        return jax.vmap(one)(pts, mask)
+    return run
+
+
+_MVBB_CHUNK = 8
+
+
+def _mvbb_host_batch(clouds) -> list:
+    """MVBB for many clouds with one vmapped dispatch per bucket chunk
+    instead of one per model (training's per-model box pass dominates
+    dispatch count when BoundingBoxType=MVBB, the reference default)."""
+    from .features import pad_cloud
+    groups: Dict[int, list] = {}
+    for i, xyz in enumerate(clouds):
+        pts, mask = pad_cloud(xyz)
+        groups.setdefault(pts.shape[0], []).append((i, pts, mask))
+    out = [None] * len(clouds)
+    for n, items in groups.items():
+        for j0 in range(0, len(items), _MVBB_CHUNK):
+            chunk = items[j0:j0 + _MVBB_CHUNK]
+            padded = chunk + [chunk[-1]] * (_MVBB_CHUNK - len(chunk))
+            P = np.stack([p for _, p, _ in padded])
+            M = np.stack([m for _, _, m in padded])
+            pos, size, quat = _mvbb_batch_program(_MVBB_CHUNK, n)(
+                jnp.asarray(P), jnp.asarray(M))
+            pos, size, quat = map(np.asarray, (pos, size, quat))
+            for k, (i, _, _) in enumerate(chunk):
+                out[i] = geo.BoundingBox(position=pos[k], size=size[k],
+                                         quat=quat[k])
+    return out
+
+
 def _voting_params(cfg: ComponentConfig) -> VotingParams:
     return VotingParams(
         min_threshold=cfg.get("MinThreshold", 0.0),
@@ -422,7 +461,7 @@ class ImplicitShapeModel:
             if gt_box is not None:
                 box = gt_box
             elif bb_type == "MVBB":
-                box = _mvbb_host(xyz)
+                box = None   # deferred: batched after the loading pass
             else:
                 # AABB + radius are trivial reductions; host numpy avoids a
                 # per-model eager device dispatch (utils.cpp:221-233)
@@ -441,6 +480,15 @@ class ImplicitShapeModel:
             instance_per_model.append(instance_id)
             boxes_per_model.append(box)
             radii_per_model.append(radius)
+
+        # deferred MVBBs: one vmapped dispatch per bucket chunk instead of
+        # one per model
+        mvbb_idx = [i for i, b in enumerate(boxes_per_model) if b is None]
+        if mvbb_idx:
+            for i, b in zip(mvbb_idx,
+                            _mvbb_host_batch([clouds_xyz[i]
+                                              for i in mvbb_idx])):
+                boxes_per_model[i] = b
 
         # pass 2: local features -- batched across models when eligible
         # (same cross-cloud batching as detect_batch; one vmapped program

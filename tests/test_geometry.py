@@ -117,3 +117,22 @@ def test_emst_normal_orientation():
     s = np.sign(out[:, 2])
     assert np.all(s == s[0])        # all consistent
     assert s[0] > 0                 # root oriented +z
+
+
+def test_mvbb_batch_matches_single():
+    """The chunked/vmapped MVBB used by train() matches the per-model
+    program to fp32 ulp (XLA fuses the vmapped sweep differently, so exact
+    bit-equality is not guaranteed)."""
+    import shapes
+    from point_cloud_donkey_tpu.models.ism import _mvbb_host, _mvbb_host_batch
+    rng = np.random.default_rng(0)
+    clouds = [shapes.make_instance(rng, c % 5, n=n,
+                                   rotate=True).astype(np.float32)
+              for c, n in enumerate([900, 1400, 2048, 700, 2048, 900, 1100])]
+    batch = _mvbb_host_batch(clouds)
+    for xyz, bb in zip(clouds, batch):
+        single = _mvbb_host(xyz)
+        np.testing.assert_allclose(bb.position, single.position,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(bb.size, single.size, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(bb.quat, single.quat, rtol=1e-5, atol=1e-5)
