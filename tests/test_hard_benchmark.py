@@ -10,7 +10,9 @@ import hard_shapes
 @pytest.mark.slow
 def test_hard_benchmark_slice():
     acc, per_class = hard_shapes.run_hard_benchmark(
-        seed=7, n_train=2, n_test=1, n=768, num_classes=6,
+        seed=7, n_train=2, n_test=2, n=768, num_classes=6,
         keypoint_capacity=256)
-    # 6 varied classes, rotated/noisy/partial/occluded test views
-    assert acc >= 5 / 6, (acc, per_class)
+    # 6 varied classes x 2 rotated/noisy/partial/occluded test views each;
+    # currently 12/12 — the gate allows one borderline flip, a drop of two
+    # is a real regression
+    assert acc >= 11 / 12, (acc, per_class)
