@@ -65,6 +65,97 @@ def batch_supported(fcfg: FeatureConfig, kp_params: KeypointParams,
     return True
 
 
+def host_voxel_count(xyz: np.ndarray, leaf: float) -> int:
+    """Exact occupied-voxel count of ops.voxel_grid on the host: floor(p /
+    leaf) in float32 is the same IEEE computation numpy performs, so the
+    count (= keypoint count for plain VoxelGrid) is known BEFORE dispatch.
+    This lets the fused detect program fix its keypoint capacity without a
+    device round-trip between the voxel and descriptor stages."""
+    q = np.floor(xyz.astype(np.float32) / np.float32(leaf))
+    return len(np.unique(q, axis=0))
+
+
+def fused_supported(fcfg: FeatureConfig, kp_params: KeypointParams,
+                    clouds: Sequence[np.ndarray],
+                    normals_list: Sequence[Optional[np.ndarray]],
+                    consistent_normals_method: int) -> bool:
+    """The single-dispatch fused detect program additionally requires that
+    normals are computed in-program: no caller-provided normals and no
+    host-side EMST orientation (method 3)."""
+    if not batch_supported(fcfg, kp_params, clouds):
+        return False
+    if fcfg.needs_normals():
+        if any(nl is not None for nl in normals_list):
+            return False
+        if consistent_normals_method == 3:
+            return False
+    return True
+
+
+def build_fused_detect_fn(n: int, k_cap: int, fcfg: FeatureConfig,
+                          leaf: float, normal_radius: float, n_method: int,
+                          has_rgb: bool):
+    """One-cloud body of the fused detect program: normals -> voxel-grid
+    keypoints -> LRFs + descriptors, all inside one traced function.  The
+    caller composes the vote-casting stage on top and jit+vmaps the whole
+    chain, so a chunk of MB clouds costs ONE device dispatch instead of four
+    (through the axon tunnel each dispatch pays a full round-trip; this is
+    the host-detect latency lever after the staged batching).
+
+    Parity with the staged path (extract_local_features_batch):
+      - the voxel stage is the identical voxel_grid call; keypoints are
+        compacted valid-first in original (linearized voxel key) order, the
+        same order host boolean indexing produces;
+      - k_cap must be >= the occupied-voxel count (host_voxel_count supplies
+        it exactly), so no keypoint is ever truncated;
+      - invalid descriptor rows are zeroed and frames reset to identity --
+        byte-identical to the staged path's compact()+zero-pad before cast.
+
+    Returns run(pts, mask, rgb, radius, frame_radius) ->
+    (descriptors [k_cap, D], keypoints [k_cap, 3], frames [k_cap, 3, 3],
+    keep [k_cap], kp_count [])."""
+    fn = _descriptor_fn(n, fcfg)
+    needs_n = fcfg.needs_normals()
+    needs_rgb = fcfg.needs_rgb()
+
+    def run(pts, mask, rgb, radius, frame_radius):
+        if needs_n:
+            nrm = compute_normals(pts, mask, normal_radius, n_method).normals
+            # the staged path zero-fills normals beyond each cloud's length
+            # (extract_local_features_batch nrm_bj); match it so padded rows
+            # can never leak NaN into gathered neighborhoods
+            nrm = jnp.where(mask[:, None], nrm, 0.0)
+        else:
+            nrm = jnp.zeros_like(pts)
+        parts = []
+        if needs_n:
+            parts.append(nrm)
+        if has_rgb:
+            parts.append(rgb)
+        extra = jnp.concatenate(parts, axis=1) if parts else None
+        res = voxel_grid(pts, mask, leaf, features=extra)
+        count = res.mask.sum()
+        # stable valid-first compaction == cents[cmask] on the host
+        order = jnp.argsort(jnp.logical_not(res.mask))
+        sel = order[:k_cap]
+        cent = res.centroids[sel]
+        kpm = res.mask[sel]
+        kp = jnp.where(kpm[:, None], cent[:, :3], 1e9)
+        off = 3 + (3 if needs_n else 0)
+        kp_rgb = cent[:, off:off + 3] if (has_rgb and needs_rgb) \
+            else jnp.zeros((k_cap, 3), jnp.float32)
+        rgb_in = rgb if needs_rgb else jnp.zeros_like(pts)
+        desc, d_valid, frames, _f_valid = fn(
+            kp, kpm, pts, mask, nrm, rgb_in, kp_rgb, radius, frame_radius)
+        keep = d_valid & jnp.all(jnp.isfinite(desc), axis=1) & kpm
+        desc = jnp.where(keep[:, None], desc, 0.0)
+        frames = jnp.where(keep[:, None, None], frames,
+                           jnp.eye(3, dtype=frames.dtype))
+        kp = jnp.where(keep[:, None], kp, 0.0)
+        return desc, kp, frames, keep, count
+    return run
+
+
 @functools.lru_cache(maxsize=None)
 def _normals_batch_program(b: int, n: int, radius: float, method: int):
     @jax.jit

@@ -732,30 +732,45 @@ class ImplicitShapeModel:
         vparams = _voting_params(self.config.child("Voting"))
         cb_params = _codebook_params(self.config.child("Codebook"))
 
-        from .detect_batch import batch_supported, extract_local_features_batch
+        from .detect_batch import (batch_supported, fused_supported,
+                                   extract_local_features_batch)
         from .keypoints import KeypointParams
-        if not batch_supported(fcfg, KeypointParams.from_config(kp_cfg),
-                               clouds):
+        kp_params = KeypointParams.from_config(kp_cfg)
+        if not batch_supported(fcfg, kp_params, clouds):
             return [self.detect(c, nl, rl)
                     for c, nl, rl in zip(clouds, normals_list, rgb_list)]
 
         t0 = time.perf_counter()
-        stage_times: Dict[str, float] = {}
-        t_feat = time.perf_counter()
-        fss = extract_local_features_batch(
-            clouds, normals_list, rgb_list, fcfg, kp_cfg,
-            self.root.get("NormalRadius", 0.05),
-            self.root.get("ConsistentNormalsMethod", 2), times=stage_times)
-        feat_total = time.perf_counter() - t_feat
-        t_nrm = stage_times.get("normals", 0.0)
-        t_kp = stage_times.get("keypoints", 0.0)
-        self.processing_times["normals"] += t_nrm
-        self.processing_times["keypoints"] += t_kp
-        self.processing_times["features"] += feat_total - t_nrm - t_kp
+        if not self._callbacks and fused_supported(
+                fcfg, kp_params, clouds, normals_list,
+                int(self.root.get("ConsistentNormalsMethod", 2))):
+            # single-dispatch path: normals + voxel keypoints + descriptors
+            # + vote casting fused into ONE program per chunk (the callback
+            # path needs the intermediate FeatureSets, so it stays staged)
+            t_feat = time.perf_counter()
+            votes_list = self._detect_votes_fused(
+                clouds, rgb_list, fcfg, kp_params, cb_params)
+            self.processing_times["features"] += \
+                time.perf_counter() - t_feat
+            fss = None
+        else:
+            stage_times: Dict[str, float] = {}
+            t_feat = time.perf_counter()
+            fss = extract_local_features_batch(
+                clouds, normals_list, rgb_list, fcfg, kp_cfg,
+                self.root.get("NormalRadius", 0.05),
+                self.root.get("ConsistentNormalsMethod", 2),
+                times=stage_times)
+            feat_total = time.perf_counter() - t_feat
+            t_nrm = stage_times.get("normals", 0.0)
+            t_kp = stage_times.get("keypoints", 0.0)
+            self.processing_times["normals"] += t_nrm
+            self.processing_times["keypoints"] += t_kp
+            self.processing_times["features"] += feat_total - t_nrm - t_kp
 
-        t_vote = time.perf_counter()
-        votes_list = self._cast_votes_batch(fss, cb_params)
-        self.processing_times["voting"] += time.perf_counter() - t_vote
+            t_vote = time.perf_counter()
+            votes_list = self._cast_votes_batch(fss, cb_params)
+            self.processing_times["voting"] += time.perf_counter() - t_vote
 
         # single-object-mode verification classifies the WHOLE cloud once
         # per cloud (voting.cpp:240-261) -- batch those global descriptors
@@ -844,6 +859,76 @@ class ImplicitShapeModel:
                 packed = np.asarray(self._cast_cache[key](*args))
                 for r, ci in enumerate(chunk):
                     votes_out[ci] = _unpack_cast(packed[r])
+        return votes_out
+
+    def _detect_votes_fused(self, clouds, rgb_list, fcfg,
+                            kp_params, cb_params: CodebookParams):
+        """Cast votes for many clouds with ONE device dispatch per MB-wide
+        chunk: the whole normals -> voxel keypoints -> descriptors -> cast
+        chain runs as a single jitted program (models/detect_batch.py:
+        build_fused_detect_fn).  The keypoint capacity is fixed host-side
+        from the exact occupied-voxel count, so no intermediate pull is
+        needed.  Valid votes are bit-identical to the staged path (pinned by
+        tests/test_detection.py)."""
+        from .detect_batch import (MB, _chunk_indices, build_fused_detect_fn,
+                                   host_voxel_count)
+        from .features import bucket_size, pad_cloud
+
+        leaf = float(kp_params.leaf_size)
+        nr = float(self.root.get("NormalRadius", 0.05))
+        nm = int(self.root.get("ConsistentNormalsMethod", 2))
+
+        votes_out: List[Optional[CastVotes]] = [None] * len(clouds)
+        groups: Dict[Tuple[int, bool], List[int]] = {}
+        for i, xyz in enumerate(clouds):
+            key = (bucket_size(len(xyz)), rgb_list[i] is not None)
+            groups.setdefault(key, []).append(i)
+
+        for (n, has_rgb), idxs in groups.items():
+            # chunk-invariant capacity (the max over the whole group) so one
+            # compiled program serves every chunk of the group
+            k_cap = max(bucket_size(host_voxel_count(clouds[ci], leaf),
+                                    minimum=64) for ci in idxs)
+            for chunk in _chunk_indices(idxs):
+                padded = chunk + [chunk[-1]] * (MB - len(chunk))
+                pts_b = np.zeros((MB, n, 3), np.float32)
+                mask_b = np.zeros((MB, n), bool)
+                rgb_b = np.zeros((MB, n, 3), np.float32)
+                for r, ci in enumerate(padded):
+                    p, m = pad_cloud(clouds[ci], bucket=n)
+                    pts_b[r], mask_b[r] = p, m
+                    if has_rgb:
+                        rgb_b[r, :len(clouds[ci])] = rgb_list[ci]
+                args = (jnp.asarray(pts_b), jnp.asarray(mask_b),
+                        jnp.asarray(rgb_b),
+                        jnp.asarray(fcfg.radius, jnp.float32),
+                        jnp.asarray(fcfg.ref_frame_radius, jnp.float32))
+
+                key2 = ("fused", MB, n, k_cap, has_rgb, self.metric)
+                if key2 not in self._cast_cache:
+                    # program build+compile billed as "flann" like the other
+                    # lazy index builds (implicit_shape_model.cpp:650-661)
+                    t_flann = time.perf_counter()
+                    one = build_fused_detect_fn(
+                        n, k_cap, fcfg, leaf, nr, nm, has_rgb)
+                    cast = self._cast_packed_fn(cb_params)
+
+                    def whole(pts, mask, rgb, radius, frame_radius):
+                        desc, kp, frames, keep, count = one(
+                            pts, mask, rgb, radius, frame_radius)
+                        return cast(desc, kp, frames, keep), count
+
+                    prog = jax.jit(jax.vmap(
+                        whole, in_axes=(0, 0, 0, None, None)))
+                    self._cast_cache[key2] = prog.lower(*args).compile()
+                    self.processing_times["flann"] += \
+                        time.perf_counter() - t_flann
+                packed, counts = jax.device_get(
+                    self._cast_cache[key2](*args))
+                assert int(np.max(counts)) <= k_cap, \
+                    "fused keypoint capacity underestimated"
+                for r, ci in enumerate(chunk):
+                    votes_out[ci] = _unpack_cast(np.asarray(packed[r]))
         return votes_out
 
     def _finish_detect(self, votes: CastVotes, xyz: np.ndarray,

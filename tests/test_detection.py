@@ -377,6 +377,81 @@ def test_detect_batch_matches_detect(rng, tmp_path, voting_extra, global_type):
             assert mb.weight == pytest.approx(msn.weight, rel=1e-3, abs=1e-5)
 
 
+def test_host_voxel_count_matches_device(rng):
+    """host_voxel_count must equal the occupied-voxel count of the device
+    voxel_grid (it fixes the fused program's keypoint capacity, so an
+    undercount would truncate keypoints)."""
+    import jax.numpy as jnp
+    from point_cloud_donkey_tpu.models.detect_batch import host_voxel_count
+    from point_cloud_donkey_tpu.ops.voxel_grid import voxel_grid
+
+    for i, (n, leaf) in enumerate([(50, 0.3), (900, 0.35), (2048, 0.07),
+                                   (333, 1.7), (8, 0.01)]):
+        pts = (rng.normal(size=(n, 3)) * (1.0 + i)).astype(np.float32)
+        res = voxel_grid(jnp.asarray(pts), jnp.ones(n, bool), leaf)
+        assert host_voxel_count(pts, leaf) == int(np.asarray(res.mask).sum())
+        # padding rows must not change the count
+        pad = np.concatenate([pts, np.zeros((37, 3), np.float32)])
+        m = np.arange(len(pad)) < n
+        res_p = voxel_grid(jnp.asarray(pad), jnp.asarray(m), leaf)
+        assert host_voxel_count(pts, leaf) == \
+            int(np.asarray(res_p.mask).sum())
+
+
+def test_fused_detect_votes_match_staged(rng, tmp_path):
+    """The single-dispatch fused detect program must produce the same valid
+    votes as the staged batched path (same order, fp-close values), and the
+    eval path must actually take it (cache key present)."""
+    from point_cloud_donkey_tpu.models.ism import (ImplicitShapeModel,
+                                                   _codebook_params)
+    from point_cloud_donkey_tpu.models.keypoints import KeypointParams
+    from point_cloud_donkey_tpu.utils.config import IsmConfig
+
+    ism = ImplicitShapeModel(IsmConfig.from_json(_batch_cfg(None)))
+    for cid in range(3):
+        pts = shapes.make_instance(rng, cid, n=900, rotate=False, noise=0.005)
+        p = str(tmp_path / f"t{cid}.pcd")
+        save_pcd(p, PointCloud(xyz=pts))
+        ism.add_training_model(p, cid, cid)
+    ism.train()
+
+    clouds = [shapes.make_instance(rng, i % 3, n=700 + 150 * i, rotate=True)
+              for i in range(4)]
+    fcfg = ism._feature_cfg()
+    kp_cfg = ism.config.child("Keypoints")
+    cb_params = _codebook_params(ism.config.child("Codebook"))
+
+    fused = ism._detect_votes_fused(clouds, [None] * 4, fcfg,
+                                    KeypointParams.from_config(kp_cfg),
+                                    cb_params)
+    assert any(k[0] == "fused" for k in ism._cast_cache)
+
+    from point_cloud_donkey_tpu.models.detect_batch import (
+        extract_local_features_batch)
+    fss = extract_local_features_batch(
+        clouds, [None] * 4, [None] * 4, fcfg, kp_cfg,
+        ism.root.get("NormalRadius", 0.05),
+        ism.root.get("ConsistentNormalsMethod", 2))
+    staged = ism._cast_votes_batch(fss, cb_params)
+
+    for vf, vs in zip(fused, staged):
+        f, s = vf.valid, vs.valid
+        assert int(f.sum()) == int(s.sum())
+        np.testing.assert_allclose(vf.position[f], vs.position[s], atol=1e-4)
+        np.testing.assert_allclose(vf.weight[f], vs.weight[s],
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_array_equal(vf.class_id[f], vs.class_id[s])
+        np.testing.assert_array_equal(vf.instance_id[f], vs.instance_id[s])
+        np.testing.assert_allclose(vf.keypoint[f], vs.keypoint[s], atol=1e-5)
+        np.testing.assert_allclose(vf.bbox_quat[f], vs.bbox_quat[s],
+                                   atol=1e-4)
+
+    # detect_batch end-to-end still matches detect() through the fused path
+    singles = [ism.detect(c)[0] for c in clouds]
+    for (mb, _), ms in zip(ism.detect_batch(clouds), singles):
+        assert [m.class_id for m in mb] == [m.class_id for m in ms]
+
+
 def test_global_features_batch_matches_single(rng):
     """extract_global_features_batch must equal the per-cloud extractor for
     every whole-cloud type (vmap only adds a batch dimension)."""
