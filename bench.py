@@ -95,7 +95,7 @@ def main():
         # record.  Probe, and if dead retry every 5 min until
         # BENCH_WAIT_FOR_DEVICE_S (default 20 min) is spent, then emit the
         # outage record.
-        wait_budget = float(os.environ.get("BENCH_WAIT_FOR_DEVICE_S", "1200"))
+        wait_budget = float(os.environ.get("BENCH_WAIT_FOR_DEVICE_S", "1800"))
         probe_t0 = time.perf_counter()
         alive, probes = _device_alive(), 1
         while not alive and (time.perf_counter() - probe_t0) < wait_budget:

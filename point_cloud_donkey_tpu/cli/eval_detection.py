@@ -178,9 +178,31 @@ def run_detection(args) -> int:
     if args.output:
         os.makedirs(args.output, exist_ok=True)
     log_names: set = set()
-    for cloud_file, gt_file in rows:
-        print(f"Processing file: {cloud_file}")
-        maxima, times = ism.detect_file(cloud_file)
+    # batched detection: load a chunk of scenes, run ONE detect_batch call
+    # (device stages batched across clouds; scene-scale or exotic configs
+    # fall back per-cloud inside detect_batch with identical results);
+    # chunking bounds host memory for long scene lists
+    from ..models.ism import preprocess_cloud
+    from ..utils.io import load_cloud
+    CHUNK = 16
+    flat: List[Tuple[str, str, List, Dict[str, float]]] = []
+    for c0 in range(0, len(rows), CHUNK):
+        chunk_rows = rows[c0:c0 + CHUNK]
+        clouds, nrms, rgbs = [], [], []
+        for cloud_file, _gt in chunk_rows:
+            print(f"Processing file: {cloud_file}")
+            cloud = load_cloud(cloud_file).remove_nan()
+            cloud = preprocess_cloud(cloud, ism.root)
+            clouds.append(cloud.xyz)
+            nrms.append(cloud.normals if cloud.has_normals() else None)
+            rgbs.append(None if ism.root.get("SetColorToZero", False)
+                        else cloud.rgb)
+        results = ism.detect_batch(clouds, nrms, rgbs)
+        for (cloud_file, gt_file), (maxima, times_i) in zip(chunk_rows,
+                                                            results):
+            flat.append((cloud_file, gt_file, maxima, times_i))
+
+    for cloud_file, gt_file, maxima, times in flat:
         if args.output:
             write_log_per_cloud(cloud_file, ism_file, gt_file,
                                 args.output, maxima, used_names=log_names)

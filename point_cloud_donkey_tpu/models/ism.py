@@ -704,7 +704,11 @@ class ImplicitShapeModel:
         votes = _unpack_cast(packed)
         self.processing_times["voting"] += time.perf_counter() - t_vote
 
-        maxima = self._finish_detect(votes, xyz, normals, rgb, vparams)
+        # per-class mean-shift batched across classes: one dispatch for all
+        # of this cloud's classes instead of one per class
+        ms_pre = self._precompute_mean_shift_batch([votes], vparams)[0]
+        maxima = self._finish_detect(votes, xyz, normals, rgb, vparams,
+                                     ms_pre=ms_pre)
         self.processing_times["complete"] += time.perf_counter() - t0
         return maxima, dict(self.processing_times)
 
@@ -786,6 +790,8 @@ class ImplicitShapeModel:
                     self.root.get("NormalRadius", 0.05),
                     self.root.get("ConsistentNormalsMethod", 2))
 
+        ms_pre_list = self._precompute_mean_shift_batch(votes_list, vparams)
+
         maxima_list = []
         for i in range(n):
             if self._callbacks:
@@ -795,7 +801,8 @@ class ImplicitShapeModel:
             maxima_list.append(
                 self._finish_detect(votes_list[i], clouds[i],
                                     normals_list[i], rgb_list[i],
-                                    vparams, precomputed_gfs=gfs_list[i]))
+                                    vparams, precomputed_gfs=gfs_list[i],
+                                    ms_pre=ms_pre_list[i]))
         # account the batch's wall time BEFORE snapshotting the per-cloud
         # times: callers keep the last snapshot as the run's timing map, and
         # it must include this batch under "complete" (detect() parity)
@@ -931,16 +938,56 @@ class ImplicitShapeModel:
                     votes_out[ci] = _unpack_cast(np.asarray(packed[r]))
         return votes_out
 
+    def _precompute_mean_shift_batch(self, votes_list, vparams: VotingParams):
+        """Per-class mean-shift maxima for every cloud in one batched sweep:
+        the (cloud, class) vote groups run through class_mean_shift_batch
+        (one dispatch per 8-group chunk) instead of one dispatch per class
+        per cloud inside find_maxima.  Returns one {class_id: m_pos} dict
+        per cloud, or Nones when the config's maxima search does not use
+        per-class mean-shift."""
+        from .voting import class_mean_shift_batch, get_search_dist
+        n = len(votes_list)
+        if vparams.voting_type != "MeanShift":
+            return [None] * n
+        if vparams.single_object_mode and \
+                vparams.single_object_max_type not in ("None", "Default"):
+            return [None] * n
+        items, owners = [], []
+        for i, votes in enumerate(votes_list):
+            valid = np.asarray(votes.valid)
+            if not valid.any():
+                continue
+            pos = np.asarray(votes.position)[valid]
+            w = np.asarray(votes.weight)[valid]
+            cls = np.asarray(votes.class_id)[valid]
+            for class_id in sorted(set(cls.tolist())):
+                sel = cls == class_id
+                bw = get_search_dist(class_id, vparams, self.state.dims_map)
+                items.append((pos[sel], w[sel], bw))
+                owners.append((i, class_id))
+        if not items:
+            return [None] * n
+        t_max = time.perf_counter()
+        res = class_mean_shift_batch(items, vparams)
+        self.processing_times["maxima"] += time.perf_counter() - t_max
+        out: List[Optional[Dict[int, np.ndarray]]] = \
+            [{} for _ in range(n)]
+        for (i, cid), m in zip(owners, res):
+            out[i][cid] = m
+        return out
+
     def _finish_detect(self, votes: CastVotes, xyz: np.ndarray,
                        normals: Optional[np.ndarray],
                        rgb: Optional[np.ndarray],
                        vparams: VotingParams,
-                       precomputed_gfs: Optional[FeatureSet] = None
+                       precomputed_gfs: Optional[FeatureSet] = None,
+                       ms_pre: Optional[Dict[int, np.ndarray]] = None
                        ) -> List[VotingMaximum]:
         """Maxima search + global verification + merge + selection for one
         cloud's cast votes (shared by detect and detect_batch).
         `precomputed_gfs` short-circuits the single-object-mode whole-cloud
-        global descriptor (detect_batch computes those batched)."""
+        global descriptor (detect_batch computes those batched); `ms_pre`
+        supplies batched per-class mean-shift maxima the same way."""
         if self._callbacks:
             self._emit("votes", votes=votes)
         # voting analysis dump (EnableVotingAnalysis / VotingAnalysisOutputPath,
@@ -959,7 +1006,8 @@ class ImplicitShapeModel:
         t_max = time.perf_counter()
         pts_pad = xyz.astype(np.float32)
         mask = np.ones(len(xyz), bool)
-        maxima = find_maxima(votes, pts_pad, mask, vparams, self.state.dims_map)
+        maxima = find_maxima(votes, pts_pad, mask, vparams,
+                             self.state.dims_map, ms_precomputed=ms_pre)
 
         # --- global-feature verification (voting.cpp:218-295) --------------
         roi_centroid = np.zeros(3, np.float32)

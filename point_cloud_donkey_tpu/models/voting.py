@@ -111,13 +111,11 @@ def get_search_dist(class_id: int, params: VotingParams,
 import functools
 
 
-@functools.lru_cache(maxsize=None)
-def _mean_shift_program(v_cap: int, seed_cap: int, suppression: str,
-                        threshold: float, max_iter: int, kernel: str):
-    """Jitted mean-shift pipeline for one (padded) class vote set, cached per
-    static shape/config so repeated detections reuse the compiled program."""
+def _mean_shift_body(seed_cap: int, suppression: str, threshold: float,
+                     max_iter: int, kernel: str):
+    """Unjitted mean-shift pipeline over one (padded) class vote set; shared
+    by the per-class jit and the cross-(cloud, class) vmapped batch."""
 
-    @jax.jit
     def run(v, w, valid, bw):
         seeds, _, seed_mask = ms.create_seeds(v, w, valid, ms.seeds_range(bw),
                                               seed_cap)
@@ -133,6 +131,71 @@ def _mean_shift_program(v_cap: int, seed_cap: int, suppression: str,
         return centers, dens, keep
 
     return run
+
+
+@functools.lru_cache(maxsize=None)
+def _mean_shift_program(v_cap: int, seed_cap: int, suppression: str,
+                        threshold: float, max_iter: int, kernel: str):
+    """Jitted mean-shift pipeline for one (padded) class vote set, cached per
+    static shape/config so repeated detections reuse the compiled program."""
+    return jax.jit(_mean_shift_body(seed_cap, suppression, threshold,
+                                    max_iter, kernel))
+
+
+@functools.lru_cache(maxsize=None)
+def _mean_shift_batch_program(b: int, v_cap: int, seed_cap: int,
+                              suppression: str, threshold: float,
+                              max_iter: int, kernel: str):
+    """Vmapped variant: one dispatch runs the mean-shift pipeline for b
+    (cloud, class) vote groups at once; the bandwidth is a per-row input, so
+    groups with different per-class search distances share the program."""
+    return jax.jit(jax.vmap(_mean_shift_body(seed_cap, suppression,
+                                             threshold, max_iter, kernel)))
+
+
+def class_mean_shift_batch(items: List[Tuple[np.ndarray, np.ndarray, float]],
+                           params: "VotingParams") -> List[np.ndarray]:
+    """Mean-shift maxima positions for many (positions, weights, bandwidth)
+    vote groups with ONE device dispatch per 8-group chunk (grouped by padded
+    vote-count bucket).  Each output matches _class_mean_shift's first return
+    (maxima in descending-density order); used by detect_batch to avoid one
+    dispatch per class per cloud (the reference's per-class iFindMaxima loop,
+    voting.cpp:130)."""
+    from ..models.features import bucket_size
+    mb = 8
+    out: List[Optional[np.ndarray]] = [None] * len(items)
+    buckets: Dict[int, List[int]] = {}
+    for idx, (p, _w, _bw) in enumerate(items):
+        buckets.setdefault(bucket_size(len(p), minimum=64), []).append(idx)
+
+    for cap, idxs in buckets.items():
+        seed_cap = min(params.seed_capacity, cap)
+        for c0 in range(0, len(idxs), mb):
+            chunk = idxs[c0:c0 + mb]
+            # pow-2 widths: a lone group (e.g. single-class detect) costs a
+            # width-1 program, not 8x padded compute; at most 4 width
+            # variants per cap bucket
+            width = 1
+            while width < len(chunk):
+                width *= 2
+            prog = _mean_shift_batch_program(
+                width, cap, seed_cap, params.maxima_suppression,
+                params.threshold, params.max_iter, params.kernel)
+            padded = chunk + [chunk[-1]] * (width - len(chunk))
+            v = np.stack([_pad_rows(items[j][0], cap, 1e9) for j in padded])
+            w = np.stack([_pad_rows(items[j][1], cap) for j in padded])
+            val = np.stack([np.arange(cap) < len(items[j][0])
+                            for j in padded])
+            bw = np.asarray([items[j][2] for j in padded], np.float32)
+            centers, dens, keep = jax.device_get(prog(
+                jnp.asarray(v), jnp.asarray(w), jnp.asarray(val),
+                jnp.asarray(bw)))
+            for r, j in enumerate(chunk):
+                kept_pos = centers[r][keep[r]]
+                kept_dens = dens[r][keep[r]]
+                order = np.argsort(-kept_dens, kind="stable")
+                out[j] = kept_pos[order]
+    return [m for m in out]  # type: ignore[misc]
 
 
 @functools.lru_cache(maxsize=None)
@@ -220,9 +283,13 @@ def find_maxima(
     cloud_mask: np.ndarray,      # [N]
     params: VotingParams,
     dims_map: Dict[int, Tuple[float, float]],
+    ms_precomputed: Optional[Dict[int, np.ndarray]] = None,
 ) -> List[VotingMaximum]:
     """Voting::findMaxima minus global-feature verification (wired by the
-    orchestrator after this call)."""
+    orchestrator after this call).  ms_precomputed optionally supplies the
+    per-class mean-shift maxima positions (already density-sorted) computed
+    batched across clouds (class_mean_shift_batch); everything downstream
+    (RANSAC, reweighting, assembly) is unchanged."""
     valid = np.asarray(votes.valid)
     if not valid.any():
         return []
@@ -254,6 +321,10 @@ def find_maxima(
                 warnings.warn("SingleObjectMode is not supported with Hough3D")
             m_pos, m_dens, hough_members = _class_hough_device(
                 v_pos, v_w, bandwidth, params)
+        elif ms_precomputed is not None and class_id in ms_precomputed \
+                and ((not single)
+                     or (single and max_type in ("None", "Default"))):
+            m_pos = ms_precomputed[class_id]
         elif (not single) or (single and max_type in ("None", "Default")):
             m_pos, _ = _class_mean_shift(v_pos, v_w, bandwidth, params)
         else:

@@ -452,6 +452,31 @@ def test_fused_detect_votes_match_staged(rng, tmp_path):
         assert [m.class_id for m in mb] == [m.class_id for m in ms]
 
 
+def test_class_mean_shift_batch_matches_single(rng):
+    """class_mean_shift_batch (one dispatch per 8 vote groups) must return
+    the same density-sorted maxima as the per-class _class_mean_shift for
+    every group, across different vote-count buckets and bandwidths."""
+    from point_cloud_donkey_tpu.models.voting import (VotingParams,
+                                                      _class_mean_shift,
+                                                      class_mean_shift_batch)
+    params = VotingParams()
+    items = []
+    for g in range(11):
+        nv = [20, 70, 130, 400][g % 4] + g
+        centers = rng.normal(size=(2, 3)) * 3.0
+        pts = np.concatenate([
+            centers[j] + rng.normal(scale=0.15, size=(nv // 2, 3))
+            for j in range(2)]).astype(np.float32)
+        w = rng.uniform(0.5, 1.5, len(pts)).astype(np.float32)
+        items.append((pts, w, 0.4 + 0.05 * (g % 3)))
+
+    batched = class_mean_shift_batch(items, params)
+    for (p, w, bw), mb in zip(items, batched):
+        m_single, _ = _class_mean_shift(p, w, bw, params)
+        assert mb.shape == m_single.shape
+        np.testing.assert_allclose(mb, m_single, atol=1e-4)
+
+
 def test_global_features_batch_matches_single(rng):
     """extract_global_features_batch must equal the per-cloud extractor for
     every whole-cloud type (vmap only adds a batch dimension)."""
