@@ -131,7 +131,7 @@ def main():
     BATCH = 32
     ROUNDS = 8
     TRAIN_N = 24        # training-throughput clouds (warm programs)
-    HOST_DETECT_N = 16  # host ImplicitShapeModel.detect_batch clouds
+    HOST_DETECT_N = 32  # host ImplicitShapeModel.detect_batch clouds
 
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     bench_t0 = time.perf_counter()

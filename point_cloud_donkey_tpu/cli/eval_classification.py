@@ -252,8 +252,15 @@ def run_classification(args) -> int:
     ism_file = args.detect or args.train
     ism = ImplicitShapeModel.load(ism_file)
     fl = _test_file_list(args)
-    usage, gt_class_ids, gt_instance_ids = resolve_labels(
+    usage, _, _ = resolve_labels(
         fl, ism.root.get("InstanceLabelsPrimary", True))
+    # ground truth is ALWAYS in true-label space at test time: classified
+    # instance ids are remapped instance->class below, and the reference
+    # compares against the file list's class/instance columns directly
+    # (eval_classification.cpp:293-309 gt_class_ids = class_labels even for
+    # INSTANCE_PRIMARY; :421-425 remaps the prediction)
+    gt_class_ids = fl.class_labels
+    gt_instance_ids = fl.instance_labels
     inst2cls = ism.state.instance_to_class or fl.instance_to_class
 
     out_dir = args.output
@@ -351,6 +358,9 @@ def run_classification(args) -> int:
         for lbl, cid in sorted(fl.class_map.items(), key=lambda kv: kv[1]):
             summary_lines.append(f"{cid}: {lbl}")
     if usage == "INSTANCE_PRIMARY":
+        # reference parity quirk: despite the header, the reference prints
+        # the CLASS name map here (class_labels_rmap at
+        # eval_classification.cpp:496-501)
         summary_lines.append("instance id to instance name mapping (used as primary labels, i.e. classes):")
         for lbl, cid in sorted(fl.class_map.items(), key=lambda kv: kv[1]):
             summary_lines.append(f"{cid}: {lbl}")

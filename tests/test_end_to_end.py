@@ -230,6 +230,74 @@ def test_fast_cli_matches_host_decisions(tmp_path):
     assert host == fast and len(host) == 6
 
 
+@pytest.mark.parametrize("instance_primary", [True, False])
+def test_instance_labels_end_to_end(tmp_path, instance_primary):
+    """'# train inst' lists: with InstanceLabelsPrimary (reference default)
+    the instance labels drive the codebook and class results derive through
+    instance_to_class; either way the summary reports class AND instance
+    accuracy plus the right label-map blocks (eval_helpers.h:46-61,
+    eval_classification.cpp:126-136, :469-473)."""
+    import json
+
+    from point_cloud_donkey_tpu.cli.eval_classification import main as cls_main
+
+    rng = np.random.default_rng(5)
+    config = {"ObjectConfig": {"Children": {
+        "Clustering": {"Type": "None"},
+        "Codebook": {"Children": {"ActivationStrategy": {
+            "Parameters": {"K": 1}, "Type": "KNN"}}},
+        "FeatureWeighting": {"Type": "Uniform"},
+        "Features": {"Parameters": {
+            "Radius": 0.6, "ReferenceFrameRadius": 0.5}, "Type": "SHORT_SHOT"},
+        "GlobalFeatures": {"Type": "Dummy"},
+        "Keypoints": {"Parameters": {"LeafSize": 0.35}, "Type": "VoxelGrid"},
+        "Voting": {"Parameters": {
+            "Bandwidth": 0.5, "SingleObjectMode": True,
+            "SingleObjectMaxType": "BandwidthVotes"}, "Type": "MeanShift"}},
+        "Parameters": {"DistanceType": "ChiSquared",
+                       "InstanceLabelsPrimary": instance_primary,
+                       "BoundingBoxType": "AABB"}}}
+    cfg_path = str(tmp_path / "config.ism")
+    json.dump(config, open(cfg_path, "w"))
+
+    # 2 classes x 2 instances, each instance a distinct generator shape
+    layout = [("classA", "inst_a1", 1), ("classA", "inst_a2", 3),
+              ("classB", "inst_b1", 2), ("classB", "inst_b2", 4)]
+    train, test = ["# train inst"], ["# test inst"]
+    for cls_name, inst_name, cid in layout:
+        for j in range(2):
+            pts = shapes.make_instance(rng, cid, n=1024, rotate=False)
+            p = str(tmp_path / f"tr_{inst_name}_{j}.pcd")
+            save_pcd(p, PointCloud(xyz=pts))
+            train.append(f"{p} {cls_name} {inst_name}")
+        pts = shapes.make_instance(rng, cid, n=1024, rotate=True)
+        p = str(tmp_path / f"te_{inst_name}.pcd")
+        save_pcd(p, PointCloud(xyz=pts))
+        test.append(f"{p} {cls_name} {inst_name}")
+    (tmp_path / "train.txt").write_text("\n".join(train) + "\n")
+    (tmp_path / "test.txt").write_text("\n".join(test) + "\n")
+
+    assert cls_main(["-t", cfg_path, "-f", str(tmp_path / "train.txt"),
+                     "-o", str(tmp_path / "model")]) == 0
+    assert cls_main(["-d", str(tmp_path / "model.ism"),
+                     "-f", str(tmp_path / "test.txt"),
+                     "-o", str(tmp_path / "out")]) == 0
+
+    summary = open(tmp_path / "out" / "summary.txt").read()
+    if instance_primary:
+        assert "used as primary labels" in summary
+        assert "instance id to class id mapping:" in summary
+    else:
+        assert "instance id to instance name mapping:" in summary
+    # class accuracy and instance accuracy both reported and high
+    import re
+    m = re.search(r" Accuracy: ([\d.]+) %", summary)
+    assert m and float(m.group(1)) >= 75.0, summary[-800:]
+    m = re.search(r" result: (\d+) of (\d+) instances recognized correctly",
+                  summary)
+    assert m and int(m.group(1)) >= 3 and int(m.group(2)) == 4, summary[-800:]
+
+
 def test_cli_pointcloud_groundtruth_args(tmp_path):
     """-m/-c (training) and -p/-g (testing) replace the -f file lists
     (eval_classification.cpp:52-63)."""
