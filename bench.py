@@ -106,13 +106,24 @@ def main():
             alive, probes = _device_alive(), probes + 1
 
         if not alive:
+            extra = {"error": "device unresponsive (axon outage); "
+                              "rerun when the service recovers",
+                     "probes": probes,
+                     "waited_s": round(time.perf_counter() - probe_t0, 0)}
+            # the accuracy metrics are platform-independent: attach the
+            # committed CPU-measured record so an outage round still
+            # carries builder-verified evidence in the driver artifact
+            cpu_rec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_LOCAL_CPU.json")
+            try:
+                with open(cpu_rec) as f:
+                    extra["cpu_record"] = json.load(f)
+            except Exception:
+                pass
             print(json.dumps({
                 "metric": "clouds/sec/chip end-to-end classification",
                 "value": None, "unit": "clouds/sec", "vs_baseline": None,
-                "extra": {"error": "device unresponsive (axon outage); "
-                                   "rerun when the service recovers",
-                          "probes": probes,
-                          "waited_s": round(time.perf_counter() - probe_t0, 0)},
+                "extra": extra,
             }))
             return
 

@@ -420,6 +420,8 @@ def run_classification(args) -> int:
 
 
 def main(argv=None) -> int:
+    from . import apply_platform_env
+    apply_platform_env()
     args = build_parser().parse_args(argv)
     if args.template:
         IsmConfig.template().save(args.template)

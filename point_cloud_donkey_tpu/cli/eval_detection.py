@@ -311,6 +311,8 @@ def run_detection(args) -> int:
 
 
 def main(argv=None) -> int:
+    from . import apply_platform_env
+    apply_platform_env()
     args = build_parser().parse_args(argv)
     mode, _, _ = parse_detection_list(args.inputfile)
     run = run_training if mode == "train" else run_detection

@@ -94,6 +94,8 @@ def run_detection(args) -> int:
 
 
 def main(argv=None) -> int:
+    from . import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser(
         prog="eval_pipeline",
         description="Run one of the five comparison pipelines")

@@ -27,6 +27,8 @@ from ..utils.io import load_cloud, parse_file_list
 
 
 def main(argv=None) -> int:
+    from . import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser(
         prog="serve", description="Batched sharded classification")
     p.add_argument("-d", "--detect", required=True, help="trained .ism model")

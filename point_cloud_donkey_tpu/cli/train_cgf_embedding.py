@@ -147,6 +147,8 @@ def train(anchors: np.ndarray, positives: np.ndarray, dims, steps: int,
 
 
 def main(argv=None) -> int:
+    from . import apply_platform_env
+    apply_platform_env()
     ap = argparse.ArgumentParser(
         prog="train_cgf_embedding",
         description="Train the CGF 32-D embedding on synthetic correspondences")
