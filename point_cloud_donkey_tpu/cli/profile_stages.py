@@ -1,0 +1,139 @@
+"""Per-stage throughput profiler for the serving fast path.
+
+Measures the warm (post-compile) throughput of each stage of the fused
+classification pipeline in isolation — normals, voxel-grid keypoints,
+SHOT LRF, SHOT descriptors, codebook kNN activation + vote casting — plus
+the fused whole, on the current JAX platform.  This is the optimization
+instrument: run it on the real device to see where the FLOPs/bandwidth go
+before touching any kernel (the reference profiles the same stages through
+its per-step timer map, implicit_shape_model.cpp:636-709).
+
+Timing discipline (axon tunnel): per-call sync timings are unreliable;
+every number here is a batch-level loop of >= ``--rounds`` iterations
+bracketed by ``block_until_ready``.
+
+Usage::
+
+    PCD_PLATFORM=cpu python -m point_cloud_donkey_tpu.cli.profile_stages
+    python -m point_cloud_donkey_tpu.cli.profile_stages --batch 32 -n 2048
+
+Prints one JSON object with clouds/sec per stage and the fused total.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="profile_stages")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("-n", "--points", type=int, default=2048)
+    p.add_argument("--rounds", type=int, default=8)
+    p.add_argument("--classes", type=int, default=5)
+    p.add_argument("--descriptor", default="SHOT",
+                   choices=["SHOT", "CSHOT", "SHORT_SHOT"])
+    return p
+
+
+def main(argv=None) -> int:
+    from . import apply_platform_env
+    apply_platform_env()
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from ..models.codebook import CodebookParams, cast_votes
+    from ..models.pipeline_jit import JitPipelineConfig, classify_scores
+    from ..ops.lrf import shot_lrf
+    from ..ops.normals import compute_normals_fast
+    from ..ops.shot import shot_descriptor_dense
+    from ..ops.voxel_grid import voxel_grid
+    import __main__  # noqa: F401  (keep profilers import-safe under -m)
+
+    B, N = args.batch, args.points
+    cfg = JitPipelineConfig(descriptor=args.descriptor,
+                            num_classes=args.classes)
+    params = CodebookParams(knn_k=1)
+
+    # synthetic batch: ellipsoid-ish shells, same scale as the bench
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(B, N, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=2, keepdims=True)
+    pts *= np.array([1.3, 0.8, 0.5], np.float32)
+    pts += rng.normal(scale=0.01, size=pts.shape).astype(np.float32)
+    mask = np.ones((B, N), bool)
+    pts_j, mask_j = jnp.asarray(pts), jnp.asarray(mask)
+
+    # synthetic codebook (structure only; throughput does not depend on
+    # trained quality) -- reuse the graft entry's builder
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "_graft", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))),
+            "__graft_entry__.py"))
+    graft = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(graft)
+    dim = {"SHOT": 352, "CSHOT": 1344, "SHORT_SHOT": 32}[args.descriptor]
+    cb = graft._synthetic_codebook(dim=dim, num_classes=args.classes)
+
+    def timed(name, fn, *xs):
+        """Warm `fn` then time `rounds` full-batch dispatches."""
+        out = fn(*xs)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.rounds):
+            out = fn(*xs)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        return {"clouds_per_sec": round(B * args.rounds / dt, 2),
+                "ms_per_batch": round(1e3 * dt / args.rounds, 2)}
+
+    vm = lambda f: jax.jit(jax.vmap(f))  # noqa: E731
+
+    stage_normals = vm(lambda p, m: compute_normals_fast(
+        p, m, cfg.normal_radius))
+    stage_voxel = vm(lambda p, m: voxel_grid(
+        p, m, cfg.leaf_size, capacity=cfg.keypoint_capacity).centroids)
+
+    def _kp(p, m):
+        kres = voxel_grid(p, m, cfg.leaf_size, capacity=cfg.keypoint_capacity)
+        kp = jnp.where(kres.mask[:, None], kres.centroids[:, :3], 1e9)
+        return kp, kres.mask
+
+    def lrf_only(p, m):
+        kp, km = _kp(p, m)
+        return shot_lrf(kp, km, p, m, cfg.ref_frame_radius).frames
+
+    def desc_only(p, m):
+        kp, km = _kp(p, m)
+        lrf = shot_lrf(kp, km, p, m, cfg.ref_frame_radius)
+        nrm = compute_normals_fast(p, m, cfg.normal_radius)
+        return shot_descriptor_dense(kp, lrf.frames, lrf.valid, p, nrm, m,
+                                     cfg.radius).descriptors
+
+    def full(p, m):
+        return classify_scores(p, m, cb, cfg, params)
+
+    res = {
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+        "batch": B, "points": N, "rounds": args.rounds,
+        "descriptor": args.descriptor,
+        "normals_fast": timed("normals", stage_normals, pts_j, mask_j),
+        "voxel_keypoints": timed("voxel", stage_voxel, pts_j, mask_j),
+        "kp+lrf": timed("lrf", vm(lrf_only), pts_j, mask_j),
+        "kp+lrf+normals+desc": timed("desc", vm(desc_only), pts_j, mask_j),
+        "fused_classify": timed("full", vm(full), pts_j, mask_j),
+    }
+    print(json.dumps(res))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
