@@ -270,3 +270,18 @@ def test_boost_ismd_roundtrip_and_load(rng, tmp_path):
         m1, _ = ism.detect(pts)
         m2, _ = ism2.detect(pts)
         assert [m.class_id for m in m1] == [m.class_id for m in m2]
+
+
+def test_shipped_presets_load_and_construct():
+    """configs/*.ism presets must parse and build a full component stack."""
+    import glob
+    import os
+    from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+    from point_cloud_donkey_tpu.utils.config import IsmConfig
+    root = os.path.join(os.path.dirname(__file__), os.pardir, "configs")
+    paths = sorted(glob.glob(os.path.join(root, "*.ism")))
+    assert len(paths) >= 3
+    for p in paths:
+        cfg = IsmConfig.load(p)
+        ImplicitShapeModel(cfg)
+        assert cfg.child("Features").type
