@@ -93,7 +93,7 @@ def main():
         # Bounded wait-for-device loop: the axon service has transient
         # outages; a single dead probe should not zero the round's bench
         # record.  Probe, and if dead retry every 5 min until
-        # BENCH_WAIT_FOR_DEVICE_S (default 20 min) is spent, then emit the
+        # BENCH_WAIT_FOR_DEVICE_S (default 30 min) is spent, then emit the
         # outage record.
         wait_budget = float(os.environ.get("BENCH_WAIT_FOR_DEVICE_S", "1800"))
         probe_t0 = time.perf_counter()

@@ -161,13 +161,12 @@ def _fast_classify(ism, filenames, batch_size):
         return None
 
     n_bucket = bucket_size(max(len(c) for c in clouds), minimum=256)
-    # exact keypoint-capacity bound from host-side voxel counting
+    # exact keypoint-capacity bound from host-side voxel counting (the
+    # same f32 computation the device performs -- detect_batch's helper)
+    from ..models.detect_batch import host_voxel_count
     leaf = kp_cfg.get("LeafSize", 0.1)
-    max_kp = 1
-    for c in clouds:
-        ids = np.unique(np.floor(c / leaf).astype(np.int64), axis=0)
-        max_kp = max(max_kp, len(ids))
-    kp_cap = bucket_size(max_kp, minimum=64)
+    max_kp = max(host_voxel_count(c, leaf) for c in clouds)
+    kp_cap = bucket_size(max(max_kp, 1), minimum=64)
 
     cb = jax.tree_util.tree_map(jnp.asarray, ism.state.codebook)
     cb_params = _codebook_params(ism.config.child("Codebook"))

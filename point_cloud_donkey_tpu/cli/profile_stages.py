@@ -47,18 +47,20 @@ def main(argv=None) -> int:
 
     import jax
     import jax.numpy as jnp
-    from ..models.codebook import CodebookParams, cast_votes
+    from ..models.codebook import CodebookParams
     from ..models.pipeline_jit import JitPipelineConfig, classify_scores
     from ..ops.lrf import shot_lrf
     from ..ops.normals import compute_normals_fast
-    from ..ops.shot import shot_descriptor_dense
+    from ..ops.shot import cshot_descriptor_dense, shot_descriptor_dense
+    from ..ops.short_shot import short_shot_descriptor_dense
     from ..ops.voxel_grid import voxel_grid
-    import __main__  # noqa: F401  (keep profilers import-safe under -m)
 
     B, N = args.batch, args.points
     cfg = JitPipelineConfig(descriptor=args.descriptor,
                             num_classes=args.classes)
     params = CodebookParams(knn_k=1)
+    needs_normals = args.descriptor != "SHORT_SHOT"
+    needs_rgb = args.descriptor == "CSHOT"
 
     # synthetic batch: ellipsoid-ish shells, same scale as the bench
     rng = np.random.default_rng(0)
@@ -68,6 +70,7 @@ def main(argv=None) -> int:
     pts += rng.normal(scale=0.01, size=pts.shape).astype(np.float32)
     mask = np.ones((B, N), bool)
     pts_j, mask_j = jnp.asarray(pts), jnp.asarray(mask)
+    rgb_j = jnp.asarray(rng.uniform(size=(B, N, 3)).astype(np.float32))
 
     # synthetic codebook (structure only; throughput does not depend on
     # trained quality) -- reuse the graft entry's builder
@@ -98,39 +101,54 @@ def main(argv=None) -> int:
 
     stage_normals = vm(lambda p, m: compute_normals_fast(
         p, m, cfg.normal_radius))
-    stage_voxel = vm(lambda p, m: voxel_grid(
-        p, m, cfg.leaf_size, capacity=cfg.keypoint_capacity).centroids)
+    stage_voxel = vm(lambda p, m, c: voxel_grid(
+        p, m, cfg.leaf_size, capacity=cfg.keypoint_capacity,
+        features=c if needs_rgb else None).centroids)
 
-    def _kp(p, m):
-        kres = voxel_grid(p, m, cfg.leaf_size, capacity=cfg.keypoint_capacity)
+    def _kp(p, m, c):
+        kres = voxel_grid(p, m, cfg.leaf_size, capacity=cfg.keypoint_capacity,
+                          features=c if needs_rgb else None)
         kp = jnp.where(kres.mask[:, None], kres.centroids[:, :3], 1e9)
-        return kp, kres.mask
+        kp_rgb = kres.centroids[:, 3:6] if needs_rgb else None
+        return kp, kres.mask, kp_rgb
 
-    def lrf_only(p, m):
-        kp, km = _kp(p, m)
+    def lrf_only(p, m, c):
+        kp, km, _ = _kp(p, m, c)
         return shot_lrf(kp, km, p, m, cfg.ref_frame_radius).frames
 
-    def desc_only(p, m):
-        kp, km = _kp(p, m)
+    def desc_only(p, m, c):
+        """Keypoints + LRF + (normals if used) + the SELECTED descriptor --
+        the same kernels extract_features_jit runs for this descriptor."""
+        kp, km, kp_rgb = _kp(p, m, c)
         lrf = shot_lrf(kp, km, p, m, cfg.ref_frame_radius)
+        if args.descriptor == "SHORT_SHOT":
+            return short_shot_descriptor_dense(
+                kp, lrf.frames, lrf.valid, p, m, cfg.radius).descriptors
         nrm = compute_normals_fast(p, m, cfg.normal_radius)
+        if args.descriptor == "CSHOT":
+            return cshot_descriptor_dense(
+                kp, kp_rgb, lrf.frames, lrf.valid, p, nrm, c, m,
+                cfg.radius).descriptors
         return shot_descriptor_dense(kp, lrf.frames, lrf.valid, p, nrm, m,
                                      cfg.radius).descriptors
 
-    def full(p, m):
-        return classify_scores(p, m, cb, cfg, params)
+    def full(p, m, c):
+        return classify_scores(p, m, cb, cfg, params,
+                               rgb=c if needs_rgb else None)
 
     res = {
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
         "batch": B, "points": N, "rounds": args.rounds,
         "descriptor": args.descriptor,
-        "normals_fast": timed("normals", stage_normals, pts_j, mask_j),
-        "voxel_keypoints": timed("voxel", stage_voxel, pts_j, mask_j),
-        "kp+lrf": timed("lrf", vm(lrf_only), pts_j, mask_j),
-        "kp+lrf+normals+desc": timed("desc", vm(desc_only), pts_j, mask_j),
-        "fused_classify": timed("full", vm(full), pts_j, mask_j),
+        "voxel_keypoints": timed("voxel", stage_voxel, pts_j, mask_j, rgb_j),
+        "kp+lrf": timed("lrf", vm(lrf_only), pts_j, mask_j, rgb_j),
+        "kp+lrf+normals+desc": timed("desc", vm(desc_only), pts_j, mask_j,
+                                     rgb_j),
+        "fused_classify": timed("full", vm(full), pts_j, mask_j, rgb_j),
     }
+    if needs_normals:
+        res["normals_fast"] = timed("normals", stage_normals, pts_j, mask_j)
     print(json.dumps(res))
     return 0
 

@@ -92,6 +92,15 @@ def fused_supported(fcfg: FeatureConfig, kp_params: KeypointParams,
     return True
 
 
+def check_rgb_available(fcfg: FeatureConfig, rgb_list) -> None:
+    """RGB-needing descriptors over colorless clouds must fail loudly, the
+    same error every path raises (features.py pad path, the staged batch);
+    the fused path calls this up front so it can never silently zero-fill
+    color."""
+    if fcfg.needs_rgb() and any(r is None for r in rgb_list):
+        raise ValueError(f"{fcfg.type} needs RGB data but the cloud has none")
+
+
 def build_fused_detect_fn(n: int, k_cap: int, fcfg: FeatureConfig,
                           leaf: float, normal_radius: float, n_method: int,
                           has_rgb: bool):

@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import warnings
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -90,10 +91,16 @@ def _mvbb_host_batch(clouds) -> list:
     for n, items in groups.items():
         for j0 in range(0, len(items), _MVBB_CHUNK):
             chunk = items[j0:j0 + _MVBB_CHUNK]
-            padded = chunk + [chunk[-1]] * (_MVBB_CHUNK - len(chunk))
+            # pow-2 widths (same pattern as class_mean_shift_batch): a lone
+            # cloud in a bucket costs a width-1 program, not 8x padded
+            # rotation-sweep compute
+            width = 1
+            while width < len(chunk):
+                width *= 2
+            padded = chunk + [chunk[-1]] * (width - len(chunk))
             P = np.stack([p for _, p, _ in padded])
             M = np.stack([m for _, _, m in padded])
-            pos, size, quat = _mvbb_batch_program(_MVBB_CHUNK, n)(
+            pos, size, quat = _mvbb_batch_program(width, n)(
                 jnp.asarray(P), jnp.asarray(M))
             pos, size, quat = map(np.asarray, (pos, size, quat))
             for k, (i, _, _) in enumerate(chunk):
@@ -878,9 +885,10 @@ class ImplicitShapeModel:
         needed.  Valid votes are bit-identical to the staged path (pinned by
         tests/test_detection.py)."""
         from .detect_batch import (MB, _chunk_indices, build_fused_detect_fn,
-                                   host_voxel_count)
+                                   check_rgb_available, host_voxel_count)
         from .features import bucket_size, pad_cloud
 
+        check_rgb_available(fcfg, rgb_list)
         leaf = float(kp_params.leaf_size)
         nr = float(self.root.get("NormalRadius", 0.05))
         nm = int(self.root.get("ConsistentNormalsMethod", 2))
@@ -911,29 +919,41 @@ class ImplicitShapeModel:
                         jnp.asarray(fcfg.radius, jnp.float32),
                         jnp.asarray(fcfg.ref_frame_radius, jnp.float32))
 
-                key2 = ("fused", MB, n, k_cap, has_rgb, self.metric)
-                if key2 not in self._cast_cache:
-                    # program build+compile billed as "flann" like the other
-                    # lazy index builds (implicit_shape_model.cpp:650-661)
-                    t_flann = time.perf_counter()
-                    one = build_fused_detect_fn(
-                        n, k_cap, fcfg, leaf, nr, nm, has_rgb)
-                    cast = self._cast_packed_fn(cb_params)
+                def run_chunk(cap):
+                    key2 = ("fused", MB, n, cap, has_rgb, self.metric)
+                    if key2 not in self._cast_cache:
+                        # program build+compile billed as "flann" like the
+                        # other lazy index builds
+                        # (implicit_shape_model.cpp:650-661)
+                        t_flann = time.perf_counter()
+                        one = build_fused_detect_fn(
+                            n, cap, fcfg, leaf, nr, nm, has_rgb)
+                        cast = self._cast_packed_fn(cb_params)
 
-                    def whole(pts, mask, rgb, radius, frame_radius):
-                        desc, kp, frames, keep, count = one(
-                            pts, mask, rgb, radius, frame_radius)
-                        return cast(desc, kp, frames, keep), count
+                        def whole(pts, mask, rgb, radius, frame_radius):
+                            desc, kp, frames, keep, count = one(
+                                pts, mask, rgb, radius, frame_radius)
+                            return cast(desc, kp, frames, keep), count
 
-                    prog = jax.jit(jax.vmap(
-                        whole, in_axes=(0, 0, 0, None, None)))
-                    self._cast_cache[key2] = prog.lower(*args).compile()
-                    self.processing_times["flann"] += \
-                        time.perf_counter() - t_flann
-                packed, counts = jax.device_get(
-                    self._cast_cache[key2](*args))
-                assert int(np.max(counts)) <= k_cap, \
-                    "fused keypoint capacity underestimated"
+                        prog = jax.jit(jax.vmap(
+                            whole, in_axes=(0, 0, 0, None, None)))
+                        self._cast_cache[key2] = prog.lower(*args).compile()
+                        self.processing_times["flann"] += \
+                            time.perf_counter() - t_flann
+                    return jax.device_get(self._cast_cache[key2](*args))
+
+                packed, counts = run_chunk(k_cap)
+                # host_voxel_count matches the device's f32 floor(p/leaf)
+                # bit-for-bit on CPU (pinned by test); if an accelerator
+                # backend ever rewrites the division and counts more
+                # occupied voxels, recover by recompiling this chunk with
+                # a doubled capacity instead of truncating keypoints
+                while int(np.max(counts)) > k_cap:
+                    k_cap = bucket_size(int(np.max(counts)), minimum=64)
+                    warnings.warn(
+                        "fused keypoint capacity underestimated by the host "
+                        f"voxel count; recompiling with capacity {k_cap}")
+                    packed, counts = run_chunk(k_cap)
                 for r, ci in enumerate(chunk):
                     votes_out[ci] = _unpack_cast(np.asarray(packed[r]))
         return votes_out

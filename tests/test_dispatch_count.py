@@ -126,3 +126,27 @@ def test_detect_batch_batches_mean_shift(tmp_path, monkeypatch):
     assert batch_calls["n"] >= 1
     assert single_calls["n"] == 0, (
         "per-class mean-shift ran outside the batched path")
+
+
+def test_fused_detect_rejects_missing_rgb(tmp_path):
+    """An RGB-needing descriptor over colorless clouds must raise the same
+    ValueError on the fused path as everywhere else -- never silently
+    zero-fill color (review finding: fused path grouped rgb=None clouds as
+    has_rgb=False and fed zero colors into CSHOT)."""
+    rng = np.random.default_rng(13)
+    cfg = _batch_cfg()
+    cfg["ObjectConfig"]["Children"]["Features"] = {
+        "Parameters": {"Radius": 0.6, "ReferenceFrameRadius": 0.5},
+        "Type": "CSHOT"}
+    ism = ImplicitShapeModel(IsmConfig.from_json(cfg))
+    for cid in range(2):
+        pts = shapes.make_instance(rng, cid, n=500, rotate=False,
+                                   noise=0.005)
+        rgb = rng.uniform(size=(len(pts), 3)).astype(np.float32)
+        p = str(tmp_path / f"t{cid}.pcd")
+        save_pcd(p, PointCloud(xyz=pts, rgb=rgb))
+        ism.add_training_model(p, cid, cid)
+    ism.train()
+    clouds = [shapes.make_instance(rng, 0, n=500, rotate=True)]
+    with pytest.raises(ValueError, match="needs RGB"):
+        ism.detect_batch(clouds)  # no rgb_list -> colorless
