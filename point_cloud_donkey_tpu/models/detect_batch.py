@@ -43,6 +43,14 @@ from .types import FeatureSet, make_feature_set
 MB = 8
 
 
+def _culling_plain(kp_params: KeypointParams, is_training: bool) -> bool:
+    geo = kp_params.filter_method_geometry.lower()
+    col = kp_params.filter_method_color.lower()
+    return (kp_params.type == "VoxelGrid"
+            or (is_training and kp_params.disable_filter_in_training)
+            or (geo == "none" and col == "none"))
+
+
 def batch_supported(fcfg: FeatureConfig, kp_params: KeypointParams,
                     clouds: Sequence[np.ndarray],
                     is_training: bool = False) -> bool:
@@ -53,13 +61,20 @@ def batch_supported(fcfg: FeatureConfig, kp_params: KeypointParams,
         return False
     if kp_params.type not in ("VoxelGrid", "VoxelGridCulling"):
         return False
-    geo = kp_params.filter_method_geometry.lower()
-    col = kp_params.filter_method_color.lower()
-    plain = (kp_params.type == "VoxelGrid"
-             or (is_training and kp_params.disable_filter_in_training)
-             or (geo == "none" and col == "none"))
-    if not plain:
-        return False
+    if not _culling_plain(kp_params, is_training):
+        # detection-time keypoint culling: scores run as one vmapped program
+        # per chunk, thresholds/refinement on the host (shared with the
+        # per-cloud path -- models/keypoints.py:apply_culling_host)
+        geo = kp_params.filter_method_geometry.lower()
+        col = kp_params.filter_method_color.lower()
+        if geo not in ("none", "curvature", "gaussian", "kpq"):
+            return False
+        if col not in ("none", "colordistance"):
+            return False
+        if geo in ("gaussian", "kpq") and not fcfg.needs_normals():
+            # the dense-curvature scores need cloud normals, which the batch
+            # stages only compute for normal-consuming descriptors
+            return False
     if any(len(c) > SCENE_TILE_THRESHOLD for c in clouds):
         return False
     return True
@@ -83,6 +98,10 @@ def fused_supported(fcfg: FeatureConfig, kp_params: KeypointParams,
     normals are computed in-program: no caller-provided normals and no
     host-side EMST orientation (method 3)."""
     if not batch_supported(fcfg, kp_params, clouds):
+        return False
+    if not _culling_plain(kp_params, is_training=False):
+        # culling thresholds/refinement are host-side heuristics; the fused
+        # single-dispatch program requires plain voxel keypoints
         return False
     if fcfg.needs_normals():
         if any(nl is not None for nl in normals_list):
@@ -190,6 +209,23 @@ def _voxel_batch_program(b: int, n: int, e_dim: int, leaf: float):
             res = jax.vmap(
                 lambda p, m: voxel_grid(p, m, leaf))(points, mask)
             return res.centroids, res.mask
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _culling_batch_program(b: int, n: int, k: int, geo: str, col: str,
+                           leaf: float, max_col_dist: float):
+    """Vmapped VoxelGridCulling scores: one dispatch computes the geometry +
+    color keypoint-quality scores for a whole chunk (the per-cloud path runs
+    the identical culling_scores body, so decisions match by construction)."""
+    from .keypoints import culling_scores
+
+    @jax.jit
+    def run(kp, kp_mask, kp_normals, kp_rgb, pts, mask, normals, rgb):
+        return jax.vmap(
+            lambda a, b_, c, d, e, f, g, h: culling_scores(
+                a, b_, c, d, e, f, g, h, geo, col, leaf, max_col_dist)
+        )(kp, kp_mask, kp_normals, kp_rgb, pts, mask, normals, rgb)
     return run
 
 
@@ -437,6 +473,53 @@ def extract_local_features_batch(
                 kps.append(full[:, :3])
                 off = 3 + (3 if "normals" in e_parts else 0)
                 kp_rgbs.append(full[:, off:off + 3] if has_rgb else None)
+
+            # --- detection-time keypoint culling ---------------------------
+            # (VoxelGridCulling, culling.cpp:280-330): scores for the whole
+            # chunk in ONE vmapped dispatch, thresholds/refinement on the
+            # host via the same apply_culling_host the per-cloud path uses
+            if not _culling_plain(kp_params, is_training):
+                from .keypoints import apply_culling_host
+                geo_f = kp_params.filter_method_geometry.lower()
+                col_f = kp_params.filter_method_color.lower()
+                if col_f == "colordistance" and any(
+                        rgb_list[ci] is None for ci in chunk):
+                    raise ValueError("color culling needs RGB data")
+                k_cap = max(bucket_size(max(len(kp), 1), minimum=64)
+                            for kp in kps)
+                kpc = np.full((MB, k_cap, 3), 1e9, np.float32)
+                kpm = np.zeros((MB, k_cap), bool)
+                knc = np.zeros((MB, k_cap, 3), np.float32)
+                krc = np.zeros((MB, k_cap, 3), np.float32)
+                nrm_c = np.zeros((MB, n, 3), np.float32)
+                rgb_c = np.zeros((MB, n, 3), np.float32)
+                for r, ci in enumerate(padded):
+                    kk = len(kps[r])
+                    kpc[r, :kk] = kps[r]
+                    kpm[r, :kk] = True
+                    if "normals" in e_parts:
+                        knc[r, :kk] = cents[r][cmask[r]][:, 3:6]
+                        nrm_c[r, :len(clouds[ci])] = cloud_normals[r]
+                    if kp_rgbs[r] is not None:
+                        krc[r, :kk] = kp_rgbs[r]
+                    if rgb_list[ci] is not None:
+                        rgb_c[r, :len(clouds[ci])] = rgb_list[ci]
+                g_b, c_b = _culling_batch_program(
+                    MB, n, k_cap, geo_f, col_f,
+                    float(kp_params.leaf_size),
+                    float(kp_params.max_similar_color_distance))(
+                        jnp.asarray(kpc), jnp.asarray(kpm), jnp.asarray(knc),
+                        jnp.asarray(krc), pts_j, mask_j, jnp.asarray(nrm_c),
+                        jnp.asarray(rgb_c))
+                g_b, c_b = np.asarray(g_b), np.asarray(c_b)
+                for r in range(MB):
+                    kk = len(kps[r])
+                    if kk == 0:
+                        continue
+                    kps[r], kp_rgbs[r] = apply_culling_host(
+                        kps[r], kp_rgbs[r], g_b[r][:kk], c_b[r][:kk],
+                        kp_params, return_colors=True)
+
             if times is not None:
                 times["keypoints"] = times.get("keypoints", 0.0) \
                     + time.perf_counter() - t_k

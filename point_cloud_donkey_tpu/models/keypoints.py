@@ -176,6 +176,155 @@ def _tiled_keypoint_moments(kp: np.ndarray, points: np.ndarray, leaf: float):
         lambda x: jnp.asarray(np.asarray(x)[:len(kp)][inv]), mom)
 
 
+def culling_scores(kp, kp_mask, kp_normals, kp_rgb, points, mask, normals,
+                   rgb, geo: str, col: str, leaf: float,
+                   max_col_dist: float):
+    """Keypoint-quality scores over padded [K] keypoints vs a padded [N]
+    cloud (pure jax; shared by the per-cloud program and the vmapped batched
+    detect stage).  Padded/parked keypoint rows score 0.
+
+    geometry (culling.cpp:156-195, 437-470): "curvature" = normal-estimation
+    curvature recomputed at the keypoints with radius = leaf; "gaussian" =
+    pc1*pc2 principal curvatures; "kpq" = Mian et al. keypoint quality over
+    dense principal curvatures (the reference's 1000.0/num*num operator-
+    precedence quirk evaluates to exactly 1000, kept).
+    color (culling.cpp:474-506): fraction of in-radius neighbors whose
+    CIELab distance to the keypoint color exceeds max_col_dist."""
+    k = kp.shape[0]
+    dtype = points.dtype
+    geo_scores = jnp.zeros(k, dtype)
+    color_scores = jnp.zeros(k, dtype)
+
+    if geo == "curvature":
+        from ..ops.eigh3 import eigvals3x3
+        from ..ops.neighbors import radius_covariance
+        mom = radius_covariance(kp, points, mask, leaf, weighting="uniform",
+                                center="mean")
+        vals = eigvals3x3(mom.cov)
+        total = jnp.sum(vals, axis=1)
+        geo_scores = jnp.where(total > 0,
+                               vals[:, 0] / jnp.maximum(total, 1e-30), 0.0)
+    elif geo == "gaussian":
+        res_c = principal_curvatures(kp, kp_normals, points, normals, mask,
+                                     leaf)
+        geo_scores = res_c.pc1 * res_c.pc2
+    elif geo == "kpq":
+        dense = principal_curvatures(points, normals, points, normals, mask,
+                                     leaf)
+        k1, k2 = dense.pc1, dense.pc2                       # [N]
+        kk = k1 * k2
+        d2 = pairwise_sqdist(kp, points)
+        in_r = (d2 <= leaf * leaf) & mask[None, :]          # [K, N]
+        num = jnp.sum(in_r, axis=1)
+        kk_sum = jnp.sum(jnp.where(in_r, kk[None, :], 0.0), axis=1)
+        kk_max = jnp.max(jnp.where(in_r, kk[None, :], -jnp.inf), axis=1)
+        kk_min = jnp.min(jnp.where(in_r, kk[None, :], jnp.inf), axis=1)
+        k1_max = jnp.max(jnp.where(in_r, k1[None, :], -jnp.inf), axis=1)
+        k2_min = jnp.min(jnp.where(in_r, k2[None, :], jnp.inf), axis=1)
+        kpq = (1000.0 * kk_sum + 100.0 * kk_max + jnp.abs(100.0 * kk_min)
+               + 10.0 * k1_max + jnp.abs(10.0 * k2_min))
+        geo_scores = jnp.where(num > 0, kpq, 0.0)
+    elif geo != "none":
+        raise ValueError(f"unsupported keypoint filter method {geo!r}")
+
+    if col == "colordistance":
+        lab_cloud = rgb_to_cielab_normalized(rgb)
+        lab_kp = rgb_to_cielab_normalized(kp_rgb)
+        d2 = pairwise_sqdist(kp, points)
+        in_r = (d2 <= leaf * leaf) & mask[None, :]
+        dist = color_distance(lab_kp[:, None, :], lab_cloud[None, :, :])
+        distant = (dist > max_col_dist) & in_r
+        cnt = jnp.maximum(jnp.sum(in_r, axis=1), 1)
+        color_scores = jnp.sum(distant, axis=1) / cnt
+    elif col != "none":
+        raise ValueError(f"unsupported color filter method {col!r}")
+
+    kp_mask = kp_mask.astype(dtype)
+    return geo_scores * kp_mask, color_scores * kp_mask
+
+
+@functools.lru_cache(maxsize=None)
+def _culling_program(n: int, k: int, geo: str, col: str, leaf: float,
+                     max_col_dist: float):
+    """Jitted per-cloud culling-score program, cached per padded shape."""
+    @jax.jit
+    def run(kp, kp_mask, kp_normals, kp_rgb, pts, mask, normals, rgb):
+        return culling_scores(kp, kp_mask, kp_normals, kp_rgb, pts, mask,
+                              normals, rgb, geo, col, leaf, max_col_dist)
+    return run
+
+
+def apply_culling_host(kp: np.ndarray, kp_rgb: Optional[np.ndarray],
+                       geo_scores: np.ndarray, color_scores: np.ndarray,
+                       params: "KeypointParams",
+                       return_colors: bool = False):
+    """Threshold + combine + refine stage of VoxelGridCulling over compact
+    host arrays (culling.cpp:331-434, 509-...); shared by detect_keypoints
+    and the batched detect path so their keypoint decisions are identical
+    by construction."""
+    geo = params.filter_method_geometry.lower()
+    col = params.filter_method_color.lower()
+
+    # combined scores with the reference's normalization (culling.cpp:331-340)
+    gmin, gmax = float(geo_scores.min()), float(geo_scores.max())
+    cmin, cmax = float(color_scores.min()), float(color_scores.max())
+    combined = ((geo_scores - gmin) / gmax if gmax != 0 else geo_scores * 0) + \
+        ((color_scores - cmin) / cmax if cmax != 0 else color_scores * 0)
+
+    # ---- thresholds (culling.cpp:346-434) ----------------------------------
+    t_geo = -np.inf
+    t_color = -np.inf
+    t_combined = -np.inf
+    gtype = params.filter_type_geometry.lower()
+    ctype = params.filter_type_color.lower()
+
+    if geo != "none" and gtype == "auto":
+        t_geo = _auto_threshold(np.sort(geo_scores))
+    if geo != "none" and gtype == "cutoff":
+        srt = np.sort(geo_scores)
+        t_geo = srt[min(int(params.filter_cutoff_ratio * len(srt)),
+                        len(srt) - 1)]
+    if col != "none" and ctype == "cutoff":
+        srt = np.sort(color_scores)
+        t_color = srt[min(int(params.filter_cutoff_ratio * len(srt)),
+                          len(srt) - 1)]
+    if geo != "none" and col != "none" and gtype == "cutoff" \
+            and ctype == "cutoff":
+        srt = np.sort(combined)
+        t_combined = srt[min(int(params.filter_cutoff_ratio * len(srt)),
+                             len(srt) - 1)]
+    if geo != "none" and gtype == "threshold":
+        t_geo = params.filter_threshold_geometry
+    if col != "none" and ctype == "threshold":
+        t_color = params.filter_threshold_color
+
+    geo_passed = geo_scores >= t_geo if geo != "none" \
+        else np.ones(len(kp), bool)
+    color_passed = color_scores >= t_color if col != "none" \
+        else np.ones(len(kp), bool)
+    combined_passed = combined >= t_combined
+
+    if geo != "none" and col != "none":
+        if params.combine_filters == "RequireOne":
+            accept = geo_passed | color_passed
+        elif params.combine_filters == "RequireBoth":
+            accept = geo_passed & color_passed
+        else:  # RequireCombinedList
+            accept = combined_passed
+    else:
+        accept = geo_passed & color_passed
+
+    result = kp[accept]
+    result_rgb = kp_rgb[accept] if kp_rgb is not None else None
+
+    if params.refine_position and len(result):
+        result = _refine_positions(kp, accept, geo_scores, color_scores,
+                                   combined, geo, col, params)
+        result_rgb = None  # refined positions lose voxel color association
+    result = result.astype(np.float32)
+    return (result, result_rgb) if return_colors else result
+
+
 @functools.lru_cache(maxsize=None)
 def _voxel_program(n: int, e_dim: int):
     """Jitted voxel grid per (padded cloud bucket, extra-feature width)."""
@@ -254,12 +403,6 @@ def detect_keypoints(
 
     # ---- scores ------------------------------------------------------------
     leaf = params.leaf_size
-    pts = jnp.asarray(points)
-    mask = jnp.ones(n, bool)
-    kpj = jnp.asarray(kp)
-    kp_m = jnp.ones(len(kp), bool)
-    geo_scores = np.zeros(len(kp), np.float32)
-    color_scores = np.zeros(len(kp), np.float32)
 
     from ..ops.tiled import SCENE_TILE_THRESHOLD
     scene_scale = n > SCENE_TILE_THRESHOLD
@@ -267,117 +410,56 @@ def detect_keypoints(
         raise ValueError(
             f"keypoint culling method geometry={geo!r}/color={col!r} is not "
             f"supported at scene scale ({n} points); use curvature or none")
+    if geo in ("gaussian", "kpq") and normals is None:
+        raise ValueError(f"{geo} keypoint culling needs normals")
+    if col == "colordistance" and (rgb is None or kp_rgb is None):
+        raise ValueError("color culling needs RGB data")
 
-    if geo == "curvature":
-        # recompute curvature at keypoints with radius = leaf on the cloud
-        # (culling.cpp:156-195)
+    if scene_scale and geo == "curvature":
+        # scene-scale curvature via the tiled moments path; keypoint counts
+        # are small so the eigendecomposition stays eager
         from ..ops.eigh3 import eigvals3x3
-        if scene_scale:
-            mom = _tiled_keypoint_moments(kp, points, leaf)
-        else:
-            from ..ops.neighbors import radius_covariance
-            mom = radius_covariance(kpj, pts, mask, leaf, weighting="uniform",
-                                    center="mean")
+        mom = _tiled_keypoint_moments(kp, points, leaf)
         vals = eigvals3x3(mom.cov)
         total = jnp.sum(vals, axis=1)
-        curv = jnp.where(total > 0, vals[:, 0] / jnp.maximum(total, 1e-30), 0.0)
+        curv = jnp.where(total > 0, vals[:, 0] / jnp.maximum(total, 1e-30),
+                         0.0)
         geo_scores = np.asarray(curv)[:len(kp)]
-    elif geo in ("gaussian", "kpq"):
-        if normals is None:
-            raise ValueError(f"{geo} keypoint culling needs normals")
-        if geo == "gaussian":
-            res_c = principal_curvatures(kpj, jnp.asarray(kp_normals), pts,
-                                         jnp.asarray(normals), mask, leaf)
-            geo_scores = np.asarray(res_c.pc1 * res_c.pc2)
-        else:
-            # dense principal curvatures, then KPQ over in-radius neighbors
-            dense = principal_curvatures(pts, jnp.asarray(normals), pts,
-                                         jnp.asarray(normals), mask, leaf)
-            pc1 = np.asarray(dense.pc1)
-            pc2 = np.asarray(dense.pc2)
-            d2 = np.asarray(pairwise_sqdist(kpj, pts))
-            for i in range(len(kp)):
-                idxs = np.nonzero(d2[i] <= leaf * leaf)[0]
-                if len(idxs) == 0:
-                    continue
-                k1, k2 = pc1[idxs], pc2[idxs]
-                K = k1 * k2
-                num = len(idxs)
-                # culling.cpp:444-467 (note the reference's operator
-                # precedence: 1000/num*num == 1000, kept as written)
-                kpq = ((1000.0 / num * num) * K.sum() + 100.0 * K.max()
-                       + abs(100.0 * K.min()) + 10.0 * k1.max()
-                       + abs(10.0 * k2.min()))
-                geo_scores[i] = kpq
-    elif geo != "none":
-        raise ValueError(f"unsupported keypoint filter method {geo!r}")
-
-    if col == "colordistance":
-        if rgb is None or kp_rgb is None:
-            raise ValueError("color culling needs RGB data")
-        lab_cloud = rgb_to_cielab_normalized(jnp.asarray(rgb))
-        lab_kp = rgb_to_cielab_normalized(jnp.asarray(kp_rgb))
-        d2 = pairwise_sqdist(kpj, pts)
-        in_r = (d2 <= leaf * leaf) & mask[None, :]
-        dist = color_distance(lab_kp[:, None, :], lab_cloud[None, :, :])
-        distant = (dist > params.max_similar_color_distance) & in_r
-        cnt = jnp.maximum(jnp.sum(in_r, axis=1), 1)
-        color_scores = np.asarray(jnp.sum(distant, axis=1) / cnt)
-    elif col != "none":
-        raise ValueError(f"unsupported color filter method {col!r}")
-
-    # combined scores with the reference's normalization (culling.cpp:331-340)
-    gmin, gmax = float(geo_scores.min()), float(geo_scores.max())
-    cmin, cmax = float(color_scores.min()), float(color_scores.max())
-    combined = ((geo_scores - gmin) / gmax if gmax != 0 else geo_scores * 0) + \
-        ((color_scores - cmin) / cmax if cmax != 0 else color_scores * 0)
-
-    # ---- thresholds (culling.cpp:346-434) ----------------------------------
-    t_geo = -np.inf
-    t_color = -np.inf
-    t_combined = -np.inf
-    gtype = params.filter_type_geometry.lower()
-    ctype = params.filter_type_color.lower()
-
-    if geo != "none" and gtype == "auto":
-        t_geo = _auto_threshold(np.sort(geo_scores))
-    if geo != "none" and gtype == "cutoff":
-        srt = np.sort(geo_scores)
-        t_geo = srt[min(int(params.filter_cutoff_ratio * len(srt)), len(srt) - 1)]
-    if col != "none" and ctype == "cutoff":
-        srt = np.sort(color_scores)
-        t_color = srt[min(int(params.filter_cutoff_ratio * len(srt)), len(srt) - 1)]
-    if geo != "none" and col != "none" and gtype == "cutoff" and ctype == "cutoff":
-        srt = np.sort(combined)
-        t_combined = srt[min(int(params.filter_cutoff_ratio * len(srt)), len(srt) - 1)]
-    if geo != "none" and gtype == "threshold":
-        t_geo = params.filter_threshold_geometry
-    if col != "none" and ctype == "threshold":
-        t_color = params.filter_threshold_color
-
-    geo_passed = geo_scores >= t_geo if geo != "none" else np.ones(len(kp), bool)
-    color_passed = color_scores >= t_color if col != "none" else np.ones(len(kp), bool)
-    combined_passed = combined >= t_combined
-
-    if geo != "none" and col != "none":
-        if params.combine_filters == "RequireOne":
-            accept = geo_passed | color_passed
-        elif params.combine_filters == "RequireBoth":
-            accept = geo_passed & color_passed
-        else:  # RequireCombinedList
-            accept = combined_passed
+        color_scores = np.zeros(len(kp), np.float32)
     else:
-        accept = geo_passed & color_passed
+        # one jitted program (shared with the batched detect path) computes
+        # both score families; keypoints pad to a bucket so programs are
+        # reused across clouds
+        from .features import bucket_size as _bs
+        k_pad = _bs(max(len(kp), 1), minimum=64)
+        kp_p = np.full((k_pad, 3), 1e9, np.float32)
+        kp_p[:len(kp)] = kp
+        kp_m = np.arange(k_pad) < len(kp)
+        kn_p = np.zeros((k_pad, 3), np.float32)
+        if kp_normals is not None:
+            kn_p[:len(kp)] = kp_normals
+        kr_p = np.zeros((k_pad, 3), np.float32)
+        if kp_rgb is not None:
+            kr_p[:len(kp)] = kp_rgb
+        pts_pad2, mask_pad2 = pad_cloud(points)
+        nrm_pad = np.zeros_like(pts_pad2)
+        if normals is not None:
+            nrm_pad[:n] = normals
+        rgb_pad = np.zeros_like(pts_pad2)
+        if rgb is not None:
+            rgb_pad[:n] = rgb
+        prog = _culling_program(pts_pad2.shape[0], k_pad, geo, col,
+                                float(leaf),
+                                float(params.max_similar_color_distance))
+        g_j, c_j = prog(jnp.asarray(kp_p), jnp.asarray(kp_m),
+                        jnp.asarray(kn_p), jnp.asarray(kr_p),
+                        jnp.asarray(pts_pad2), jnp.asarray(mask_pad2),
+                        jnp.asarray(nrm_pad), jnp.asarray(rgb_pad))
+        geo_scores = np.asarray(g_j)[:len(kp)]
+        color_scores = np.asarray(c_j)[:len(kp)]
 
-    result = kp[accept]
-    result_rgb = kp_rgb[accept] if kp_rgb is not None else None
-
-    if params.refine_position and len(result):
-        result = _refine_positions(kp, accept, geo_scores, color_scores,
-                                   combined, geo, col, params)
-        result_rgb = None  # refined positions lose voxel color association
-    result = result.astype(np.float32)
-    return (result, result_rgb) if return_colors else result
+    return apply_culling_host(kp, kp_rgb, geo_scores, color_scores, params,
+                              return_colors=return_colors)
 
 
 def _auto_threshold(sorted_scores: np.ndarray) -> float:

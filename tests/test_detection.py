@@ -533,3 +533,92 @@ def test_detect_batch_mixed_sizes_and_degenerate(rng, tmp_path):
         assert [m.class_id for m in mb] == [m.class_id for m in ms]
         for a, b in zip(mb, ms):
             np.testing.assert_allclose(a.position, b.position, atol=1e-4)
+
+
+@pytest.mark.parametrize("kp_cfg", [
+    {"Type": "VoxelGridCulling", "Parameters": {
+        "LeafSize": 0.35, "FilterMethodGeometry": "Curvature",
+        "FilterTypeGeometry": "CutOff", "FilterCutoffRatio": 0.5}},
+    {"Type": "VoxelGridCulling", "Parameters": {
+        "LeafSize": 0.35, "FilterMethodGeometry": "Gaussian",
+        "FilterTypeGeometry": "Auto"}},
+    {"Type": "VoxelGridCulling", "Parameters": {
+        "LeafSize": 0.35, "FilterMethodGeometry": "KPQ",
+        "FilterTypeGeometry": "CutOff", "FilterCutoffRatio": 0.4,
+        "RefineKeypointPosition": True}},
+], ids=["curvature", "gaussian-auto", "kpq-refine"])
+def test_detect_batch_culling_matches_detect(rng, tmp_path, kp_cfg,
+                                             monkeypatch):
+    """Detection-time VoxelGridCulling through the BATCHED path (one vmapped
+    scores dispatch per chunk + shared host thresholds) must reproduce the
+    per-cloud detect() decisions exactly -- and must actually take the batch
+    path, not the per-cloud fallback (culling.cpp:280-330 scores;
+    apply_culling_host shared by both paths)."""
+    from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+    from point_cloud_donkey_tpu.utils.config import IsmConfig
+
+    cfg = _batch_cfg()
+    cfg["ObjectConfig"]["Children"]["Keypoints"] = kp_cfg
+    ism = ImplicitShapeModel(IsmConfig.from_json(cfg))
+    for cid in range(3):
+        pts = shapes.make_instance(rng, cid, n=800, rotate=False, noise=0.005)
+        p = str(tmp_path / f"t{cid}.pcd")
+        save_pcd(p, PointCloud(xyz=pts))
+        ism.add_training_model(p, cid, cid)
+    ism.train()
+
+    clouds = [shapes.make_instance(rng, i % 3, n=800, rotate=True)
+              for i in range(5)]
+    singles = [ism.detect(c)[0] for c in clouds]
+
+    # the batch must NOT fall back to per-cloud detect()
+    monkeypatch.setattr(
+        ImplicitShapeModel, "detect",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("culling batch fell back to per-cloud detect")))
+    batched = ism.detect_batch(clouds)
+
+    preds = []
+    for (mb, _), ms in zip(batched, singles):
+        assert [m.class_id for m in mb] == [m.class_id for m in ms]
+        for a, b in zip(mb, ms):
+            np.testing.assert_allclose(a.position, b.position, atol=1e-4)
+            assert a.weight == pytest.approx(b.weight, rel=1e-3, abs=1e-5)
+        preds.append(mb[0].class_id if mb else -1)
+    assert preds == [0, 1, 2, 0, 1]
+
+
+def test_detect_batch_color_culling_matches_detect(rng, tmp_path):
+    """Color-distance culling (CIELab fraction score) through the batched
+    path matches per-cloud decisions; colorless clouds raise the standard
+    error."""
+    from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+    from point_cloud_donkey_tpu.utils.config import IsmConfig
+
+    cfg = _batch_cfg()
+    cfg["ObjectConfig"]["Children"]["Keypoints"] = {
+        "Type": "VoxelGridCulling", "Parameters": {
+            "LeafSize": 0.35, "FilterMethodColor": "ColorDistance",
+            "FilterTypeColor": "CutOff", "FilterCutoffRatio": 0.3,
+            "MaxSimilarColorDistance": 0.05}}
+    ism = ImplicitShapeModel(IsmConfig.from_json(cfg))
+    rgbs_train = []
+    for cid in range(3):
+        pts = shapes.make_instance(rng, cid, n=800, rotate=False, noise=0.005)
+        rgb = rng.uniform(size=(len(pts), 3)).astype(np.float32)
+        p = str(tmp_path / f"t{cid}.pcd")
+        save_pcd(p, PointCloud(xyz=pts, rgb=rgb))
+        ism.add_training_model(p, cid, cid)
+        rgbs_train.append(rgb)
+    ism.train()
+
+    clouds = [shapes.make_instance(rng, i % 3, n=800, rotate=True)
+              for i in range(4)]
+    rgbs = [rng.uniform(size=(len(c), 3)).astype(np.float32) for c in clouds]
+    singles = [ism.detect(c, rgb=r)[0] for c, r in zip(clouds, rgbs)]
+    batched = ism.detect_batch(clouds, rgb_list=rgbs)
+    for (mb, _), ms in zip(batched, singles):
+        assert [m.class_id for m in mb] == [m.class_id for m in ms]
+
+    with pytest.raises(ValueError, match="color culling needs RGB"):
+        ism.detect_batch(clouds)
