@@ -71,10 +71,6 @@ def batch_supported(fcfg: FeatureConfig, kp_params: KeypointParams,
             return False
         if col not in ("none", "colordistance"):
             return False
-        if geo in ("gaussian", "kpq") and not fcfg.needs_normals():
-            # the dense-curvature scores need cloud normals, which the batch
-            # stages only compute for normal-consuming descriptors
-            return False
     if any(len(c) > SCENE_TILE_THRESHOLD for c in clouds):
         return False
     return True
@@ -432,8 +428,16 @@ def extract_local_features_batch(
             mask_j = jnp.asarray(mask_b)
 
             # --- normals (one dispatch for the chunk) ----------------------
+            # gaussian/KPQ culling scores run on dense principal curvatures,
+            # so they need cloud normals even when the descriptor doesn't
+            # (the per-cloud path computes them the same way,
+            # features.py:needs_culling_normals)
+            culling_needs_normals = (
+                not _culling_plain(kp_params, is_training)
+                and kp_params.filter_method_geometry.lower()
+                in ("gaussian", "kpq"))
             cloud_normals: List[Optional[np.ndarray]] = [None] * MB
-            if fcfg.needs_normals():
+            if fcfg.needs_normals() or culling_needs_normals:
                 t_n = time.perf_counter()
                 cloud_normals = _batch_normals(
                     padded, clouds, normals_list, pts_j, mask_j, n,
@@ -445,7 +449,7 @@ def extract_local_features_batch(
             # --- voxel-grid keypoints (one dispatch) -----------------------
             t_k = time.perf_counter()
             e_parts = []
-            if fcfg.needs_normals():
+            if fcfg.needs_normals() or culling_needs_normals:
                 e_parts.append("normals")
             if has_rgb:
                 e_parts.append("rgb")

@@ -588,6 +588,45 @@ def test_detect_batch_culling_matches_detect(rng, tmp_path, kp_cfg,
     assert preds == [0, 1, 2, 0, 1]
 
 
+def test_detect_batch_culling_normals_only_for_culling(rng, tmp_path,
+                                                       monkeypatch):
+    """Gaussian culling needs cloud normals even when the descriptor doesn't
+    (SHORT_SHOT); the batch path must compute them for the scores, keep them
+    out of the descriptor stage, and still match per-cloud decisions without
+    falling back (features.py:needs_culling_normals analog)."""
+    from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+    from point_cloud_donkey_tpu.utils.config import IsmConfig
+
+    cfg = _batch_cfg()
+    cfg["ObjectConfig"]["Children"]["Features"] = {
+        "Type": "SHORT_SHOT", "Parameters": {
+            "Radius": 0.6, "ReferenceFrameRadius": 0.5}}
+    cfg["ObjectConfig"]["Children"]["Keypoints"] = {
+        "Type": "VoxelGridCulling", "Parameters": {
+            "LeafSize": 0.35, "FilterMethodGeometry": "Gaussian",
+            "FilterTypeGeometry": "CutOff", "FilterCutoffRatio": 0.5}}
+    ism = ImplicitShapeModel(IsmConfig.from_json(cfg))
+    for cid in range(3):
+        pts = shapes.make_instance(rng, cid, n=800, rotate=False, noise=0.005)
+        p = str(tmp_path / f"t{cid}.pcd")
+        save_pcd(p, PointCloud(xyz=pts))
+        ism.add_training_model(p, cid, cid)
+    ism.train()
+
+    clouds = [shapes.make_instance(rng, i % 3, n=800, rotate=True)
+              for i in range(4)]
+    singles = [ism.detect(c)[0] for c in clouds]
+    monkeypatch.setattr(
+        ImplicitShapeModel, "detect",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("culling batch fell back to per-cloud detect")))
+    batched = ism.detect_batch(clouds)
+    for (mb, _), ms in zip(batched, singles):
+        assert [m.class_id for m in mb] == [m.class_id for m in ms]
+        for a, b in zip(mb, ms):
+            np.testing.assert_allclose(a.position, b.position, atol=1e-4)
+
+
 def test_detect_batch_color_culling_matches_detect(rng, tmp_path):
     """Color-distance culling (CIELab fraction score) through the batched
     path matches per-cloud decisions; colorless clouds raise the standard
