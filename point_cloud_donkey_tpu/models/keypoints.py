@@ -118,6 +118,9 @@ def _detector_stage(n: int, kind: str, p1: float, p2: float, p3: float,
 def _detector_keypoints(points: np.ndarray, normals: Optional[np.ndarray],
                         params: KeypointParams) -> np.ndarray:
     """Harris3D / ISS3D / SIFT3D dispatch (PCL-wrapper keypoint types)."""
+    from ..ops.tiled import SCENE_TILE_THRESHOLD
+    if len(points) > SCENE_TILE_THRESHOLD:
+        return _tiled_detector_keypoints(points, normals, params)
     from .features import pad_cloud
     pts, mask = pad_cloud(points)
     n = pts.shape[0]
@@ -150,6 +153,121 @@ def _detector_keypoints(points: np.ndarray, normals: Optional[np.ndarray],
     return np.asarray(res.positions)[keep]
 
 
+def _tiled_detector_keypoints(points: np.ndarray,
+                              normals: Optional[np.ndarray],
+                              params: KeypointParams) -> np.ndarray:
+    """Harris3D / ISS3D at scene scale: the same response math as
+    ops/keypoint_detectors.py decomposed into windowed accumulation passes
+    (ops/tiled.py) plus eager [N]-sized linear algebra; parity with the
+    dense programs pinned by test.  SIFT3D's top-octave Gaussian supports
+    span most of a scene, so it stays dense-only."""
+    from ..ops.eigh3 import eigh3x3
+    from ..ops.tiled import (NORMALS_CHUNK, plan_tiles, sort_key_axis,
+                             tiled_neighbor_max, tiled_payload_moments,
+                             tiled_radius_moments)
+    if params.type == "SIFT3D":
+        raise ValueError(
+            f"SIFT3D keypoints are not supported at scene scale "
+            f"({len(points)} points): the top-octave Gaussian supports are "
+            f"not window-boundable; use VoxelGrid/Harris3D/ISS3D")
+
+    axis = sort_key_axis(points)
+    order = np.argsort(points[:, axis], kind="stable")
+    pts_s = np.ascontiguousarray(points[order], dtype=np.float32)
+    n = len(pts_s)
+    p_mask = np.ones(n, bool)
+    nq = max(1, -(-n // NORMALS_CHUNK)) * NORMALS_CHUNK
+    q_pad = np.full((nq, 3), 1e9, np.float32)
+    q_pad[:n] = pts_s
+    q_valid = np.zeros(nq, bool)
+    q_valid[:n] = True
+
+    def _plan(radius):
+        return plan_tiles(q_pad[:, axis], q_valid, pts_s[:, axis], radius,
+                          NORMALS_CHUNK)
+
+    if params.type == "Harris3D":
+        radius = float(params.radius)
+        plan = _plan(radius)
+        if normals is not None and len(normals) == n:
+            nrm_s = np.ascontiguousarray(normals[order], dtype=np.float32)
+        else:
+            # pca_normals fallback (sign-irrelevant: Harris uses n n^T)
+            mom = tiled_radius_moments(q_pad, pts_s, p_mask, plan, radius)
+            _, vecs = eigh3x3(mom.cov)
+            nrm_s = np.asarray(vecs[:n, :, 0])
+        nn = np.einsum("ja,jb->jab", nrm_s, nrm_s).reshape(n, 9)
+        nntp = np.einsum("jab,jb->ja", nn.reshape(n, 3, 3), pts_s)
+        payload = np.concatenate([nn, nntp], axis=1).astype(np.float32)
+        _, sums = tiled_payload_moments(q_pad, pts_s, payload, p_mask, plan,
+                                        radius)
+        sums = np.asarray(sums)[:n]
+        C = jnp.asarray(sums[:, :9].reshape(n, 3, 3))
+        det = np.asarray(jnp.linalg.det(C))
+        tr = sums[:, 0] + sums[:, 4] + sums[:, 8]
+        r = det - 0.04 * tr * tr
+        keep = r > params.harris_threshold
+        if params.harris_nonmax:
+            _, neigh_max = tiled_neighbor_max(q_pad, pts_s,
+                                              r.astype(np.float32),
+                                              p_mask, plan, radius)
+            keep = keep & (r >= np.asarray(neigh_max)[:n])
+        pos = pts_s
+        if params.harris_refine:
+            b = jnp.asarray(sums[:, 9:12])
+            ok = np.abs(det) > 1e-9
+            A_safe = jnp.where(jnp.asarray(ok)[:, None, None], C,
+                               jnp.eye(3, dtype=jnp.float32))
+            x = np.asarray(jnp.linalg.solve(A_safe, b[..., None])[..., 0])
+            near = ((x - pts_s) ** 2).sum(axis=1) <= radius * radius
+            pos = np.where((ok & near)[:, None], x, pts_s)
+        # back to original cloud order (the dense program's output order)
+        keep_full = np.zeros(n, bool)
+        keep_full[order] = keep
+        pos_full = np.empty((n, 3), np.float32)
+        pos_full[order] = pos
+        return pos_full[keep_full]
+
+    # ISS3D: pass 1 = per-point support counts, pass 2 = density-weighted
+    # scatter, pass 3 = saliency NMS
+    sal_r = float(params.iss_salient_radius)
+    plan_s = _plan(sal_r)
+    cnt, _ = tiled_payload_moments(q_pad, pts_s,
+                                   np.ones((n, 1), np.float32), p_mask,
+                                   plan_s, sal_r)
+    cnt = np.maximum(np.asarray(cnt)[:n].astype(np.float32), 1.0)
+    wj = 1.0 / cnt
+    pp = np.einsum("ja,jb->jab", pts_s, pts_s).reshape(n, 9)
+    payload = np.concatenate([wj[:, None], wj[:, None] * pts_s,
+                              wj[:, None] * pp], axis=1).astype(np.float32)
+    _, sums = tiled_payload_moments(q_pad, pts_s, payload, p_mask, plan_s,
+                                    sal_r)
+    sums = np.asarray(sums)[:n]
+    wsum = np.maximum(sums[:, 0], 1e-12)
+    S1 = sums[:, 1:4]
+    S2 = sums[:, 4:13].reshape(n, 3, 3)
+    q = pts_s
+    cross = np.einsum("na,nb->nab", S1, q)
+    outer_q = np.einsum("na,nb->nab", q, q)
+    S = (S2 - cross - cross.transpose(0, 2, 1)
+         + wsum[:, None, None] * outer_q) / wsum[:, None, None]
+    vals, _ = eigh3x3(jnp.asarray(S))
+    vals = np.asarray(vals)
+    e1, e2, e3 = vals[:, 2], vals[:, 1], vals[:, 0]
+    ok = (e2 / np.maximum(e1, 1e-12) < params.iss_gamma21) \
+        & (e3 / np.maximum(e2, 1e-12) < params.iss_gamma32) & (e3 > 0)
+    saliency = np.where(ok, e3, -np.inf).astype(np.float32)
+    nm_r = float(params.iss_nonmax_radius)
+    plan_nm = _plan(nm_r)
+    n_nm, neigh_max = tiled_neighbor_max(q_pad, pts_s, saliency, p_mask,
+                                         plan_nm, nm_r)
+    keep = ok & (saliency >= np.asarray(neigh_max)[:n]) \
+        & (np.asarray(n_nm)[:n] >= params.iss_min_neighbors)
+    keep_full = np.zeros(n, bool)
+    keep_full[order] = keep
+    return points[keep_full].astype(np.float32)
+
+
 def _tiled_keypoint_moments(kp: np.ndarray, points: np.ndarray, leaf: float):
     """Scene-scale keypoint curvature moments: sort keypoints and cloud along
     the longest axis and run windowed radius_covariance (ops/tiled.py);
@@ -174,6 +292,97 @@ def _tiled_keypoint_moments(kp: np.ndarray, points: np.ndarray, leaf: float):
     inv = np.argsort(k_order, kind="stable")
     return jax.tree_util.tree_map(
         lambda x: jnp.asarray(np.asarray(x)[:len(kp)][inv]), mom)
+
+
+def _tiled_culling_scores(kp, kp_normals, kp_rgb, points, normals, rgb,
+                          geo: str, col: str, leaf: float,
+                          max_col_dist: float):
+    """Scene-scale culling scores: sort cloud + keypoints along the longest
+    axis and run the windowed stages (ops/tiled.py); same math as
+    culling_scores, bounded to O(chunk * window) memory.  Returns compact
+    [K] (geo_scores, color_scores) in keypoint order."""
+    from ..ops.tiled import (KEYPOINT_CHUNK, NORMALS_CHUNK, plan_tiles,
+                             sort_key_axis, tiled_color_counts,
+                             tiled_kpq_aggregate, tiled_principal_curvatures)
+    k = len(kp)
+    geo_scores = np.zeros(k, np.float32)
+    color_scores = np.zeros(k, np.float32)
+
+    axis = sort_key_axis(points)
+    p_order = np.argsort(points[:, axis], kind="stable")
+    pts_s = np.ascontiguousarray(points[p_order], dtype=np.float32)
+    p_mask = np.ones(len(pts_s), bool)
+    k_order = np.argsort(kp[:, axis], kind="stable")
+    inv = np.argsort(k_order, kind="stable")
+    n_chunks = max(1, -(-k // KEYPOINT_CHUNK))
+    k_bucket = n_chunks * KEYPOINT_CHUNK
+    kp_pad = np.full((k_bucket, 3), 1e9, np.float32)
+    kp_pad[:k] = kp[k_order]
+    kp_mask = np.zeros(k_bucket, bool)
+    kp_mask[:k] = True
+    plan_kp = plan_tiles(kp_pad[:, axis], kp_mask, pts_s[:, axis], leaf,
+                         KEYPOINT_CHUNK)
+
+    if geo == "curvature":
+        from ..ops.eigh3 import eigvals3x3
+        mom = _tiled_keypoint_moments(kp, points, leaf)
+        vals = eigvals3x3(mom.cov)
+        total = jnp.sum(vals, axis=1)
+        curv = jnp.where(total > 0, vals[:, 0] / jnp.maximum(total, 1e-30),
+                         0.0)
+        geo_scores = np.asarray(curv)[:k]
+    elif geo in ("gaussian", "kpq"):
+        nrm_s = np.ascontiguousarray(normals[p_order], dtype=np.float32)
+        if geo == "gaussian":
+            kn_pad = np.zeros((k_bucket, 3), np.float32)
+            kn_pad[:k] = kp_normals[k_order]
+            res = tiled_principal_curvatures(kp_pad, kn_pad, pts_s, nrm_s,
+                                             p_mask, plan_kp, leaf)
+            geo_scores = np.asarray(res.pc1 * res.pc2)[:k][inv]
+        else:
+            # dense per-point curvatures (queries = the sorted cloud itself)
+            nq = max(1, -(-len(pts_s) // NORMALS_CHUNK)) * NORMALS_CHUNK
+            q_pad = np.full((nq, 3), 1e9, np.float32)
+            q_pad[:len(pts_s)] = pts_s
+            qn_pad = np.zeros((nq, 3), np.float32)
+            qn_pad[:len(pts_s)] = nrm_s
+            q_valid = np.zeros(nq, bool)
+            q_valid[:len(pts_s)] = True
+            plan_d = plan_tiles(q_pad[:, axis], q_valid, pts_s[:, axis],
+                                leaf, NORMALS_CHUNK)
+            dense = tiled_principal_curvatures(q_pad, qn_pad, pts_s, nrm_s,
+                                               p_mask, plan_d, leaf)
+            k1 = np.asarray(dense.pc1)[:len(pts_s)]
+            k2 = np.asarray(dense.pc2)[:len(pts_s)]
+            cnt, kk_sum, kk_max, kk_min, k1_max, k2_min = tiled_kpq_aggregate(
+                kp_pad, pts_s, k1, k2, p_mask, plan_kp, leaf)
+            cnt = np.asarray(cnt)[:k][inv]
+            flt_min = np.float32(np.finfo(np.float32).tiny)
+            kpq = (1000.0 * np.asarray(kk_sum)
+                   + 100.0 * np.maximum(np.asarray(kk_max), flt_min)
+                   + np.abs(100.0 * np.asarray(kk_min))
+                   + 10.0 * np.maximum(np.asarray(k1_max), flt_min)
+                   + np.abs(10.0 * np.asarray(k2_min)))[:k][inv]
+            geo_scores = np.where(cnt > 0, kpq, 0.0).astype(np.float32)
+    elif geo != "none":
+        raise ValueError(f"unsupported keypoint filter method {geo!r}")
+
+    if col == "colordistance":
+        lab_cloud = np.asarray(rgb_to_cielab_normalized(jnp.asarray(rgb)))
+        lab_kp = np.asarray(rgb_to_cielab_normalized(jnp.asarray(kp_rgb)))
+        lab_s = np.ascontiguousarray(lab_cloud[p_order], dtype=np.float32)
+        kl_pad = np.zeros((k_bucket, 3), np.float32)
+        kl_pad[:k] = lab_kp[k_order]
+        in_cnt, distant = tiled_color_counts(kp_pad, kl_pad, pts_s, lab_s,
+                                             p_mask, plan_kp, leaf,
+                                             max_col_dist)
+        in_cnt = np.asarray(in_cnt)[:k][inv]
+        distant = np.asarray(distant)[:k][inv]
+        color_scores = (distant / np.maximum(in_cnt, 1)).astype(np.float32)
+    elif col != "none":
+        raise ValueError(f"unsupported color filter method {col!r}")
+
+    return geo_scores, color_scores
 
 
 def culling_scores(kp, kp_mask, kp_normals, kp_rgb, points, mask, normals,
@@ -217,9 +426,15 @@ def culling_scores(kp, kp_mask, kp_normals, kp_rgb, points, mask, normals,
         in_r = (d2 <= leaf * leaf) & mask[None, :]          # [K, N]
         num = jnp.sum(in_r, axis=1)
         kk_sum = jnp.sum(jnp.where(in_r, kk[None, :], 0.0), axis=1)
-        kk_max = jnp.max(jnp.where(in_r, kk[None, :], -jnp.inf), axis=1)
+        # the reference inits max_K / max_k1 with FLT_MIN (smallest POSITIVE
+        # float), so an all-negative support clamps them to ~0 instead of
+        # the true (negative) max (culling.cpp:444-458)
+        flt_min = jnp.float32(np.finfo(np.float32).tiny)
+        kk_max = jnp.maximum(
+            jnp.max(jnp.where(in_r, kk[None, :], -jnp.inf), axis=1), flt_min)
         kk_min = jnp.min(jnp.where(in_r, kk[None, :], jnp.inf), axis=1)
-        k1_max = jnp.max(jnp.where(in_r, k1[None, :], -jnp.inf), axis=1)
+        k1_max = jnp.maximum(
+            jnp.max(jnp.where(in_r, k1[None, :], -jnp.inf), axis=1), flt_min)
         k2_min = jnp.min(jnp.where(in_r, k2[None, :], jnp.inf), axis=1)
         kpq = (1000.0 * kk_sum + 100.0 * kk_max + jnp.abs(100.0 * kk_min)
                + 10.0 * k1_max + jnp.abs(10.0 * k2_min))
@@ -272,11 +487,23 @@ def apply_culling_host(kp: np.ndarray, kp_rgb: Optional[np.ndarray],
         ((color_scores - cmin) / cmax if cmax != 0 else color_scores * 0)
 
     # ---- thresholds (culling.cpp:346-434) ----------------------------------
-    t_geo = -np.inf
-    t_color = -np.inf
-    t_combined = -np.inf
+    # the reference inits all thresholds to FLT_MIN (smallest POSITIVE
+    # float); geo/color are always overwritten below, but the combined
+    # threshold keeps it unless both types are CutOff -- so under
+    # RequireCombinedList a keypoint with combined score exactly 0 (the one
+    # ranked last by both measures) is rejected
+    t_geo = np.finfo(np.float32).tiny
+    t_color = np.finfo(np.float32).tiny
+    t_combined = np.finfo(np.float32).tiny
     gtype = params.filter_type_geometry.lower()
     ctype = params.filter_type_color.lower()
+    if geo != "none" and gtype not in ("cutoff", "threshold", "auto"):
+        raise ValueError(f"unsupported keypoint filter type {gtype!r}")
+    if col != "none" and ctype not in ("cutoff", "threshold"):
+        raise ValueError(f"unsupported keypoint color filter type {ctype!r}")
+    if geo == "kpq" and gtype == "auto":
+        # culling.cpp:102-106
+        raise ValueError("filter type Auto is not supported with KPQ")
 
     if geo != "none" and gtype == "auto":
         t_geo = _auto_threshold(np.sort(geo_scores))
@@ -318,9 +545,9 @@ def apply_culling_host(kp: np.ndarray, kp_rgb: Optional[np.ndarray],
     result_rgb = kp_rgb[accept] if kp_rgb is not None else None
 
     if params.refine_position and len(result):
-        result = _refine_positions(kp, accept, geo_scores, color_scores,
-                                   combined, geo, col, params)
-        result_rgb = None  # refined positions lose voxel color association
+        result, result_rgb = _refine_positions(
+            kp, kp_rgb, accept, geo_scores, color_scores, combined,
+            geo_passed, color_passed, geo, col, params)
     result = result.astype(np.float32)
     return (result, result_rgb) if return_colors else result
 
@@ -406,26 +633,17 @@ def detect_keypoints(
 
     from ..ops.tiled import SCENE_TILE_THRESHOLD
     scene_scale = n > SCENE_TILE_THRESHOLD
-    if scene_scale and (geo not in ("none", "curvature") or col != "none"):
-        raise ValueError(
-            f"keypoint culling method geometry={geo!r}/color={col!r} is not "
-            f"supported at scene scale ({n} points); use curvature or none")
     if geo in ("gaussian", "kpq") and normals is None:
         raise ValueError(f"{geo} keypoint culling needs normals")
     if col == "colordistance" and (rgb is None or kp_rgb is None):
         raise ValueError("color culling needs RGB data")
 
-    if scene_scale and geo == "curvature":
-        # scene-scale curvature via the tiled moments path; keypoint counts
-        # are small so the eigendecomposition stays eager
-        from ..ops.eigh3 import eigvals3x3
-        mom = _tiled_keypoint_moments(kp, points, leaf)
-        vals = eigvals3x3(mom.cov)
-        total = jnp.sum(vals, axis=1)
-        curv = jnp.where(total > 0, vals[:, 0] / jnp.maximum(total, 1e-30),
-                         0.0)
-        geo_scores = np.asarray(curv)[:len(kp)]
-        color_scores = np.zeros(len(kp), np.float32)
+    if scene_scale:
+        # windowed tiled stages bound memory to O(chunk * window); same
+        # math as the dense program below (parity pinned by test)
+        geo_scores, color_scores = _tiled_culling_scores(
+            kp, kp_normals, kp_rgb, points, normals, rgb, geo, col,
+            float(leaf), float(params.max_similar_color_distance))
     else:
         # one jitted program (shared with the batched detect path) computes
         # both score families; keypoints pad to a bucket so programs are
@@ -482,20 +700,48 @@ def _auto_threshold(sorted_scores: np.ndarray) -> float:
     return float(sorted_scores[cutoff_index])
 
 
-def _refine_positions(kp, accept, geo_scores, color_scores, combined,
-                      geo, col, params: KeypointParams) -> np.ndarray:
-    """Move each accepted keypoint to the best-scoring keypoint within
-    1.5*leaf (culling.cpp:509-...)."""
-    d = np.sqrt(((kp[:, None] - kp[None]) ** 2).sum(-1))
-    close = d <= params.leaf_size * 1.5
-    out = []
+def _refine_positions(kp, kp_rgb, accept, geo_scores, color_scores, combined,
+                      geo_passed, color_passed, geo, col,
+                      params: KeypointParams):
+    """Move each accepted keypoint to the MIDPOINT between itself and the
+    best-scoring keypoint within 1.5*leaf (culling.cpp:509-607): the search
+    runs over ALL voxel keypoints, the best index is consolidated from the
+    geo/color/combined lists via the per-keypoint passed flags, and the
+    refined point averages position AND color (reference truncates colors to
+    uint8; kept as float here).  One output per accepted keypoint, in input
+    order (the reference never dedupes)."""
+    d2 = ((kp[:, None] - kp[None]) ** 2).sum(-1)
+    r = params.leaf_size * 1.5
+    close = d2 <= r * r
+    both = geo != "none" and col != "none"
+
+    def best_of(scores, idxs):
+        # radiusSearch returns neighbors sorted by distance; the reference
+        # keeps the FIRST strict maximum in that order
+        order = idxs[np.argsort(d2[i][idxs], kind="stable")]
+        return order[np.argmax(scores[order])]
+
+    out, out_rgb = [], []
     for i in np.nonzero(accept)[0]:
         idxs = np.nonzero(close[i])[0]
+        best_geo = best_of(geo_scores, idxs) if geo != "none" else -1
+        best_col = best_of(color_scores, idxs) if col != "none" else -1
         if geo == "none":
-            best = idxs[np.argmax(color_scores[idxs])]
+            best = best_col
         elif col == "none":
-            best = idxs[np.argmax(geo_scores[idxs])]
+            best = best_geo
         else:
-            best = idxs[np.argmax(combined[idxs])]
-        out.append(kp[best])
-    return np.unique(np.array(out, np.float32), axis=0)
+            best = best_of(combined, idxs)
+            if geo_passed[i] and not color_passed[i]:
+                best = best_geo
+            if color_passed[i] and not geo_passed[i]:
+                best = best_col
+            if color_passed[i] and geo_passed[i] and best_geo == best_col:
+                best = best_geo
+        out.append(0.5 * (kp[best] + kp[i]))
+        if kp_rgb is not None:
+            out_rgb.append(0.5 * (kp_rgb[best] + kp_rgb[i]))
+    pos = np.asarray(out, np.float32).reshape(-1, 3)
+    rgb = np.asarray(out_rgb, np.float32).reshape(-1, 3) \
+        if kp_rgb is not None else None
+    return pos, rgb

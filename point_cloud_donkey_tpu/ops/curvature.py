@@ -3,9 +3,12 @@ semantics, used by keypoint culling --
 keypoints/keypoints_voxel_grid_culling.cpp:136-153).
 
 For each query point with normal n: project the normals of its in-radius
-neighbors into the tangent plane (M = I - n n^T), demean, accumulate the
-*summed* (PCL does not normalize by count) outer-product covariance, and
-report pc1 = largest eigenvalue, pc2 = middle eigenvalue.
+neighbors into the tangent plane (M = I - n n^T; n is used as given --
+PCL feeds voxel-AVERAGED, unnormalized normals here), demean, accumulate
+the summed outer-product covariance, and report
+pc1 = largest eigenvalue / count, pc2 = middle eigenvalue / count
+(PCL principal_curvatures.hpp: ``pc1 = eigenvalues_ (2) * indices_size``
+with ``indices_size = 1/indices.size()``).
 """
 
 from __future__ import annotations
@@ -63,5 +66,5 @@ def principal_curvatures(
     mu = ps1 / cnt_safe[:, None]
     cov = ms2m - cnt_safe[:, None, None] * mu[:, :, None] * mu[:, None, :]
 
-    vals = eigvals3x3(cov)  # ascending
+    vals = eigvals3x3(cov) / cnt_safe[:, None]  # ascending, / indices.size()
     return CurvatureResult(pc1=vals[:, 2], pc2=vals[:, 1], valid=cnt >= 2)

@@ -294,3 +294,192 @@ def tiled_mls_smooth(points, mask, plan: TilePlan, radius: float):
     proj = points - jnp.sum(delta * normal, axis=1, keepdims=True) * normal
     ok = mom.count >= 3
     return jnp.where((mask & ok)[:, None], proj, points)
+
+
+# ---------------------------------------------------------------------------
+# tiled keypoint-culling stages (models/keypoints.py at scene scale)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _tiled_curvature_stage(q: int, n: int, chunk: int, window: int,
+                           n_chunks: int, radius: float):
+    from .curvature import principal_curvatures
+
+    @jax.jit
+    def run(queries, query_normals, points, normals, mask, starts):
+        def inner(qs, ps, s):
+            qq, qn = qs
+            p, nr, pm = ps
+            return principal_curvatures(qq, qn, p, nr, pm, radius)
+
+        return _map_chunks(inner, (queries, query_normals),
+                           (points, normals, mask),
+                           starts, chunk, window, n_chunks)
+    return run
+
+
+def tiled_principal_curvatures(queries, query_normals, points, normals, mask,
+                               plan: TilePlan, radius: float):
+    """Windowed ops.curvature.principal_curvatures (PCL semantics; queries
+    and points sorted along the same axis, plan built for this pairing)."""
+    run = _tiled_curvature_stage(queries.shape[0], points.shape[0],
+                                 plan.chunk, plan.window, plan.n_chunks,
+                                 float(radius))
+    res = run(jnp.asarray(queries), jnp.asarray(query_normals),
+              jnp.asarray(points), jnp.asarray(normals), jnp.asarray(mask),
+              plan.starts)
+    q = queries.shape[0]
+    return jax.tree_util.tree_map(lambda x: x[:q], res)
+
+
+@functools.lru_cache(maxsize=None)
+def _tiled_kpq_stage(q: int, n: int, chunk: int, window: int,
+                     n_chunks: int, radius: float):
+    from .neighbors import pairwise_sqdist
+
+    @jax.jit
+    def run(queries, points, k1, k2, mask, starts):
+        def inner(qs, ps, s):
+            (qq,) = qs
+            p, w_k1, w_k2, pm = ps
+            d2 = pairwise_sqdist(qq, p)
+            in_r = (d2 <= radius * radius) & pm[None, :]
+            kk = w_k1 * w_k2
+            cnt = jnp.sum(in_r, axis=1)
+            kk_sum = jnp.sum(jnp.where(in_r, kk[None, :], 0.0), axis=1)
+            kk_max = jnp.max(jnp.where(in_r, kk[None, :], -jnp.inf), axis=1)
+            kk_min = jnp.min(jnp.where(in_r, kk[None, :], jnp.inf), axis=1)
+            k1_max = jnp.max(jnp.where(in_r, w_k1[None, :], -jnp.inf), axis=1)
+            k2_min = jnp.min(jnp.where(in_r, w_k2[None, :], jnp.inf), axis=1)
+            return cnt, kk_sum, kk_max, kk_min, k1_max, k2_min
+
+        return _map_chunks(inner, (queries,), (points, k1, k2, mask),
+                           starts, chunk, window, n_chunks)
+    return run
+
+
+def tiled_kpq_aggregate(queries, points, k1, k2, mask, plan: TilePlan,
+                        radius: float):
+    """Per-query KPQ support statistics over dense principal curvatures
+    (count, sum K, max K, min K, max k1, min k2) -- the reference's
+    computeKPQ accumulators (culling.cpp:441-471); the final formula with
+    its FLT_MIN clamps runs on the host over the (small) keypoint set."""
+    run = _tiled_kpq_stage(queries.shape[0], points.shape[0], plan.chunk,
+                           plan.window, plan.n_chunks, float(radius))
+    res = run(jnp.asarray(queries), jnp.asarray(points), jnp.asarray(k1),
+              jnp.asarray(k2), jnp.asarray(mask), plan.starts)
+    q = queries.shape[0]
+    return tuple(x[:q] for x in res)
+
+
+@functools.lru_cache(maxsize=None)
+def _tiled_color_stage(q: int, n: int, chunk: int, window: int,
+                       n_chunks: int, radius: float, max_dist: float):
+    from .color import color_distance
+    from .neighbors import pairwise_sqdist
+
+    @jax.jit
+    def run(queries, query_lab, points, points_lab, mask, starts):
+        def inner(qs, ps, s):
+            qq, ql = qs
+            p, pl, pm = ps
+            d2 = pairwise_sqdist(qq, p)
+            in_r = (d2 <= radius * radius) & pm[None, :]
+            dist = color_distance(ql[:, None, :], pl[None, :, :])
+            distant = (dist > max_dist) & in_r
+            return jnp.sum(in_r, axis=1), jnp.sum(distant, axis=1)
+
+        return _map_chunks(inner, (queries, query_lab),
+                           (points, points_lab, mask),
+                           starts, chunk, window, n_chunks)
+    return run
+
+
+def tiled_color_counts(queries, query_lab, points, points_lab, mask,
+                       plan: TilePlan, radius: float, max_dist: float):
+    """Per-query (in-radius count, distant-CIELab count) for the
+    color-distance culling score (culling.cpp:474-506)."""
+    run = _tiled_color_stage(queries.shape[0], points.shape[0], plan.chunk,
+                             plan.window, plan.n_chunks, float(radius),
+                             float(max_dist))
+    in_cnt, distant = run(jnp.asarray(queries), jnp.asarray(query_lab),
+                          jnp.asarray(points), jnp.asarray(points_lab),
+                          jnp.asarray(mask), plan.starts)
+    q = queries.shape[0]
+    return in_cnt[:q], distant[:q]
+
+
+# ---------------------------------------------------------------------------
+# tiled detector-keypoint stages (Harris3D / ISS3D at scene scale)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _tiled_payload_stage(q: int, n: int, p_dim: int, chunk: int, window: int,
+                         n_chunks: int, radius: float):
+    from .neighbors import pairwise_sqdist
+
+    @jax.jit
+    def run(queries, points, payload, mask, starts):
+        def inner(qs, ps, s):
+            (qq,) = qs
+            p, pl, pm = ps
+            d2 = pairwise_sqdist(qq, p)
+            in_r = (d2 <= radius * radius) & pm[None, :]
+            w = in_r.astype(qq.dtype)
+            hi = jax.lax.Precision.HIGHEST
+            return (jnp.sum(in_r, axis=1),
+                    jnp.matmul(w, pl, precision=hi))
+
+        return _map_chunks(inner, (queries,), (points, payload, mask),
+                           starts, chunk, window, n_chunks)
+    return run
+
+
+def tiled_payload_moments(queries, points, payload, mask, plan: TilePlan,
+                          radius: float):
+    """Per-query (in-radius count, sum of neighbor payload rows [Q, P]).
+    The generic accumulation behind the tiled Harris3D / ISS3D responses:
+    any per-point payload (normal outer products, weighted positions, ...)
+    sums over the in-radius support in O(chunk * window) memory."""
+    run = _tiled_payload_stage(queries.shape[0], points.shape[0],
+                               payload.shape[1], plan.chunk, plan.window,
+                               plan.n_chunks, float(radius))
+    cnt, sums = run(jnp.asarray(queries), jnp.asarray(points),
+                    jnp.asarray(payload), jnp.asarray(mask), plan.starts)
+    q = queries.shape[0]
+    return cnt[:q], sums[:q]
+
+
+@functools.lru_cache(maxsize=None)
+def _tiled_value_max_stage(q: int, n: int, chunk: int, window: int,
+                           n_chunks: int, radius: float, exclude_zero: bool):
+    from .neighbors import pairwise_sqdist
+
+    @jax.jit
+    def run(queries, points, values, mask, starts):
+        def inner(qs, ps, s):
+            (qq,) = qs
+            p, v, pm = ps
+            d2 = pairwise_sqdist(qq, p)
+            in_r = (d2 <= radius * radius) & pm[None, :]
+            if exclude_zero:
+                in_r = in_r & (d2 > 0)
+            return (jnp.sum(in_r, axis=1),
+                    jnp.max(jnp.where(in_r, v[None, :], -jnp.inf), axis=1))
+
+        return _map_chunks(inner, (queries,), (points, values, mask),
+                           starts, chunk, window, n_chunks)
+    return run
+
+
+def tiled_neighbor_max(queries, points, values, mask, plan: TilePlan,
+                       radius: float, exclude_zero_dist: bool = False):
+    """Per-query (in-radius count, max neighbor value) -- the non-max
+    suppression primitive for the tiled keypoint detectors."""
+    run = _tiled_value_max_stage(queries.shape[0], points.shape[0],
+                                 plan.chunk, plan.window, plan.n_chunks,
+                                 float(radius), bool(exclude_zero_dist))
+    cnt, vmax = run(jnp.asarray(queries), jnp.asarray(points),
+                    jnp.asarray(values), jnp.asarray(mask), plan.starts)
+    q = queries.shape[0]
+    return cnt[:q], vmax[:q]
