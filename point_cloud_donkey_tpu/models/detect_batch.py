@@ -44,11 +44,8 @@ MB = 8
 
 
 def _culling_plain(kp_params: KeypointParams, is_training: bool) -> bool:
-    geo = kp_params.filter_method_geometry.lower()
-    col = kp_params.filter_method_color.lower()
-    return (kp_params.type == "VoxelGrid"
-            or (is_training and kp_params.disable_filter_in_training)
-            or (geo == "none" and col == "none"))
+    from .keypoints import culling_disabled
+    return culling_disabled(kp_params, is_training)
 
 
 def batch_supported(fcfg: FeatureConfig, kp_params: KeypointParams,
@@ -428,10 +425,12 @@ def extract_local_features_batch(
             mask_j = jnp.asarray(mask_b)
 
             # --- normals (one dispatch for the chunk) ----------------------
-            # gaussian/KPQ culling scores run on dense principal curvatures,
-            # so they need cloud normals even when the descriptor doesn't
-            # (the per-cloud path computes them the same way,
-            # features.py:needs_culling_normals)
+            # gaussian/KPQ culling scores consume normals, so compute them
+            # even when the descriptor doesn't need them.  NOTE: the
+            # per-cloud rule (features.py:needs_culling_normals) also
+            # computes normals for geo="curvature"; decisions still match
+            # because the curvature score never reads them (the voxel
+            # keypoint positions are unaffected by extra averaged fields)
             culling_needs_normals = (
                 not _culling_plain(kp_params, is_training)
                 and kp_params.filter_method_geometry.lower()
@@ -516,13 +515,17 @@ def extract_local_features_batch(
                         jnp.asarray(krc), pts_j, mask_j, jnp.asarray(nrm_c),
                         jnp.asarray(rgb_c))
                 g_b, c_b = np.asarray(g_b), np.asarray(c_b)
-                for r in range(MB):
+                for r in range(real):
                     kk = len(kps[r])
                     if kk == 0:
                         continue
                     kps[r], kp_rgbs[r] = apply_culling_host(
                         kps[r], kp_rgbs[r], g_b[r][:kk], c_b[r][:kk],
                         kp_params, return_colors=True)
+                for r in range(real, MB):
+                    # padded rows duplicate the last real cloud; reuse its
+                    # culled keypoints instead of re-running the host stage
+                    kps[r], kp_rgbs[r] = kps[real - 1], kp_rgbs[real - 1]
 
             if times is not None:
                 times["keypoints"] = times.get("keypoints", 0.0) \

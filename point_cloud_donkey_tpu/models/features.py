@@ -691,10 +691,9 @@ def _extract_local_features_scene(
             times["normals"] = times.get("normals", 0.0) \
                 + time.perf_counter() - t_n
 
-    if kp_params.type not in ("VoxelGrid", "VoxelGridCulling"):
-        raise ValueError(
-            f"keypoint type {kp_params.type!r} is not supported at scene "
-            f"scale (> {len(xyz)} points); use VoxelGrid/VoxelGridCulling")
+    # detect_keypoints handles every type at scene scale (VoxelGrid /
+    # VoxelGridCulling / Harris3D / ISS3D via windowed tiled passes) except
+    # SIFT3D, for which it raises the documented scene-scale error
     t_k = time.perf_counter()
     kp, kp_rgb = detect_keypoints(xyz_s, cloud_normals, rgb_s, kp_params,
                                   is_training=is_training, return_colors=True)

@@ -115,6 +115,18 @@ def _detector_stage(n: int, kind: str, p1: float, p2: float, p3: float,
     return run
 
 
+def culling_disabled(params: KeypointParams, is_training: bool) -> bool:
+    """True when VoxelGridCulling behaves as a plain VoxelGrid
+    (culling.cpp:76-87): plain type, culling disabled in training, or both
+    filter methods None.  Single source of truth for the per-cloud path and
+    detect_batch, so their keypoint decisions cannot drift."""
+    geo = params.filter_method_geometry.lower()
+    col = params.filter_method_color.lower()
+    return (params.type == "VoxelGrid"
+            or (is_training and params.disable_filter_in_training)
+            or (geo == "none" and col == "none"))
+
+
 def _detector_keypoints(points: np.ndarray, normals: Optional[np.ndarray],
                         params: KeypointParams) -> np.ndarray:
     """Harris3D / ISS3D / SIFT3D dispatch (PCL-wrapper keypoint types)."""
@@ -268,32 +280,6 @@ def _tiled_detector_keypoints(points: np.ndarray,
     return points[keep_full].astype(np.float32)
 
 
-def _tiled_keypoint_moments(kp: np.ndarray, points: np.ndarray, leaf: float):
-    """Scene-scale keypoint curvature moments: sort keypoints and cloud along
-    the longest axis and run windowed radius_covariance (ops/tiled.py);
-    results un-permuted back to keypoint order."""
-    from ..ops.tiled import (KEYPOINT_CHUNK, plan_tiles, sort_key_axis,
-                             tiled_radius_moments)
-    axis = sort_key_axis(points)
-    p_order = np.argsort(points[:, axis], kind="stable")
-    pts_s = np.ascontiguousarray(points[p_order], dtype=np.float32)
-    k_order = np.argsort(kp[:, axis], kind="stable")
-    n_chunks = max(1, -(-len(kp) // KEYPOINT_CHUNK))
-    k_bucket = n_chunks * KEYPOINT_CHUNK
-    kp_pad = np.full((k_bucket, 3), 1e9, np.float32)
-    kp_pad[:len(kp)] = kp[k_order]
-    kp_mask = np.zeros(k_bucket, bool)
-    kp_mask[:len(kp)] = True
-    plan = plan_tiles(kp_pad[:, axis], kp_mask, pts_s[:, axis], leaf,
-                      KEYPOINT_CHUNK)
-    mom = tiled_radius_moments(jnp.asarray(kp_pad), jnp.asarray(pts_s),
-                               jnp.ones(len(pts_s), bool), plan, leaf,
-                               weighting="uniform", center="mean")
-    inv = np.argsort(k_order, kind="stable")
-    return jax.tree_util.tree_map(
-        lambda x: jnp.asarray(np.asarray(x)[:len(kp)][inv]), mom)
-
-
 def _tiled_culling_scores(kp, kp_normals, kp_rgb, points, normals, rgb,
                           geo: str, col: str, leaf: float,
                           max_col_dist: float):
@@ -303,7 +289,8 @@ def _tiled_culling_scores(kp, kp_normals, kp_rgb, points, normals, rgb,
     [K] (geo_scores, color_scores) in keypoint order."""
     from ..ops.tiled import (KEYPOINT_CHUNK, NORMALS_CHUNK, plan_tiles,
                              sort_key_axis, tiled_color_counts,
-                             tiled_kpq_aggregate, tiled_principal_curvatures)
+                             tiled_kpq_aggregate, tiled_principal_curvatures,
+                             tiled_radius_moments)
     k = len(kp)
     geo_scores = np.zeros(k, np.float32)
     color_scores = np.zeros(k, np.float32)
@@ -325,12 +312,13 @@ def _tiled_culling_scores(kp, kp_normals, kp_rgb, points, normals, rgb,
 
     if geo == "curvature":
         from ..ops.eigh3 import eigvals3x3
-        mom = _tiled_keypoint_moments(kp, points, leaf)
+        mom = tiled_radius_moments(kp_pad, pts_s, p_mask, plan_kp, leaf,
+                                   weighting="uniform", center="mean")
         vals = eigvals3x3(mom.cov)
         total = jnp.sum(vals, axis=1)
         curv = jnp.where(total > 0, vals[:, 0] / jnp.maximum(total, 1e-30),
                          0.0)
-        geo_scores = np.asarray(curv)[:k]
+        geo_scores = np.asarray(curv)[:k][inv]
     elif geo in ("gaussian", "kpq"):
         nrm_s = np.ascontiguousarray(normals[p_order], dtype=np.float32)
         if geo == "gaussian":
@@ -584,9 +572,7 @@ def detect_keypoints(
 
     geo = params.filter_method_geometry.lower()
     col = params.filter_method_color.lower()
-    plain = (params.type == "VoxelGrid"
-             or (is_training and params.disable_filter_in_training)
-             or (geo == "none" and col == "none"))
+    plain = culling_disabled(params, is_training)
 
     n = len(points)
 
@@ -659,19 +645,19 @@ def detect_keypoints(
         kr_p = np.zeros((k_pad, 3), np.float32)
         if kp_rgb is not None:
             kr_p[:len(kp)] = kp_rgb
-        pts_pad2, mask_pad2 = pad_cloud(points)
-        nrm_pad = np.zeros_like(pts_pad2)
+        # reuse the voxel stage's padded cloud (same pad_cloud output)
+        nrm_pad = np.zeros_like(pts_pad)
         if normals is not None:
             nrm_pad[:n] = normals
-        rgb_pad = np.zeros_like(pts_pad2)
+        rgb_pad = np.zeros_like(pts_pad)
         if rgb is not None:
             rgb_pad[:n] = rgb
-        prog = _culling_program(pts_pad2.shape[0], k_pad, geo, col,
+        prog = _culling_program(pts_pad.shape[0], k_pad, geo, col,
                                 float(leaf),
                                 float(params.max_similar_color_distance))
         g_j, c_j = prog(jnp.asarray(kp_p), jnp.asarray(kp_m),
                         jnp.asarray(kn_p), jnp.asarray(kr_p),
-                        jnp.asarray(pts_pad2), jnp.asarray(mask_pad2),
+                        jnp.asarray(pts_pad), jnp.asarray(mask_pad),
                         jnp.asarray(nrm_pad), jnp.asarray(rgb_pad))
         geo_scores = np.asarray(g_j)[:len(kp)]
         color_scores = np.asarray(c_j)[:len(kp)]

@@ -234,3 +234,50 @@ def test_scene_feature_path_matches_dense(monkeypatch):
         np.testing.assert_allclose(tiled.descriptors[j], dense.descriptors[i],
                                    rtol=5e-3, atol=1e-4)
     assert hits >= 0.98 * len(tiled.positions)
+
+
+@pytest.mark.parametrize("kp_cfg_dict", [
+    {"type": "ISS3D", "params": {"SalientRadius": 0.3, "NonMaxRadius": 0.2,
+                                 "MinNeighbors": 4}},
+    {"type": "VoxelGridCulling", "params": {
+        "LeafSize": 0.25, "FilterMethodGeometry": "KPQ",
+        "FilterTypeGeometry": "CutOff", "FilterCutoffRatio": 0.5,
+        "DisableFilterInTraining": False}},
+], ids=["iss3d", "kpq-culling"])
+def test_scene_pipeline_reaches_tiled_keypoints(monkeypatch, kp_cfg_dict):
+    """The scene PIPELINE (extract_local_features > threshold) must route
+    ISS3D and VoxelGridCulling through the tiled keypoint paths end-to-end,
+    not just detect_keypoints called directly (regression: the scene
+    extractor used to reject non-voxel types before the tiled detectors
+    could run)."""
+    from point_cloud_donkey_tpu.models.features import (FeatureConfig,
+                                                        extract_local_features)
+    from point_cloud_donkey_tpu.utils.config import ComponentConfig
+
+    pts = _cloud(2500, seed=7)
+    fcfg = FeatureConfig(type="SHORT_SHOT", radius=0.4, ref_frame_radius=0.3,
+                         neighbor_capacity=128)
+    kp_cfg = ComponentConfig(type=kp_cfg_dict["type"],
+                             params=kp_cfg_dict["params"])
+
+    dense = extract_local_features(pts, None, fcfg, kp_cfg, 0.2, 1)
+
+    monkeypatch.setattr(tl, "SCENE_TILE_THRESHOLD", 512)
+    monkeypatch.setattr(tl, "KEYPOINT_CHUNK", 64)
+    tiled = extract_local_features(pts, None, fcfg, kp_cfg, 0.2, 1)
+
+    assert int(tiled.mask.sum()) > 3
+    dpos = {tuple(np.round(p, 5)): i for i, p in enumerate(dense.positions)}
+    hits = 0
+    checked = 0
+    for j, p in enumerate(tiled.positions):
+        if not tiled.mask[j]:
+            continue
+        checked += 1
+        i = dpos.get(tuple(np.round(p, 5)))
+        if i is None:
+            continue
+        hits += 1
+        np.testing.assert_allclose(tiled.descriptors[j], dense.descriptors[i],
+                                   rtol=5e-3, atol=1e-4)
+    assert hits >= 0.95 * checked
