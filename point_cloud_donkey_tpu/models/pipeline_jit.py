@@ -161,3 +161,34 @@ def classify_scores_mean_shift(points: jnp.ndarray, mask: jnp.ndarray, cb,
         return jnp.max(jnp.where(alive, dens, 0.0))
 
     return jax.vmap(per_class)(jnp.arange(cfg.num_classes))
+
+
+def detect_maxima_jit(points: jnp.ndarray, mask: jnp.ndarray, cb,
+                      cfg: JitPipelineConfig,
+                      cb_params: CodebookParams,
+                      seed_capacity: int = 256,
+                      max_iter: int = 100):
+    """Fused detection step: one program from raw points to the per-class
+    best mean-shift maximum.  Returns (densities [C], positions [C, 3]) --
+    the serving analogue of VotingMeanShift::findMaxima's top maximum per
+    class (voting_mean_shift.cpp iFindMaxima); classes with no votes report
+    density 0 at position 0."""
+    kp, frames, desc, valid = extract_features_jit(points, mask, cfg)
+    votes = cast_votes(cb, desc, kp, frames, valid, cb_params, cfg.metric)
+    bw = jnp.asarray(cfg.bandwidth, points.dtype)
+
+    def per_class(c):
+        sel = votes.valid & (votes.class_id == c)
+        w = jnp.where(sel, votes.weight, 0.0)
+        pos = jnp.where(sel[:, None], votes.position, 1e9)
+        seeds, _, seed_mask = ms.create_seeds(pos, w, sel, ms.seeds_range(bw),
+                                              seed_capacity)
+        centers, alive = ms.mean_shift(seeds, seed_mask, pos, w, sel, bw,
+                                       max_iter=max_iter)
+        dens = ms.estimate_density(centers, pos, w, sel, bw)
+        dens = jnp.where(alive, dens, 0.0)
+        best = jnp.argmax(dens)
+        has = jnp.any(alive) & (dens[best] > 0)
+        return dens[best], jnp.where(has, centers[best], 0.0)
+
+    return jax.vmap(per_class)(jnp.arange(cfg.num_classes))

@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.codebook import CodebookParams, TrainedCodebook, cast_votes
 from ..models.pipeline_jit import JitPipelineConfig, classify_scores, \
-    classify_scores_mean_shift, extract_features_jit
+    classify_scores_mean_shift, detect_maxima_jit, extract_features_jit
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
@@ -88,6 +88,25 @@ def batched_classify(mesh: Mesh, cb: TrainedCodebook, cfg: JitPipelineConfig,
     return jax.jit(step,
                    in_shardings=(data_sharding, data_sharding),
                    out_shardings=data_sharding)
+
+
+def batched_detect(mesh: Mesh, cb: TrainedCodebook, cfg: JitPipelineConfig,
+                   cb_params: CodebookParams):
+    """Jitted sharded DETECTION step: [B, N, 3] clouds (B sharded over
+    'data') -> per-class best mean-shift maxima (densities [B, C] and
+    positions [B, C, 3]).  The full detect chain -- features, vote casting
+    against the model-sharded codebook, per-class mean-shift, density
+    argmax -- runs as one program on the mesh."""
+    data_sharding = NamedSharding(mesh, P("data"))
+
+    def step(points, mask):
+        return jax.vmap(
+            lambda p, m: detect_maxima_jit(p, m, cb, cfg, cb_params)
+        )(points, mask)
+
+    return jax.jit(step,
+                   in_shardings=(data_sharding, data_sharding),
+                   out_shardings=(data_sharding, data_sharding))
 
 
 def sharded_training_activation(mesh: Mesh, codewords: np.ndarray,

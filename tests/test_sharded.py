@@ -148,3 +148,41 @@ def test_sharded_codebook_training_bit_identical(n_data, n_model, activation):
         np.testing.assert_array_equal(
             np.asarray(getattr(host, name)), np.asarray(getattr(sharded, name)),
             err_msg=f"field {name} differs")
+
+
+@pytest.mark.parametrize("n_data,n_model", [(8, 1), (4, 2)])
+def test_batched_detect_matches_single_device(n_data, n_model):
+    """Sharded full-detection step (features -> votes -> per-class
+    mean-shift -> density argmax) == the same vmapped program unsharded,
+    bit-for-bit; densities agree with classify_scores_mean_shift."""
+    from point_cloud_donkey_tpu.models.pipeline_jit import (
+        classify_scores_mean_shift, detect_maxima_jit)
+    from point_cloud_donkey_tpu.parallel.sharded import batched_detect
+
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    cfg = _pipeline_cfg(keypoint_capacity=64, neighbor_capacity=128)
+    cb_host = _synthetic_codebook(num_codewords=64)
+    params = CodebookParams(knn_k=1)
+
+    pts, mask = _batch(B=n_data, seed=5)
+    single_step = jax.jit(jax.vmap(
+        lambda p, m: detect_maxima_jit(p, m, cb_host, cfg, params)))
+    s_dens, s_pos = single_step(jnp.asarray(pts), jnp.asarray(mask))
+    s_dens, s_pos = np.asarray(s_dens), np.asarray(s_pos)
+
+    cb = shard_codebook(cb_host, mesh)
+    with mesh:
+        step = batched_detect(mesh, cb, cfg, params)
+        dens, pos = step(jnp.asarray(pts), jnp.asarray(mask))
+    dens, pos = np.asarray(dens), np.asarray(pos)
+
+    assert dens.shape == (n_data, cfg.num_classes)
+    assert pos.shape == (n_data, cfg.num_classes, 3)
+    np.testing.assert_array_equal(dens, s_dens)
+    np.testing.assert_array_equal(pos, s_pos)
+    assert (dens > 0).any(), "degenerate: no class produced a maximum"
+
+    ms_step = jax.jit(jax.vmap(
+        lambda p, m: classify_scores_mean_shift(p, m, cb_host, cfg, params)))
+    ms_scores = np.asarray(ms_step(jnp.asarray(pts), jnp.asarray(mask)))
+    np.testing.assert_allclose(dens, ms_scores, rtol=1e-6)
