@@ -40,6 +40,10 @@ def main(argv=None) -> int:
     p.add_argument("--devices", type=int, default=0,
                    help="limit the data mesh to this many devices "
                         "(0 = all available)")
+    p.add_argument("--maxima", action="store_true",
+                   help="run the full sharded detection step "
+                        "(parallel/sharded.batched_detect) and print each "
+                        "cloud's best maximum position per predicted class")
     args = p.parse_args(argv)
 
     ism = ImplicitShapeModel.load(args.detect)
@@ -67,7 +71,14 @@ def main(argv=None) -> int:
         n_dev = min(n_dev, args.devices)
     mesh = make_mesh(n_data=n_dev, n_model=1)
     cb_sharded = shard_codebook(cb, mesh)
-    step = batched_classify(mesh, cb_sharded, cfg, CodebookParams())
+    if args.maxima:
+        from ..parallel.sharded import batched_detect
+        if cfg.descriptor == "CSHOT":
+            print("--maxima does not support CSHOT yet", file=sys.stderr)
+            return 1
+        step = batched_detect(mesh, cb_sharded, cfg, CodebookParams())
+    else:
+        step = batched_classify(mesh, cb_sharded, cfg, CodebookParams())
 
     # load + pad/subsample all clouds to a fixed shape
     with_rgb = cfg.descriptor == "CSHOT"
@@ -112,20 +123,30 @@ def main(argv=None) -> int:
         return step(*a)
 
     # warm the jit cache so the reported throughput is steady-state
-    call(0).block_until_ready()
+    jax.block_until_ready(call(0))
 
     preds = []
+    maxima = []
     t0 = time.perf_counter()
     for i in range(0, len(clouds_np), B):
-        scores = call(i)
-        preds.extend(np.asarray(scores).argmax(axis=1).tolist())
+        out = call(i)
+        if args.maxima:
+            dens, pos = out
+            preds.extend(np.asarray(dens).argmax(axis=1).tolist())
+            maxima.extend(np.asarray(pos).tolist())
+        else:
+            preds.extend(np.asarray(out).argmax(axis=1).tolist())
     dt = time.perf_counter() - t0
     preds = preds[:n]
 
     correct = sum(int(p == g) for p, g in zip(preds, labels))
-    for fn, pr, gt in zip(fl.filenames, preds, labels):
+    for k, (fn, pr, gt) in enumerate(zip(fl.filenames, preds, labels)):
+        extra = ""
+        if args.maxima:
+            x, y, z = maxima[k][pr]
+            extra = f" maximum ({x:.3f} {y:.3f} {z:.3f})"
         print(f"{fn}: predicted {pr}, ground truth {gt} "
-              f"{'OK' if pr == gt else 'WRONG'}")
+              f"{'OK' if pr == gt else 'WRONG'}{extra}")
     print(f"\n Accuracy: {100.0 * correct / max(n, 1):.0f} % ({correct}/{n})")
     print(f" Throughput: {n / dt:.1f} clouds/sec over {n_dev} device(s)")
     return 0
