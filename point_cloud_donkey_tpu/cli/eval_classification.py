@@ -21,6 +21,10 @@ from ..models.ism import ImplicitShapeModel
 from ..utils.config import IsmConfig
 from ..utils.io import parse_file_list
 
+# host path: files loaded + detected per chunk so peak memory is O(chunk)
+# clouds, not O(dataset); module-level so tests can shrink it
+FILE_CHUNK = 256
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -294,20 +298,26 @@ def run_classification(args) -> int:
         from ..models.ism import preprocess_cloud
         from ..utils.io import load_cloud
         strip_color = ism.root.get("SetColorToZero", False)
-        clouds, nrms, rgbs = [], [], []
-        for path in fl.filenames:
-            print(f"Processing file: {path}")
-            pc = preprocess_cloud(load_cloud(path).remove_nan(), ism.root)
-            clouds.append(pc.xyz)
-            nrms.append(pc.normals if pc.has_normals() else None)
-            rgbs.append(None if strip_color else pc.rgb)
-        # ONE detect_batch call over all files: it groups clouds by padding
-        # bucket itself, so pre-chunking here would force half-full chunks
-        # (padded with duplicate clouds) at every bucket boundary
+        # load + detect in chunks of files to bound host memory at
+        # O(chunk), not O(dataset); 256 files per chunk keeps the
+        # bucket-boundary padding cost (one half-full 8-wide chunk per
+        # bucket per call) negligible while a reference-scale RGB-D list
+        # stays a few hundred MB resident instead of many GB
         host_maxima = []
-        for maxima, times_i in ism.detect_batch(clouds, nrms, rgbs):
-            host_maxima.append(maxima)
-            times = times_i
+        for lo in range(0, len(fl.filenames), FILE_CHUNK):
+            clouds, nrms, rgbs = [], [], []
+            for path in fl.filenames[lo:lo + FILE_CHUNK]:
+                print(f"Processing file: {path}")
+                pc = preprocess_cloud(load_cloud(path).remove_nan(), ism.root)
+                clouds.append(pc.xyz)
+                nrms.append(pc.normals if pc.has_normals() else None)
+                rgbs.append(None if strip_color else pc.rgb)
+            chunk_times: Dict[str, float] = {}
+            for maxima, times_i in ism.detect_batch(clouds, nrms, rgbs):
+                host_maxima.append(maxima)
+                chunk_times = times_i
+            for k, v in chunk_times.items():
+                times[k] = times.get(k, 0.0) + v
 
     for idx, (path, true_cls, true_inst) in enumerate(
             zip(fl.filenames, gt_class_ids, gt_instance_ids)):

@@ -69,6 +69,8 @@ def main(argv=None) -> int:
     n_dev = len(jax.devices())
     if args.devices > 0:
         n_dev = min(n_dev, args.devices)
+    from ..models.ism import _codebook_params
+    cb_params = _codebook_params(ism.config.child("Codebook"))
     mesh = make_mesh(n_data=n_dev, n_model=1)
     cb_sharded = shard_codebook(cb, mesh)
     if args.maxima:
@@ -76,9 +78,9 @@ def main(argv=None) -> int:
         if cfg.descriptor == "CSHOT":
             print("--maxima does not support CSHOT yet", file=sys.stderr)
             return 1
-        step = batched_detect(mesh, cb_sharded, cfg, CodebookParams())
+        step = batched_detect(mesh, cb_sharded, cfg, cb_params)
     else:
-        step = batched_classify(mesh, cb_sharded, cfg, CodebookParams())
+        step = batched_classify(mesh, cb_sharded, cfg, cb_params)
 
     # load + pad/subsample all clouds to a fixed shape
     with_rgb = cfg.descriptor == "CSHOT"

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import functools
 import time
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -250,6 +250,20 @@ def _chunk_indices(order: List[int]) -> List[List[int]]:
     return [order[i:i + MB] for i in range(0, len(order), MB)]
 
 
+class _ChunkState(NamedTuple):
+    """Front-stage results for one MB-wide chunk, held between the
+    keypoint and descriptor passes so capacities can be group-wide."""
+    chunk: List[int]
+    padded: List[int]
+    pts_j: jnp.ndarray
+    mask_j: jnp.ndarray
+    kps: List[np.ndarray]
+    kp_rgbs: List[Optional[np.ndarray]]
+    cloud_normals: List[Optional[np.ndarray]]
+    cents: np.ndarray
+    cmask: np.ndarray
+
+
 def _batch_normals(padded: List[int], clouds: Sequence[np.ndarray],
                    normals_list: Sequence[Optional[np.ndarray]],
                    pts_j, mask_j, n: int, normal_radius: float,
@@ -402,6 +416,7 @@ def extract_local_features_batch(
     training by default, making VoxelGridCulling behave as plain VoxelGrid)."""
     kp_params = KeypointParams.from_config(keypoint_cfg)
     assert batch_supported(fcfg, kp_params, clouds, is_training)
+    check_rgb_available(fcfg, rgb_list)
 
     out: List[Optional[FeatureSet]] = [None] * len(clouds)
 
@@ -412,6 +427,12 @@ def extract_local_features_batch(
         groups.setdefault(key, []).append(i)
 
     for (n, has_rgb), idxs in groups.items():
+        # front stages (normals / voxel / culling) for every chunk first, so
+        # the descriptor stage below can use ONE group-wide keypoint
+        # capacity -- one compiled program variant per group, not one per
+        # chunk (compile latency through the axon tunnel is the scarce
+        # resource)
+        staged = []
         for chunk in _chunk_indices(idxs):
             real = len(chunk)
             padded = chunk + [chunk[-1]] * (MB - real)
@@ -477,32 +498,44 @@ def extract_local_features_batch(
                 off = 3 + (3 if "normals" in e_parts else 0)
                 kp_rgbs.append(full[:, off:off + 3] if has_rgb else None)
 
-            # --- detection-time keypoint culling ---------------------------
-            # (VoxelGridCulling, culling.cpp:280-330): scores for the whole
-            # chunk in ONE vmapped dispatch, thresholds/refinement on the
-            # host via the same apply_culling_host the per-cloud path uses
-            if not _culling_plain(kp_params, is_training):
-                from .keypoints import apply_culling_host
-                geo_f = kp_params.filter_method_geometry.lower()
-                col_f = kp_params.filter_method_color.lower()
+            if times is not None:
+                times["keypoints"] = times.get("keypoints", 0.0) \
+                    + time.perf_counter() - t_k
+
+            staged.append(_ChunkState(chunk, padded, pts_j, mask_j, kps,
+                                      kp_rgbs, cloud_normals, cents, cmask))
+
+        # --- detection-time keypoint culling (one dispatch per chunk, ONE
+        # program): scores for the whole chunk vmapped (VoxelGridCulling,
+        # culling.cpp:280-330), thresholds/refinement on the host via the
+        # same apply_culling_host the per-cloud path uses; the keypoint
+        # capacity is the GROUP max so every chunk shares a compiled variant
+        if not _culling_plain(kp_params, is_training):
+            from .keypoints import apply_culling_host
+            geo_f = kp_params.filter_method_geometry.lower()
+            col_f = kp_params.filter_method_color.lower()
+            t_k = time.perf_counter()
+            k_cap = max(bucket_size(max(len(kp), 1), minimum=64)
+                        for st in staged for kp in st.kps)
+            for st in staged:
+                real = len(st.chunk)
+                kps, kp_rgbs = st.kps, st.kp_rgbs
                 if col_f == "colordistance" and any(
-                        rgb_list[ci] is None for ci in chunk):
+                        rgb_list[ci] is None for ci in st.chunk):
                     raise ValueError("color culling needs RGB data")
-                k_cap = max(bucket_size(max(len(kp), 1), minimum=64)
-                            for kp in kps)
                 kpc = np.full((MB, k_cap, 3), 1e9, np.float32)
                 kpm = np.zeros((MB, k_cap), bool)
                 knc = np.zeros((MB, k_cap, 3), np.float32)
                 krc = np.zeros((MB, k_cap, 3), np.float32)
                 nrm_c = np.zeros((MB, n, 3), np.float32)
                 rgb_c = np.zeros((MB, n, 3), np.float32)
-                for r, ci in enumerate(padded):
+                for r, ci in enumerate(st.padded):
                     kk = len(kps[r])
                     kpc[r, :kk] = kps[r]
                     kpm[r, :kk] = True
                     if "normals" in e_parts:
-                        knc[r, :kk] = cents[r][cmask[r]][:, 3:6]
-                        nrm_c[r, :len(clouds[ci])] = cloud_normals[r]
+                        knc[r, :kk] = st.cents[r][st.cmask[r]][:, 3:6]
+                        nrm_c[r, :len(clouds[ci])] = st.cloud_normals[r]
                     if kp_rgbs[r] is not None:
                         krc[r, :kk] = kp_rgbs[r]
                     if rgb_list[ci] is not None:
@@ -512,8 +545,8 @@ def extract_local_features_batch(
                     float(kp_params.leaf_size),
                     float(kp_params.max_similar_color_distance))(
                         jnp.asarray(kpc), jnp.asarray(kpm), jnp.asarray(knc),
-                        jnp.asarray(krc), pts_j, mask_j, jnp.asarray(nrm_c),
-                        jnp.asarray(rgb_c))
+                        jnp.asarray(krc), st.pts_j, st.mask_j,
+                        jnp.asarray(nrm_c), jnp.asarray(rgb_c))
                 g_b, c_b = np.asarray(g_b), np.asarray(c_b)
                 for r in range(real):
                     kk = len(kps[r])
@@ -526,13 +559,19 @@ def extract_local_features_batch(
                     # padded rows duplicate the last real cloud; reuse its
                     # culled keypoints instead of re-running the host stage
                     kps[r], kp_rgbs[r] = kps[real - 1], kp_rgbs[real - 1]
-
             if times is not None:
                 times["keypoints"] = times.get("keypoints", 0.0) \
                     + time.perf_counter() - t_k
 
-            # --- descriptor stage (one dispatch) ---------------------------
-            k_bucket = max(bucket_size(len(kp), minimum=64) for kp in kps)
+        # --- descriptor stage (one dispatch per chunk, ONE program) --------
+        k_bucket = max(bucket_size(len(kp), minimum=64)
+                       for st in staged for kp in st.kps)
+        for st in staged:
+            chunk, padded, pts_j, mask_j = st.chunk, st.padded, st.pts_j, \
+                st.mask_j
+            kps, kp_rgbs, cloud_normals = st.kps, st.kp_rgbs, \
+                st.cloud_normals
+            real = len(chunk)
             kp_b = np.full((MB, k_bucket, 3), 1e9, np.float32)
             kpm_b = np.zeros((MB, k_bucket), bool)
             kprgb_b = np.zeros((MB, k_bucket, 3), np.float32)

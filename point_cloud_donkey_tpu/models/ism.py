@@ -42,6 +42,11 @@ from .voting import (VotingMaximum, VotingParams, filter_maxima, find_maxima,
 
 import functools
 
+# train() loads + extracts features in MODEL_CHUNK-file slices so peak host
+# memory is O(chunk) clouds, not O(dataset); module-level so tests can
+# shrink it to exercise chunk boundaries
+MODEL_CHUNK = 128
+
 
 @functools.lru_cache(maxsize=None)
 def _mvbb_program(n: int):
@@ -447,107 +452,122 @@ class ImplicitShapeModel:
 
         set_color_to_zero = self.root.get("SetColorToZero", False)
 
-        # pass 1: load / preprocess / crop, boxes and radii
-        clouds_xyz: List[np.ndarray] = []
-        clouds_nrm: List[Optional[np.ndarray]] = []
-        clouds_rgb: List[Optional[np.ndarray]] = []
-        files: List[str] = []
-        for filename, class_id, instance_id, gt_box in self._training:
-            cloud = load_cloud(filename).remove_nan()
-            cloud = preprocess_cloud(cloud, self.root)
-            if gt_box is not None:
-                # crop the scene to the annotated object; skip tiny crops
-                # (implicit_shape_model.cpp:314-318)
-                cloud = self._crop_box(cloud, gt_box)
-                if len(cloud) < 500:
-                    continue
-            xyz = cloud.xyz
-            normals = cloud.normals if cloud.has_normals() else None
-            rgb = None if set_color_to_zero else cloud.rgb
-
-            if gt_box is not None:
-                box = gt_box
-            elif bb_type == "MVBB":
-                box = None   # deferred: batched after the loading pass
-            else:
-                # AABB + radius are trivial reductions; host numpy avoids a
-                # per-model eager device dispatch (utils.cpp:221-233)
-                mn, mx = xyz.min(axis=0), xyz.max(axis=0)
-                box = geo.BoundingBox(
-                    position=(mn + (mx - mn) / 2.0).astype(np.float32),
-                    size=(mx - mn).astype(np.float32),
-                    quat=np.array([1.0, 0.0, 0.0, 0.0], np.float32))
-            centroid = xyz.mean(axis=0)
-            radius = float(np.linalg.norm(xyz - centroid, axis=1).max())
-            clouds_xyz.append(xyz)
-            clouds_nrm.append(normals)
-            clouds_rgb.append(rgb)
-            files.append(filename)
-            class_per_model.append(class_id)
-            instance_per_model.append(instance_id)
-            boxes_per_model.append(box)
-            radii_per_model.append(radius)
-
-        # deferred MVBBs: one vmapped dispatch per bucket chunk instead of
-        # one per model
-        mvbb_idx = [i for i, b in enumerate(boxes_per_model) if b is None]
-        if mvbb_idx:
-            for i, b in zip(mvbb_idx,
-                            _mvbb_host_batch([clouds_xyz[i]
-                                              for i in mvbb_idx])):
-                boxes_per_model[i] = b
-
-        # pass 2: local features -- batched across models when eligible
-        # (same cross-cloud batching as detect_batch; one vmapped program
-        # per stage per chunk instead of 3-4 dispatches per model)
-        from .detect_batch import batch_supported, extract_local_features_batch
+        # passes 1-3 run over MODEL_CHUNK-file slices so peak host memory is
+        # O(chunk) clouds, not O(dataset) (the reference's per-model loop
+        # frees each cloud too, implicit_shape_model.cpp:252-340); features
+        # and boxes accumulate globally, raw clouds die with their chunk
+        from .detect_batch import (batch_supported,
+                                   extract_global_features_batch,
+                                   extract_local_features_batch)
         from .keypoints import KeypointParams
-        use_batch = (not self.root.get("CacheFeatures", False)
-                     and len(clouds_xyz) > 1
-                     and batch_supported(fcfg,
-                                         KeypointParams.from_config(kp_cfg),
-                                         clouds_xyz, is_training=True))
-        def _emit_model(i, fs):
-            # the reference's boost signals interleave per model (cloud,
-            # box, normals, then features) -- keep that pairing so live
-            # viewers render model i's keypoints over model i's cloud
-            self._emit("point_cloud", xyz=clouds_xyz[i], rgb=clouds_rgb[i],
-                       file=files[i], class_id=class_per_model[i])
-            self._emit("bounding_box", box=boxes_per_model[i])
-            self._emit("normals", xyz=clouds_xyz[i], normals=clouds_nrm[i])
-            self._emit("features", features=fs)
+        use_cache = self.root.get("CacheFeatures", False)
 
-        if use_batch:
-            features_per_model = extract_local_features_batch(
-                clouds_xyz, clouds_nrm, clouds_rgb, fcfg, kp_cfg,
-                normal_radius, cn_method, is_training=True)
-            if self._callbacks:
-                for i, fs in enumerate(features_per_model):
-                    _emit_model(i, fs)
-        else:
-            for i, (filename, xyz, normals, rgb) in enumerate(
-                    zip(files, clouds_xyz, clouds_nrm, clouds_rgb)):
-                fs = self._cached_local_features(
-                    filename, xyz, normals, fcfg, kp_cfg, normal_radius,
-                    cn_method, rgb)
+        for base in range(0, len(self._training), MODEL_CHUNK):
+            entries = self._training[base:base + MODEL_CHUNK]
+
+            # pass 1: load / preprocess / crop, boxes and radii
+            clouds_xyz: List[np.ndarray] = []
+            clouds_nrm: List[Optional[np.ndarray]] = []
+            clouds_rgb: List[Optional[np.ndarray]] = []
+            files: List[str] = []
+            chunk_classes: List[int] = []
+            chunk_instances: List[int] = []
+            chunk_boxes: List[Optional[geo.BoundingBox]] = []
+            for filename, class_id, instance_id, gt_box in entries:
+                cloud = load_cloud(filename).remove_nan()
+                cloud = preprocess_cloud(cloud, self.root)
+                if gt_box is not None:
+                    # crop the scene to the annotated object; skip tiny
+                    # crops (implicit_shape_model.cpp:314-318)
+                    cloud = self._crop_box(cloud, gt_box)
+                    if len(cloud) < 500:
+                        continue
+                xyz = cloud.xyz
+                normals = cloud.normals if cloud.has_normals() else None
+                rgb = None if set_color_to_zero else cloud.rgb
+
+                if gt_box is not None:
+                    box = gt_box
+                elif bb_type == "MVBB":
+                    box = None   # deferred: batched after the loading pass
+                else:
+                    # AABB + radius are trivial reductions; host numpy
+                    # avoids a per-model eager dispatch (utils.cpp:221-233)
+                    mn, mx = xyz.min(axis=0), xyz.max(axis=0)
+                    box = geo.BoundingBox(
+                        position=(mn + (mx - mn) / 2.0).astype(np.float32),
+                        size=(mx - mn).astype(np.float32),
+                        quat=np.array([1.0, 0.0, 0.0, 0.0], np.float32))
+                centroid = xyz.mean(axis=0)
+                radius = float(np.linalg.norm(xyz - centroid, axis=1).max())
+                clouds_xyz.append(xyz)
+                clouds_nrm.append(normals)
+                clouds_rgb.append(rgb)
+                files.append(filename)
+                chunk_classes.append(class_id)
+                chunk_instances.append(instance_id)
+                chunk_boxes.append(box)
+                class_per_model.append(class_id)
+                instance_per_model.append(instance_id)
+                radii_per_model.append(radius)
+
+            # deferred MVBBs: one vmapped dispatch per bucket chunk instead
+            # of one per model
+            mvbb_idx = [i for i, b in enumerate(chunk_boxes) if b is None]
+            if mvbb_idx:
+                for i, b in zip(mvbb_idx,
+                                _mvbb_host_batch([clouds_xyz[i]
+                                                  for i in mvbb_idx])):
+                    chunk_boxes[i] = b
+            boxes_per_model.extend(chunk_boxes)
+
+            # pass 2: local features -- batched across models when eligible
+            # (same cross-cloud batching as detect_batch; one vmapped
+            # program per stage per chunk instead of 3-4 dispatches/model)
+            use_batch = (not use_cache and len(clouds_xyz) > 1
+                         and batch_supported(
+                             fcfg, KeypointParams.from_config(kp_cfg),
+                             clouds_xyz, is_training=True))
+
+            def _emit_model(i, fs):
+                # the reference's boost signals interleave per model (cloud,
+                # box, normals, then features) -- keep that pairing so live
+                # viewers render model i's keypoints over model i's cloud
+                self._emit("point_cloud", xyz=clouds_xyz[i],
+                           rgb=clouds_rgb[i], file=files[i],
+                           class_id=chunk_classes[i])
+                self._emit("bounding_box", box=chunk_boxes[i])
+                self._emit("normals", xyz=clouds_xyz[i],
+                           normals=clouds_nrm[i])
+                self._emit("features", features=fs)
+
+            if use_batch:
+                chunk_fs = extract_local_features_batch(
+                    clouds_xyz, clouds_nrm, clouds_rgb, fcfg, kp_cfg,
+                    normal_radius, cn_method, is_training=True)
                 if self._callbacks:
-                    _emit_model(i, fs)
-                features_per_model.append(fs)
+                    for i, fs in enumerate(chunk_fs):
+                        _emit_model(i, fs)
+                features_per_model.extend(chunk_fs)
+            else:
+                for i, (filename, xyz, normals, rgb) in enumerate(
+                        zip(files, clouds_xyz, clouds_nrm, clouds_rgb)):
+                    fs = self._cached_local_features(
+                        filename, xyz, normals, fcfg, kp_cfg, normal_radius,
+                        cn_method, rgb)
+                    if self._callbacks:
+                        _emit_model(i, fs)
+                    features_per_model.append(fs)
 
-        # pass 3: global features (whole-cloud ESF/VFH/GRSD/GASD batched
-        # across models; other types per model)
-        from .detect_batch import extract_global_features_batch
-        gfs_list = extract_global_features_batch(
-            clouds_xyz, clouds_nrm, clouds_rgb, gcfg, normal_radius,
-            cn_method)
-        for gfs, class_id, instance_id in zip(gfs_list, class_per_model,
-                                              instance_per_model):
-            global_feats.append((gfs, class_id, instance_id))
-
-        # raw clouds are only needed by passes 2/3; release them so peak
-        # host memory through the codebook/SVM stages is O(features), not
-        # O(dataset) (the reference's per-model loop frees each cloud too)
-        del clouds_xyz[:], clouds_nrm[:], clouds_rgb[:], gfs_list
+            # pass 3: global features (whole-cloud ESF/VFH/GRSD/GASD
+            # batched across models; other types per model)
+            gfs_list = extract_global_features_batch(
+                clouds_xyz, clouds_nrm, clouds_rgb, gcfg, normal_radius,
+                cn_method)
+            for gfs, class_id, instance_id in zip(gfs_list, chunk_classes,
+                                                  chunk_instances):
+                global_feats.append((gfs, class_id, instance_id))
+            # raw clouds die here with the chunk's lists
 
         # feature ranking (redundancy-free codebooks,
         # feature_ranking/feature_ranking.cpp:36-120)
@@ -729,8 +749,9 @@ class ImplicitShapeModel:
         returned per-cloud timing maps share the batch's stage totals.
 
         Falls back to the per-cloud path for configurations the batched
-        extractor does not cover (NARF/GASD descriptors, keypoint culling,
-        detector keypoints, scene-scale clouds)."""
+        extractor does not cover (NARF/GASD descriptors, detector
+        keypoints, scene-scale clouds; VoxelGridCulling IS batched -- one
+        vmapped scores dispatch per chunk + shared host thresholds)."""
         assert self.state is not None, "not trained / loaded"
         n = len(clouds)
         normals_list = list(normals_list) if normals_list else [None] * n

@@ -150,3 +150,42 @@ def test_fused_detect_rejects_missing_rgb(tmp_path):
     clouds = [shapes.make_instance(rng, 0, n=500, rotate=True)]
     with pytest.raises(ValueError, match="needs RGB"):
         ism.detect_batch(clouds)  # no rgb_list -> colorless
+
+
+def test_staged_descriptor_program_shared_across_chunks():
+    """Chunks of one bucket group with different keypoint counts must share
+    ONE compiled descriptor program (group-wide capacity): compile latency
+    through the axon tunnel is the scarce resource, so per-chunk capacity
+    variants are regressions."""
+    import numpy as np
+    import point_cloud_donkey_tpu.models.detect_batch as db
+    from point_cloud_donkey_tpu.models.features import FeatureConfig
+    from point_cloud_donkey_tpu.utils.config import ComponentConfig
+
+    rng = np.random.default_rng(0)
+    # same padded bucket (800 pts) but very different occupied-voxel counts:
+    # tight balls (few keypoints) then spread shells (many keypoints)
+    sparse = [rng.normal(scale=0.05, size=(800, 3)).astype(np.float32)
+              for _ in range(8)]
+    dense = []
+    for _ in range(8):
+        u = rng.normal(size=(800, 3)).astype(np.float32)
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        dense.append(u * rng.uniform(0.5, 2.0, (800, 1)).astype(np.float32))
+    clouds = sparse + dense
+
+    fcfg = FeatureConfig(type="SHORT_SHOT", radius=0.4, ref_frame_radius=0.3,
+                         neighbor_capacity=128)
+    kp_cfg = ComponentConfig(type="VoxelGrid", params={"LeafSize": 0.15})
+
+    before = db._descriptor_batch_program.cache_info().misses
+    out = db.extract_local_features_batch(
+        clouds, [None] * 16, [None] * 16, fcfg, kp_cfg, 0.2, 1)
+    after = db._descriptor_batch_program.cache_info().misses
+    assert len(out) == 16 and all(fs is not None for fs in out)
+    # sanity: the two halves really have different keypoint scales
+    k_sparse = max(int(fs.mask.sum()) for fs in out[:8])
+    k_dense = min(int(fs.mask.sum()) for fs in out[8:])
+    assert k_sparse <= 64 < k_dense, (k_sparse, k_dense)
+    assert after - before <= 1, \
+        f"{after - before} descriptor program variants compiled for one group"

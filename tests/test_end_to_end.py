@@ -344,3 +344,112 @@ def test_cli_pointcloud_groundtruth_args(tmp_path):
                      "-o", str(tmp_path / "out")]) == 0
     lines = open(tmp_path / "out" / "summary.txt").read()
     assert lines.count("file:") == 2
+
+
+def test_host_cli_file_chunking_matches_single_pass(tmp_path, monkeypatch):
+    """The host eval path loads + detects in FILE_CHUNK slices (O(chunk)
+    memory); a 4-file chunk over 6 files must produce the identical
+    summary as one pass."""
+    import json
+
+    import point_cloud_donkey_tpu.cli.eval_classification as ec
+
+    rng = np.random.default_rng(12)
+    config = {"ObjectConfig": {"Children": {
+        "Clustering": {"Type": "None"},
+        "Codebook": {"Children": {"ActivationStrategy": {
+            "Parameters": {"K": 1}, "Type": "KNN"}}},
+        "FeatureWeighting": {"Type": "Uniform"},
+        "Features": {"Parameters": {
+            "Radius": 0.6, "ReferenceFrameRadius": 0.5}, "Type": "SHORT_SHOT"},
+        "GlobalFeatures": {"Type": "Dummy"},
+        "Keypoints": {"Parameters": {"LeafSize": 0.35}, "Type": "VoxelGrid"},
+        "Voting": {"Parameters": {
+            "Bandwidth": 0.5, "SingleObjectMode": True,
+            "SingleObjectMaxType": "BandwidthVotes"}, "Type": "MeanShift"}},
+        "Parameters": {"DistanceType": "ChiSquared",
+                       "BoundingBoxType": "AABB"}}}
+    cfg_path = str(tmp_path / "config.ism")
+    json.dump(config, open(cfg_path, "w"))
+
+    train, test = ["# train"], ["# test"]
+    for cid, name in [(1, "box"), (2, "torus"), (3, "cyl")]:
+        pts = shapes.make_instance(rng, cid, n=800, rotate=False)
+        p = str(tmp_path / f"tr_{name}.pcd")
+        save_pcd(p, PointCloud(xyz=pts))
+        train.append(f"{p} {name}")
+        for j in range(2):
+            pts = shapes.make_instance(rng, cid, n=800, rotate=True)
+            p = str(tmp_path / f"te_{name}_{j}.pcd")
+            save_pcd(p, PointCloud(xyz=pts))
+            test.append(f"{p} {name}")
+    (tmp_path / "train.txt").write_text("\n".join(train) + "\n")
+    (tmp_path / "test.txt").write_text("\n".join(test) + "\n")
+
+    assert ec.main(["-t", cfg_path, "-f", str(tmp_path / "train.txt"),
+                    "-o", str(tmp_path / "model")]) == 0
+    assert ec.main(["-d", str(tmp_path / "model.ism"),
+                    "-f", str(tmp_path / "test.txt"),
+                    "-o", str(tmp_path / "one")]) == 0
+    monkeypatch.setattr(ec, "FILE_CHUNK", 4)  # 6 files -> 2 chunks
+    assert ec.main(["-d", str(tmp_path / "model.ism"),
+                    "-f", str(tmp_path / "test.txt"),
+                    "-o", str(tmp_path / "chunked")]) == 0
+
+    one = [ln for ln in open(tmp_path / "one" / "summary.txt")
+           if ln.startswith("file:")]
+    chunked = [ln for ln in open(tmp_path / "chunked" / "summary.txt")
+               if ln.startswith("file:")]
+    assert one == chunked and len(one) == 6
+
+
+def test_train_model_chunking_bit_identical(tmp_path, monkeypatch):
+    """train() over MODEL_CHUNK-file slices (O(chunk) memory) must produce
+    a bit-identical trained state to the single-pass run."""
+    import json
+
+    import point_cloud_donkey_tpu.models.ism as ism_mod
+    from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+    from point_cloud_donkey_tpu.utils.config import IsmConfig
+
+    rng = np.random.default_rng(13)
+    config = {"ObjectConfig": {"Children": {
+        "Clustering": {"Type": "None"},
+        "Codebook": {"Children": {"ActivationStrategy": {
+            "Parameters": {"K": 1}, "Type": "KNN"}}},
+        "FeatureWeighting": {"Type": "Uniform"},
+        "Features": {"Parameters": {
+            "Radius": 0.6, "ReferenceFrameRadius": 0.5}, "Type": "SHOT"},
+        "GlobalFeatures": {"Type": "ESF"},
+        "Keypoints": {"Parameters": {"LeafSize": 0.35}, "Type": "VoxelGrid"},
+        "Voting": {"Parameters": {
+            "Bandwidth": 0.5, "SingleObjectMode": True,
+            "SingleObjectMaxType": "BandwidthVotes"}, "Type": "MeanShift"}},
+        "Parameters": {"DistanceType": "ChiSquared",
+                       "BoundingBoxType": "MVBB"}}}
+
+    paths = []
+    for j in range(6):
+        pts = shapes.make_instance(rng, j % 3, n=700, rotate=False)
+        p = str(tmp_path / f"m{j}.pcd")
+        save_pcd(p, PointCloud(xyz=pts))
+        paths.append((p, j % 3))
+
+    def train_one():
+        ism = ImplicitShapeModel(IsmConfig.from_json(config))
+        for p, c in paths:
+            ism.add_training_model(p, c, c)
+        ism.train()
+        return ism.state
+
+    single = train_one()
+    monkeypatch.setattr(ism_mod, "MODEL_CHUNK", 4)  # 6 models -> 2 chunks
+    chunked = train_one()
+
+    cb_s, cb_c = single.codebook, chunked.codebook
+    for name in cb_s._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(cb_s, name)),
+                                      np.asarray(getattr(cb_c, name)), name)
+    np.testing.assert_array_equal(single.global_descriptors,
+                                  chunked.global_descriptors)
+    np.testing.assert_array_equal(single.global_radii, chunked.global_radii)
