@@ -19,9 +19,21 @@ if os.environ.get("PCD_TPU_SMOKE") != "1":
     # Persistent XLA compilation cache: most suite wall-time is CPU compiles
     # of the same programs across test processes/runs; cache them on disk.
     # (NOT enabled for the axon TPU backend -- measured 6x slower there.)
+    # The dir is keyed by the host's CPU feature set: XLA loads AOT results
+    # compiled on a different machine with only a warning, and mismatched
+    # vector extensions can SIGILL (cpu_aot_loader.cc warns exactly this
+    # when a cache moves between hosts).
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            sig_src = next(ln for ln in f if ln.startswith("flags"))
+    except Exception:
+        import platform
+        sig_src = platform.machine() + platform.processor()
+    sig = hashlib.sha1(sig_src.encode()).hexdigest()[:10]
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_TEST_CACHE_DIR",
-                                     "/tmp/jax_test_cache"))
+                                     f"/tmp/jax_test_cache_{sig}"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
