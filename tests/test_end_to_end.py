@@ -453,3 +453,68 @@ def test_train_model_chunking_bit_identical(tmp_path, monkeypatch):
     np.testing.assert_array_equal(single.global_descriptors,
                                   chunked.global_descriptors)
     np.testing.assert_array_equal(single.global_radii, chunked.global_radii)
+
+
+def test_serve_cli_classify_and_maxima(tmp_path, capsys):
+    """The sharded serving CLI (classify + --maxima detection) end-to-end
+    over the virtual 8-device mesh: correct predictions, maxima positions
+    near the object centers, and the model's real activation params."""
+    import json
+
+    from point_cloud_donkey_tpu.cli.eval_classification import main as cls_main
+    from point_cloud_donkey_tpu.cli.serve import main as serve_main
+
+    rng = np.random.default_rng(21)
+    config = {"ObjectConfig": {"Children": {
+        "Clustering": {"Type": "None"},
+        "Codebook": {"Children": {"ActivationStrategy": {
+            "Parameters": {"K": 1}, "Type": "KNN"}}},
+        "FeatureWeighting": {"Type": "Uniform"},
+        "Features": {"Parameters": {
+            "Radius": 0.6, "ReferenceFrameRadius": 0.5}, "Type": "SHORT_SHOT"},
+        "GlobalFeatures": {"Type": "Dummy"},
+        "Keypoints": {"Parameters": {"LeafSize": 0.35}, "Type": "VoxelGrid"},
+        "Voting": {"Parameters": {
+            "Bandwidth": 0.5, "SingleObjectMode": True,
+            "SingleObjectMaxType": "BandwidthVotes"}, "Type": "MeanShift"}},
+        "Parameters": {"DistanceType": "ChiSquared",
+                       "BoundingBoxType": "AABB"}}}
+    cfg_path = str(tmp_path / "config.ism")
+    json.dump(config, open(cfg_path, "w"))
+
+    train, test = ["# train"], ["# test"]
+    centers = []
+    for cid, name in [(1, "box"), (2, "torus")]:
+        for j in range(2):
+            pts = shapes.make_instance(rng, cid, n=1024, rotate=False)
+            p = str(tmp_path / f"tr_{name}_{j}.pcd")
+            save_pcd(p, PointCloud(xyz=pts))
+            train.append(f"{p} {name}")
+        pts = shapes.make_instance(rng, cid, n=1024, rotate=True)
+        centers.append(pts.mean(axis=0))
+        p = str(tmp_path / f"te_{name}.pcd")
+        save_pcd(p, PointCloud(xyz=pts))
+        test.append(f"{p} {name}")
+    (tmp_path / "train.txt").write_text("\n".join(train) + "\n")
+    (tmp_path / "test.txt").write_text("\n".join(test) + "\n")
+
+    assert cls_main(["-t", cfg_path, "-f", str(tmp_path / "train.txt"),
+                     "-o", str(tmp_path / "model")]) == 0
+
+    assert serve_main(["-d", str(tmp_path / "model.ism"),
+                       "-f", str(tmp_path / "test.txt"),
+                       "--batch", "1", "--points", "1024"]) == 0
+    out = capsys.readouterr().out
+    assert "Accuracy: 100 %" in out
+
+    assert serve_main(["-d", str(tmp_path / "model.ism"),
+                       "-f", str(tmp_path / "test.txt"),
+                       "--batch", "1", "--points", "1024", "--maxima"]) == 0
+    out = capsys.readouterr().out
+    assert "Accuracy: 100 %" in out
+    max_lines = [ln for ln in out.splitlines() if "maximum (" in ln]
+    assert len(max_lines) == 2
+    for ln, center in zip(max_lines, centers):
+        xyz = ln.split("maximum (")[1].rstrip(")").split()
+        pos = np.array([float(v) for v in xyz])
+        assert np.linalg.norm(pos - center) < 0.5, (pos, center)
