@@ -312,12 +312,11 @@ def run_classification(args) -> int:
                 clouds.append(pc.xyz)
                 nrms.append(pc.normals if pc.has_normals() else None)
                 rgbs.append(None if strip_color else pc.rgb)
-            chunk_times: Dict[str, float] = {}
             for maxima, times_i in ism.detect_batch(clouds, nrms, rgbs):
                 host_maxima.append(maxima)
-                chunk_times = times_i
-            for k, v in chunk_times.items():
-                times[k] = times.get(k, 0.0) + v
+                # snapshots of ism.processing_times are CUMULATIVE across
+                # chunks (only ever +=); keep the last one, never sum them
+                times = dict(times_i)
 
     for idx, (path, true_cls, true_inst) in enumerate(
             zip(fl.filenames, gt_class_ids, gt_instance_ids)):

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 
 from ..models.ism import ImplicitShapeModel
 from ..models.pipeline_jit import JitPipelineConfig
-from ..models.codebook import CodebookParams
 from ..parallel.sharded import make_mesh, shard_codebook, batched_classify
 from ..utils.config import IsmConfig
 from ..utils.io import load_cloud, parse_file_list

@@ -255,8 +255,10 @@ class _ChunkState(NamedTuple):
     keypoint and descriptor passes so capacities can be group-wide."""
     chunk: List[int]
     padded: List[int]
-    pts_j: jnp.ndarray
-    mask_j: jnp.ndarray
+    # host copies: re-uploaded per stage so device memory stays O(one
+    # chunk), not O(group) (the stages are latency-bound, not H2D-bound)
+    pts_b: np.ndarray
+    mask_b: np.ndarray
     kps: List[np.ndarray]
     kp_rgbs: List[Optional[np.ndarray]]
     cloud_normals: List[Optional[np.ndarray]]
@@ -426,12 +428,25 @@ def extract_local_features_batch(
         key = (bucket_size(len(xyz)), rgb_list[i] is not None)
         groups.setdefault(key, []).append(i)
 
+    # gaussian/KPQ culling scores consume normals, so compute them even
+    # when the descriptor doesn't need them.  NOTE: the per-cloud rule
+    # (features.py:needs_culling_normals) also computes normals for
+    # geo="curvature"; decisions still match because the curvature score
+    # never reads them (voxel keypoint positions are unaffected by extra
+    # averaged fields)
+    culling_needs_normals = (
+        not _culling_plain(kp_params, is_training)
+        and kp_params.filter_method_geometry.lower() in ("gaussian", "kpq"))
+    want_normals = fcfg.needs_normals() or culling_needs_normals
+
     for (n, has_rgb), idxs in groups.items():
-        # front stages (normals / voxel / culling) for every chunk first, so
-        # the descriptor stage below can use ONE group-wide keypoint
-        # capacity -- one compiled program variant per group, not one per
-        # chunk (compile latency through the axon tunnel is the scarce
-        # resource)
+        # front stages (normals / voxel) for every chunk first, so the
+        # culling and descriptor stages below can use ONE group-wide
+        # keypoint capacity -- one compiled program variant per group, not
+        # one per chunk (compile latency through the axon tunnel is the
+        # scarce resource)
+        e_parts = (["normals"] if want_normals else []) \
+            + (["rgb"] if has_rgb else [])
         staged = []
         for chunk in _chunk_indices(idxs):
             real = len(chunk)
@@ -446,18 +461,8 @@ def extract_local_features_batch(
             mask_j = jnp.asarray(mask_b)
 
             # --- normals (one dispatch for the chunk) ----------------------
-            # gaussian/KPQ culling scores consume normals, so compute them
-            # even when the descriptor doesn't need them.  NOTE: the
-            # per-cloud rule (features.py:needs_culling_normals) also
-            # computes normals for geo="curvature"; decisions still match
-            # because the curvature score never reads them (the voxel
-            # keypoint positions are unaffected by extra averaged fields)
-            culling_needs_normals = (
-                not _culling_plain(kp_params, is_training)
-                and kp_params.filter_method_geometry.lower()
-                in ("gaussian", "kpq"))
             cloud_normals: List[Optional[np.ndarray]] = [None] * MB
-            if fcfg.needs_normals() or culling_needs_normals:
+            if want_normals:
                 t_n = time.perf_counter()
                 cloud_normals = _batch_normals(
                     padded, clouds, normals_list, pts_j, mask_j, n,
@@ -468,11 +473,6 @@ def extract_local_features_batch(
 
             # --- voxel-grid keypoints (one dispatch) -----------------------
             t_k = time.perf_counter()
-            e_parts = []
-            if fcfg.needs_normals() or culling_needs_normals:
-                e_parts.append("normals")
-            if has_rgb:
-                e_parts.append("rgb")
             e_dim = 3 * len(e_parts)
             if e_dim:
                 extra_b = np.zeros((MB, n, e_dim), np.float32)
@@ -502,7 +502,7 @@ def extract_local_features_batch(
                 times["keypoints"] = times.get("keypoints", 0.0) \
                     + time.perf_counter() - t_k
 
-            staged.append(_ChunkState(chunk, padded, pts_j, mask_j, kps,
+            staged.append(_ChunkState(chunk, padded, pts_b, mask_b, kps,
                                       kp_rgbs, cloud_normals, cents, cmask))
 
         # --- detection-time keypoint culling (one dispatch per chunk, ONE
@@ -545,7 +545,8 @@ def extract_local_features_batch(
                     float(kp_params.leaf_size),
                     float(kp_params.max_similar_color_distance))(
                         jnp.asarray(kpc), jnp.asarray(kpm), jnp.asarray(knc),
-                        jnp.asarray(krc), st.pts_j, st.mask_j,
+                        jnp.asarray(krc), jnp.asarray(st.pts_b),
+                        jnp.asarray(st.mask_b),
                         jnp.asarray(nrm_c), jnp.asarray(rgb_c))
                 g_b, c_b = np.asarray(g_b), np.asarray(c_b)
                 for r in range(real):
@@ -567,8 +568,8 @@ def extract_local_features_batch(
         k_bucket = max(bucket_size(len(kp), minimum=64)
                        for st in staged for kp in st.kps)
         for st in staged:
-            chunk, padded, pts_j, mask_j = st.chunk, st.padded, st.pts_j, \
-                st.mask_j
+            chunk, padded = st.chunk, st.padded
+            pts_j, mask_j = jnp.asarray(st.pts_b), jnp.asarray(st.mask_b)
             kps, kp_rgbs, cloud_normals = st.kps, st.kp_rgbs, \
                 st.cloud_normals
             real = len(chunk)

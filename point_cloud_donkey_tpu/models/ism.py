@@ -523,11 +523,18 @@ class ImplicitShapeModel:
 
             # pass 2: local features -- batched across models when eligible
             # (same cross-cloud batching as detect_batch; one vmapped
-            # program per stage per chunk instead of 3-4 dispatches/model)
-            use_batch = (not use_cache and len(clouds_xyz) > 1
-                         and batch_supported(
-                             fcfg, KeypointParams.from_config(kp_cfg),
-                             clouds_xyz, is_training=True))
+            # program per stage per chunk instead of 3-4 dispatches/model).
+            # Eligibility is decided PER CLOUD (type gates are
+            # dataset-global, the scene-size gate per cloud) so the path a
+            # cloud takes -- and therefore the trained state, bit for bit --
+            # cannot depend on where MODEL_CHUNK boundaries fall.
+            from ..ops.tiled import SCENE_TILE_THRESHOLD
+            type_ok = (not use_cache and len(self._training) > 1
+                       and batch_supported(
+                           fcfg, KeypointParams.from_config(kp_cfg),
+                           [], is_training=True))
+            batch_idx = [i for i, c in enumerate(clouds_xyz)
+                         if type_ok and len(c) <= SCENE_TILE_THRESHOLD]
 
             def _emit_model(i, fs):
                 # the reference's boost signals interleave per model (cloud,
@@ -541,23 +548,25 @@ class ImplicitShapeModel:
                            normals=clouds_nrm[i])
                 self._emit("features", features=fs)
 
-            if use_batch:
-                chunk_fs = extract_local_features_batch(
-                    clouds_xyz, clouds_nrm, clouds_rgb, fcfg, kp_cfg,
-                    normal_radius, cn_method, is_training=True)
-                if self._callbacks:
-                    for i, fs in enumerate(chunk_fs):
-                        _emit_model(i, fs)
-                features_per_model.extend(chunk_fs)
-            else:
-                for i, (filename, xyz, normals, rgb) in enumerate(
-                        zip(files, clouds_xyz, clouds_nrm, clouds_rgb)):
-                    fs = self._cached_local_features(
-                        filename, xyz, normals, fcfg, kp_cfg, normal_radius,
-                        cn_method, rgb)
-                    if self._callbacks:
-                        _emit_model(i, fs)
-                    features_per_model.append(fs)
+            chunk_fs: List[Optional[FeatureSet]] = [None] * len(clouds_xyz)
+            if batch_idx:
+                sub = extract_local_features_batch(
+                    [clouds_xyz[i] for i in batch_idx],
+                    [clouds_nrm[i] for i in batch_idx],
+                    [clouds_rgb[i] for i in batch_idx],
+                    fcfg, kp_cfg, normal_radius, cn_method,
+                    is_training=True)
+                for i, fs in zip(batch_idx, sub):
+                    chunk_fs[i] = fs
+            for i in range(len(clouds_xyz)):
+                if chunk_fs[i] is None:
+                    chunk_fs[i] = self._cached_local_features(
+                        files[i], clouds_xyz[i], clouds_nrm[i], fcfg,
+                        kp_cfg, normal_radius, cn_method, clouds_rgb[i])
+            if self._callbacks:
+                for i, fs in enumerate(chunk_fs):
+                    _emit_model(i, fs)
+            features_per_model.extend(chunk_fs)
 
             # pass 3: global features (whole-cloud ESF/VFH/GRSD/GASD
             # batched across models; other types per model)

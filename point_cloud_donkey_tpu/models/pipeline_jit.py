@@ -137,42 +137,11 @@ def classify_scores_instances(points: jnp.ndarray, mask: jnp.ndarray, cb,
     return cls_scores, inst_scores
 
 
-def classify_scores_mean_shift(points: jnp.ndarray, mask: jnp.ndarray, cb,
-                               cfg: JitPipelineConfig,
-                               cb_params: CodebookParams,
-                               seed_capacity: int = 256,
-                               max_iter: int = 100) -> jnp.ndarray:
-    """Forward step with the full mean-shift per class: score of a class =
-    density of its best maximum (classification decision parity with the
-    DEFAULT single-object-mode path)."""
-    kp, frames, desc, valid = extract_features_jit(points, mask, cfg)
-    votes = cast_votes(cb, desc, kp, frames, valid, cb_params, cfg.metric)
-    bw = jnp.asarray(cfg.bandwidth, points.dtype)
-
-    def per_class(c):
-        sel = votes.valid & (votes.class_id == c)
-        w = jnp.where(sel, votes.weight, 0.0)
-        pos = jnp.where(sel[:, None], votes.position, 1e9)
-        seeds, _, seed_mask = ms.create_seeds(pos, w, sel, ms.seeds_range(bw),
-                                              seed_capacity)
-        centers, alive = ms.mean_shift(seeds, seed_mask, pos, w, sel, bw,
-                                       max_iter=max_iter)
-        dens = ms.estimate_density(centers, pos, w, sel, bw)
-        return jnp.max(jnp.where(alive, dens, 0.0))
-
-    return jax.vmap(per_class)(jnp.arange(cfg.num_classes))
-
-
-def detect_maxima_jit(points: jnp.ndarray, mask: jnp.ndarray, cb,
-                      cfg: JitPipelineConfig,
-                      cb_params: CodebookParams,
-                      seed_capacity: int = 256,
-                      max_iter: int = 100):
-    """Fused detection step: one program from raw points to the per-class
-    best mean-shift maximum.  Returns (densities [C], positions [C, 3]) --
-    the serving analogue of VotingMeanShift::findMaxima's top maximum per
-    class (voting_mean_shift.cpp iFindMaxima); classes with no votes report
-    density 0 at position 0."""
+def _per_class_best_maximum(points, mask, cb, cfg: JitPipelineConfig,
+                            cb_params: CodebookParams, seed_capacity: int,
+                            max_iter: int):
+    """Shared mean-shift serving body: features -> votes -> per-class
+    mean-shift -> (best density [C], best center [C, 3], any-alive [C])."""
     kp, frames, desc, valid = extract_features_jit(points, mask, cfg)
     votes = cast_votes(cb, desc, kp, frames, valid, cb_params, cfg.metric)
     bw = jnp.asarray(cfg.bandwidth, points.dtype)
@@ -188,7 +157,35 @@ def detect_maxima_jit(points: jnp.ndarray, mask: jnp.ndarray, cb,
         dens = ms.estimate_density(centers, pos, w, sel, bw)
         dens = jnp.where(alive, dens, 0.0)
         best = jnp.argmax(dens)
-        has = jnp.any(alive) & (dens[best] > 0)
-        return dens[best], jnp.where(has, centers[best], 0.0)
+        return dens[best], centers[best], jnp.any(alive)
 
     return jax.vmap(per_class)(jnp.arange(cfg.num_classes))
+
+
+def classify_scores_mean_shift(points: jnp.ndarray, mask: jnp.ndarray, cb,
+                               cfg: JitPipelineConfig,
+                               cb_params: CodebookParams,
+                               seed_capacity: int = 256,
+                               max_iter: int = 100) -> jnp.ndarray:
+    """Forward step with the full mean-shift per class: score of a class =
+    density of its best maximum (classification decision parity with the
+    DEFAULT single-object-mode path)."""
+    dens, _, _ = _per_class_best_maximum(points, mask, cb, cfg, cb_params,
+                                         seed_capacity, max_iter)
+    return dens
+
+
+def detect_maxima_jit(points: jnp.ndarray, mask: jnp.ndarray, cb,
+                      cfg: JitPipelineConfig,
+                      cb_params: CodebookParams,
+                      seed_capacity: int = 256,
+                      max_iter: int = 100):
+    """Fused detection step: one program from raw points to the per-class
+    best mean-shift maximum.  Returns (densities [C], positions [C, 3]) --
+    the serving analogue of VotingMeanShift::findMaxima's top maximum per
+    class (voting_mean_shift.cpp iFindMaxima); classes with no votes report
+    density 0 at position 0."""
+    dens, centers, any_alive = _per_class_best_maximum(
+        points, mask, cb, cfg, cb_params, seed_capacity, max_iter)
+    has = any_alive & (dens > 0)
+    return dens, jnp.where(has[:, None], centers, 0.0)

@@ -405,7 +405,9 @@ def test_host_cli_file_chunking_matches_single_pass(tmp_path, monkeypatch):
 
 def test_train_model_chunking_bit_identical(tmp_path, monkeypatch):
     """train() over MODEL_CHUNK-file slices (O(chunk) memory) must produce
-    a bit-identical trained state to the single-pass run."""
+    the same trained state as the single-pass run: integer/boolean arrays
+    bit-identical, float arrays to ~1-ulp (padded-capacity reduction order
+    shifts with the chunk layout; decisions cannot)."""
     import json
 
     import point_cloud_donkey_tpu.models.ism as ism_mod
@@ -443,16 +445,26 @@ def test_train_model_chunking_bit_identical(tmp_path, monkeypatch):
         return ism.state
 
     single = train_one()
-    monkeypatch.setattr(ism_mod, "MODEL_CHUNK", 4)  # 6 models -> 2 chunks
+    monkeypatch.setattr(ism_mod, "MODEL_CHUNK", 5)  # 6 models -> 5 + 1:
+    # the trailing SIZE-1 chunk must take the same per-cloud-eligible
+    # batched path as every other cloud (bit-identity regression)
     chunked = train_one()
 
     cb_s, cb_c = single.codebook, chunked.codebook
     for name in cb_s._fields:
-        np.testing.assert_array_equal(np.asarray(getattr(cb_s, name)),
-                                      np.asarray(getattr(cb_c, name)), name)
-    np.testing.assert_array_equal(single.global_descriptors,
-                                  chunked.global_descriptors)
-    np.testing.assert_array_equal(single.global_radii, chunked.global_radii)
+        a = np.asarray(getattr(cb_s, name))
+        b = np.asarray(getattr(cb_c, name))
+        assert a.shape == b.shape, name
+        if a.dtype.kind in "biu":
+            np.testing.assert_array_equal(a, b, err_msg=name)
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6,
+                                       err_msg=name)
+    np.testing.assert_allclose(single.global_descriptors,
+                               chunked.global_descriptors,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(single.global_radii, chunked.global_radii,
+                               rtol=1e-5)
 
 
 def test_serve_cli_classify_and_maxima(tmp_path, capsys):
