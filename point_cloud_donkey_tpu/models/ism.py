@@ -777,9 +777,29 @@ class ImplicitShapeModel:
                                    extract_local_features_batch)
         from .keypoints import KeypointParams
         kp_params = KeypointParams.from_config(kp_cfg)
-        if not batch_supported(fcfg, kp_params, clouds):
+        if not batch_supported(fcfg, kp_params, []):
+            # type gates (descriptor / keypoint / culling method) exclude
+            # the whole list
             return [self.detect(c, nl, rl)
                     for c, nl, rl in zip(clouds, normals_list, rgb_list)]
+        if not batch_supported(fcfg, kp_params, clouds):
+            # eligible types but some clouds are scene-scale: batch the
+            # eligible subset, per-cloud detect the scenes, preserve order
+            from ..ops.tiled import SCENE_TILE_THRESHOLD
+            small = [i for i, c in enumerate(clouds)
+                     if len(c) <= SCENE_TILE_THRESHOLD]
+            out: List = [None] * n
+            if small:
+                sub = self.detect_batch([clouds[i] for i in small],
+                                        [normals_list[i] for i in small],
+                                        [rgb_list[i] for i in small])
+                for i, res in zip(small, sub):
+                    out[i] = res
+            for i in range(n):
+                if out[i] is None:
+                    out[i] = self.detect(clouds[i], normals_list[i],
+                                         rgb_list[i])
+            return out
 
         t0 = time.perf_counter()
         if not self._callbacks and fused_supported(

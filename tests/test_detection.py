@@ -665,3 +665,33 @@ def test_detect_batch_color_culling_matches_detect(rng, tmp_path):
 
     with pytest.raises(ValueError, match="color culling needs RGB"):
         ism.detect_batch(clouds)
+
+
+def test_detect_batch_mixed_scene_partition(rng, tmp_path, monkeypatch):
+    """A list mixing batch-eligible clouds with scene-scale ones must batch
+    the eligible subset and per-cloud the scenes, preserving order and
+    per-cloud decisions (previously any scene cloud forced the WHOLE list
+    onto the per-cloud path)."""
+    import point_cloud_donkey_tpu.ops.tiled as tiled
+    from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+    from point_cloud_donkey_tpu.utils.config import IsmConfig
+
+    ism = ImplicitShapeModel(IsmConfig.from_json(_batch_cfg()))
+    for cid in range(3):
+        pts = shapes.make_instance(rng, cid, n=800, rotate=False, noise=0.005)
+        p = str(tmp_path / f"t{cid}.pcd")
+        save_pcd(p, PointCloud(xyz=pts))
+        ism.add_training_model(p, cid, cid)
+    ism.train()
+
+    clouds = [shapes.make_instance(rng, i % 3, n=800, rotate=True)
+              for i in range(4)]
+    clouds[2] = shapes.make_instance(rng, 2, n=1600, rotate=True)  # "scene"
+    singles = [ism.detect(c)[0] for c in clouds]
+
+    monkeypatch.setattr(tiled, "SCENE_TILE_THRESHOLD", 1000)
+    batched = ism.detect_batch(clouds)
+    for (mb, _), ms in zip(batched, singles):
+        assert [m.class_id for m in mb] == [m.class_id for m in ms]
+        for a, b in zip(mb, ms):
+            np.testing.assert_allclose(a.position, b.position, atol=1e-4)
