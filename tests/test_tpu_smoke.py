@@ -110,3 +110,29 @@ def test_knn_and_histogram_kernels_on_device(rng, device_check):
                                     jnp.asarray(db[:, :3])))
     ref = ((q[:, None, :3] - db[None, :, :3]) ** 2).sum(-1)
     np.testing.assert_allclose(d2, ref, atol=1e-4)
+
+
+def test_detect_maxima_program_on_device(rng, device_check):
+    """The fused detection step (features -> votes -> per-class mean-shift
+    -> best maximum density + position) compiles and runs on the real
+    chip with finite outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _pipeline_cfg, _synthetic_codebook
+    from point_cloud_donkey_tpu.models.codebook import CodebookParams
+    from point_cloud_donkey_tpu.models.pipeline_jit import detect_maxima_jit
+
+    cfg = _pipeline_cfg(keypoint_capacity=64, neighbor_capacity=128)
+    cb = jax.tree_util.tree_map(jnp.asarray, _synthetic_codebook(num_codewords=64))
+    params = CodebookParams(knn_k=1)
+
+    n = 512
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    fn = jax.jit(lambda p, m: detect_maxima_jit(p, m, cb, cfg, params))
+    dens, pos = fn(jnp.asarray(pts), jnp.ones(n, bool))
+    dens, pos = np.asarray(dens), np.asarray(pos)
+    assert dens.shape == (cfg.num_classes,)
+    assert pos.shape == (cfg.num_classes, 3)
+    assert np.all(np.isfinite(dens)) and np.all(np.isfinite(pos))
