@@ -695,3 +695,43 @@ def test_detect_batch_mixed_scene_partition(rng, tmp_path, monkeypatch):
         assert [m.class_id for m in mb] == [m.class_id for m in ms]
         for a, b in zip(mb, ms):
             np.testing.assert_allclose(a.position, b.position, atol=1e-4)
+
+
+def test_detect_batch_provided_normals_matches_detect(rng, tmp_path):
+    """Caller-provided normals route through the staged batch path (the
+    fused program would recompute them); decisions must match the per-cloud
+    detect() with the same normals, and differ from recomputed-normals
+    ONLY through the normals actually being used."""
+    from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+    from point_cloud_donkey_tpu.utils.config import IsmConfig
+
+    cfg = _batch_cfg()
+    cfg["ObjectConfig"]["Children"]["Features"] = {
+        "Type": "FPFH", "Parameters": {
+            "Radius": 0.6, "ReferenceFrameRadius": 0.5}}
+    ism = ImplicitShapeModel(IsmConfig.from_json(cfg))
+    for cid in range(3):
+        pts = shapes.make_instance(rng, cid, n=800, rotate=False, noise=0.005)
+        p = str(tmp_path / f"t{cid}.pcd")
+        save_pcd(p, PointCloud(xyz=pts))
+        ism.add_training_model(p, cid, cid)
+    ism.train()
+
+    clouds = [shapes.make_instance(rng, i % 3, n=800, rotate=True)
+              for i in range(4)]
+    # analytic-ish normals: unit vectors from each cloud's centroid
+    nrms = []
+    for c in clouds:
+        v = c - c.mean(axis=0)
+        nrms.append((v / np.linalg.norm(v, axis=1, keepdims=True))
+                    .astype(np.float32))
+
+    singles = [ism.detect(c, nl)[0] for c, nl in zip(clouds, nrms)]
+    batched = ism.detect_batch(clouds, normals_list=nrms)
+    preds = []
+    for (mb, _), ms in zip(batched, singles):
+        assert [m.class_id for m in mb] == [m.class_id for m in ms]
+        for a, b in zip(mb, ms):
+            np.testing.assert_allclose(a.position, b.position, atol=1e-4)
+        preds.append(mb[0].class_id if mb else -1)
+    assert -1 not in preds
