@@ -692,8 +692,7 @@ def _extract_local_features_scene(
                 + time.perf_counter() - t_n
 
     # detect_keypoints handles every type at scene scale (VoxelGrid /
-    # VoxelGridCulling / Harris3D / ISS3D via windowed tiled passes) except
-    # SIFT3D, for which it raises the documented scene-scale error
+    # VoxelGridCulling / Harris3D / ISS3D / SIFT3D via windowed tiled passes)
     t_k = time.perf_counter()
     kp, kp_rgb = detect_keypoints(xyz_s, cloud_normals, rgb_s, kp_params,
                                   is_training=is_training, return_colors=True)

@@ -142,7 +142,10 @@ def _detector_keypoints(points: np.ndarray, normals: Optional[np.ndarray],
         nres = pca_normals(pts_j, mask_j, params.radius)
         nrm = nres.normals if normals is None or len(normals) != len(points)             else jnp.asarray(np.concatenate(
                 [normals, np.zeros((n - len(points), 3), np.float32)]))
-        intensity = nres.curvature
+        # degenerate (<3-neighbor) covariances cancel to fp noise under the
+        # moments identity, making lambda0/total garbage; a plane fit needs
+        # 3 points (PCL returns NaN curvature there), so gate on validity
+        intensity = jnp.where(nres.valid, nres.curvature, 0.0)
     else:
         nrm = jnp.zeros((n, 3), jnp.float32)
         intensity = jnp.zeros(n, jnp.float32)
@@ -168,20 +171,16 @@ def _detector_keypoints(points: np.ndarray, normals: Optional[np.ndarray],
 def _tiled_detector_keypoints(points: np.ndarray,
                               normals: Optional[np.ndarray],
                               params: KeypointParams) -> np.ndarray:
-    """Harris3D / ISS3D at scene scale: the same response math as
+    """Harris3D / ISS3D / SIFT3D at scene scale: the same response math as
     ops/keypoint_detectors.py decomposed into windowed accumulation passes
     (ops/tiled.py) plus eager [N]-sized linear algebra; parity with the
-    dense programs pinned by test.  SIFT3D's top-octave Gaussian supports
-    span most of a scene, so it stays dense-only."""
+    dense programs pinned by test.  SIFT3D's coarse-octave Gaussian supports
+    are wide (3 * min_scale * 2^octaves), so its plans shrink the query
+    chunk as the window grows to keep chunk*window memory bounded."""
     from ..ops.eigh3 import eigh3x3
     from ..ops.tiled import (NORMALS_CHUNK, plan_tiles, sort_key_axis,
                              tiled_neighbor_max, tiled_payload_moments,
                              tiled_radius_moments)
-    if params.type == "SIFT3D":
-        raise ValueError(
-            f"SIFT3D keypoints are not supported at scene scale "
-            f"({len(points)} points): the top-octave Gaussian supports are "
-            f"not window-boundable; use VoxelGrid/Harris3D/ISS3D")
 
     axis = sort_key_axis(points)
     order = np.argsort(points[:, axis], kind="stable")
@@ -197,6 +196,13 @@ def _tiled_detector_keypoints(points: np.ndarray,
     def _plan(radius):
         return plan_tiles(q_pad[:, axis], q_valid, pts_s[:, axis], radius,
                           NORMALS_CHUNK)
+
+    if params.type == "SIFT3D":
+        keep = _tiled_sift3d(q_pad, q_valid, pts_s, p_mask, axis,
+                             float(params.radius))
+        keep_full = np.zeros(n, bool)
+        keep_full[order] = keep[:n]
+        return points[keep_full].astype(np.float32)
 
     if params.type == "Harris3D":
         radius = float(params.radius)
@@ -278,6 +284,76 @@ def _tiled_detector_keypoints(points: np.ndarray,
     keep_full = np.zeros(n, bool)
     keep_full[order] = keep
     return points[keep_full].astype(np.float32)
+
+
+def _tiled_sift3d(q_pad: np.ndarray, q_valid: np.ndarray, pts_s: np.ndarray,
+                  p_mask: np.ndarray, axis: int, min_scale: float,
+                  n_octaves: int = 4, scales_per_octave: int = 3,
+                  min_contrast: float = 0.0) -> np.ndarray:
+    """ops/keypoint_detectors.sift3d decomposed into windowed passes: per
+    octave, tiled Gaussian smoothing of the curvature field at each sigma,
+    host DoG differencing, then a tiled neighbor min/max extremum test per
+    interior layer.  Coarse octaves have supports of 3 * min_scale * 2^o, so
+    each plan shrinks the query chunk as the window grows (chunk * window
+    <= 2^24 elements).  Returns keep flags in sorted-query order.
+
+    Tiled results equal the dense program up to fp summation order; the
+    strict-inequality extremum test binarizes that, so points whose DoG
+    margin is at fp32 noise level can flip (measured: 3 of ~142 keypoints
+    on a noise-dominated synthetic plane, 0 on smooth structure -- the
+    pinned parity test uses a smooth fixture)."""
+    from ..ops.eigh3 import eigvals3x3
+    from ..ops.tiled import (NORMALS_CHUNK, plan_tiles, tiled_gaussian_smooth,
+                             tiled_radius_moments, tiled_sift_extrema)
+    n = len(pts_s)
+
+    def _plan(radius):
+        plan = plan_tiles(q_pad[:, axis], q_valid, pts_s[:, axis], radius,
+                          NORMALS_CHUNK)
+        chunk = NORMALS_CHUNK
+        while chunk > 64 and chunk * plan.window > (1 << 24):
+            chunk //= 2
+        if chunk != NORMALS_CHUNK:
+            plan = plan_tiles(q_pad[:, axis], q_valid, pts_s[:, axis],
+                              radius, chunk)
+        return plan
+
+    # intensity = PCA curvature at the support radius (the dense path's
+    # pca_normals(points, mask, radius).curvature, gated on >= 3 neighbors
+    # exactly like the dense branch -- degenerate covariances cancel to fp
+    # noise under the moments identity)
+    mom = tiled_radius_moments(q_pad, pts_s, p_mask, _plan(min_scale),
+                               min_scale)
+    vals = np.asarray(eigvals3x3(mom.cov))
+    total = vals.sum(axis=1)
+    curv = np.where((total > 0) & (np.asarray(mom.count) >= 3),
+                    vals[:, 0] / np.maximum(total, 1e-30),
+                    0.0).astype(np.float32)
+    intensity = curv[:n]
+
+    keep = np.zeros(len(q_pad), bool)
+    for o in range(n_octaves):
+        base = min_scale * (2.0 ** o)
+        sigmas = [base * (2.0 ** (s / scales_per_octave))
+                  for s in range(scales_per_octave + 1)]
+        smoothed = [np.asarray(tiled_gaussian_smooth(
+            q_pad, pts_s, intensity, p_mask, _plan(3.0 * s), s))
+            for s in sigmas]
+        dogs = [smoothed[i + 1] - smoothed[i] for i in range(len(sigmas) - 1)]
+        for li in range(1, len(dogs) - 1):
+            sig = sigmas[li]
+            layers = np.stack([dogs[li - 1][:n], dogs[li][:n],
+                               dogs[li + 1][:n]], axis=1).astype(np.float32)
+            any_nb, lo, hi = tiled_sift_extrema(q_pad, pts_s, layers, p_mask,
+                                                _plan(sig), sig)
+            any_nb, lo, hi = (np.asarray(any_nb), np.asarray(lo),
+                              np.asarray(hi))
+            dog = dogs[li]
+            is_min = (dog < lo) & (dog < dogs[li - 1]) & (dog < dogs[li + 1])
+            is_max = (dog > hi) & (dog > dogs[li - 1]) & (dog > dogs[li + 1])
+            keep |= q_valid & (is_min | is_max) \
+                & (np.abs(dog) >= min_contrast) & any_nb
+    return keep
 
 
 def _tiled_culling_scores(kp, kp_normals, kp_rgb, points, normals, rgb,

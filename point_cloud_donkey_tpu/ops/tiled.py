@@ -483,3 +483,76 @@ def tiled_neighbor_max(queries, points, values, mask, plan: TilePlan,
                     jnp.asarray(values), jnp.asarray(mask), plan.starts)
     q = queries.shape[0]
     return cnt[:q], vmax[:q]
+
+
+@functools.lru_cache(maxsize=None)
+def _tiled_gauss_smooth_stage(q: int, n: int, chunk: int, window: int,
+                              n_chunks: int, sigma: float):
+    from .neighbors import pairwise_sqdist
+
+    @jax.jit
+    def run(queries, points, values, mask, starts):
+        def inner(qs, ps, s):
+            (qq,) = qs
+            p, v, pm = ps
+            d2 = pairwise_sqdist(qq, p)
+            K = jnp.exp(-0.5 * d2 / (sigma * sigma))
+            K = jnp.where((d2 <= 9.0 * sigma * sigma) & pm[None, :], K, 0.0)
+            ks = jnp.maximum(jnp.sum(K, axis=1), 1e-12)
+            return (K @ v) / ks
+
+        return _map_chunks(inner, (queries,), (points, values, mask),
+                           starts, chunk, window, n_chunks)
+    return run
+
+
+def tiled_gaussian_smooth(queries, points, values, mask, plan: TilePlan,
+                          sigma: float):
+    """Gaussian-weighted mean of neighbor values truncated at 3*sigma --
+    the smoothing pass of ops/keypoint_detectors.sift3d, windowed.  The
+    query's own value participates when queries == points (d2 == 0 row),
+    matching the dense program."""
+    run = _tiled_gauss_smooth_stage(queries.shape[0], points.shape[0],
+                                    plan.chunk, plan.window, plan.n_chunks,
+                                    float(sigma))
+    out = run(jnp.asarray(queries), jnp.asarray(points), jnp.asarray(values),
+              jnp.asarray(mask), plan.starts)
+    return out[:queries.shape[0]]
+
+
+@functools.lru_cache(maxsize=None)
+def _tiled_sift_extrema_stage(q: int, n: int, k: int, chunk: int, window: int,
+                              n_chunks: int, radius: float):
+    from .neighbors import pairwise_sqdist
+
+    @jax.jit
+    def run(queries, points, layers, mask, starts):
+        def inner(qs, ps, s):
+            (qq,) = qs
+            p, lv, pm = ps
+            d2 = pairwise_sqdist(qq, p)
+            nb = (d2 <= radius * radius) & pm[None, :] & (d2 > 0)
+            lo = jnp.min(jnp.where(nb[:, :, None], lv[None, :, :], jnp.inf),
+                         axis=(1, 2))
+            hi = jnp.max(jnp.where(nb[:, :, None], lv[None, :, :], -jnp.inf),
+                         axis=(1, 2))
+            return jnp.any(nb, axis=1), lo, hi
+
+        return _map_chunks(inner, (queries,), (points, layers, mask),
+                           starts, chunk, window, n_chunks)
+    return run
+
+
+def tiled_sift_extrema(queries, points, layers, mask, plan: TilePlan,
+                       radius: float):
+    """Per-query (has-neighbor flag, min, max) of the neighbors' DoG values
+    across all `layers` columns within `radius`, excluding the query itself
+    (d2 > 0) -- the scale-space extremum test of
+    ops/keypoint_detectors.sift3d, windowed."""
+    run = _tiled_sift_extrema_stage(queries.shape[0], points.shape[0],
+                                    layers.shape[1], plan.chunk, plan.window,
+                                    plan.n_chunks, float(radius))
+    any_nb, lo, hi = run(jnp.asarray(queries), jnp.asarray(points),
+                         jnp.asarray(layers), jnp.asarray(mask), plan.starts)
+    q = queries.shape[0]
+    return any_nb[:q], lo[:q], hi[:q]

@@ -325,10 +325,10 @@ def test_culling_matches_loop_oracle(cloud, voxel_stage, case):
         np.testing.assert_allclose(got_rgb, want_rgb, atol=2e-5)
 
 
-@pytest.mark.parametrize("ktype", ["Harris3D", "ISS3D"])
+@pytest.mark.parametrize("ktype", ["Harris3D", "ISS3D", "SIFT3D"])
 def test_tiled_detector_keypoints_match_dense(cloud, ktype):
-    """Harris3D / ISS3D at scene scale (windowed passes) must reproduce the
-    dense programs' keypoints; SIFT3D raises the documented scene error."""
+    """Harris3D / ISS3D / SIFT3D at scene scale (windowed passes) must
+    reproduce the dense programs' keypoints."""
     import point_cloud_donkey_tpu.ops.tiled as tiled
     pts, nrm, _ = cloud
     if ktype == "Harris3D":
@@ -338,17 +338,16 @@ def test_tiled_detector_keypoints_match_dense(cloud, ktype):
         nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
         params = KeypointParams(type="Harris3D", radius=0.35,
                                 harris_threshold=1e-6)
-    else:
+    elif ktype == "ISS3D":
         params = KeypointParams(type="ISS3D", iss_salient_radius=0.35,
                                 iss_nonmax_radius=0.2, iss_min_neighbors=4)
+    else:
+        params = KeypointParams(type="SIFT3D", radius=0.2)
     dense = detect_keypoints(pts, nrm, None, params)
     orig = tiled.SCENE_TILE_THRESHOLD
     try:
         tiled.SCENE_TILE_THRESHOLD = 100
         scene = detect_keypoints(pts, nrm, None, params)
-        with pytest.raises(ValueError, match="SIFT3D.*scene scale"):
-            detect_keypoints(pts, nrm, None,
-                             KeypointParams(type="SIFT3D", radius=0.2))
     finally:
         tiled.SCENE_TILE_THRESHOLD = orig
     assert len(dense) > 3, "degenerate test: almost no keypoints"
