@@ -140,7 +140,7 @@ def main():
     N = 2048
     NUM_CLASSES = 5
     BATCH = 32
-    ROUNDS = 8
+    ROUNDS = 16
     TRAIN_N = 24        # training-throughput clouds (warm programs)
     HOST_DETECT_N = 32  # host ImplicitShapeModel.detect_batch clouds
 
@@ -207,14 +207,18 @@ def main():
 
     pts_j, mask_j = jnp.asarray(clouds), jnp.asarray(mask)
 
-    # warmup / compile
+    # warmup / compile.  Timing sync is a HOST FETCH of the tiny [B, C]
+    # scores (np.asarray), NOT block_until_ready: on the axon tunnel
+    # block_until_ready returns immediately without waiting for execution
+    # (measured 0.03 ms/batch "timings" with it), while a fetch genuinely
+    # drains the dispatch queue.
     scores = step(pts_j, mask_j)
-    scores.block_until_ready()
+    np.asarray(scores)
 
     t0 = time.perf_counter()
     for _ in range(ROUNDS):
         scores = step(pts_j, mask_j)
-    scores.block_until_ready()
+    scores = np.asarray(scores)
     dt = time.perf_counter() - t0
 
     clouds_per_sec = BATCH * ROUNDS / dt
@@ -226,11 +230,11 @@ def main():
         step_ms = jax.jit(jax.vmap(
             lambda p, m: classify_scores_mean_shift(p, m, cb, cfg, params)))
         s2 = step_ms(pts_j, mask_j)
-        s2.block_until_ready()
+        np.asarray(s2)
         t0 = time.perf_counter()
         for _ in range(ROUNDS):
             s2 = step_ms(pts_j, mask_j)
-        s2.block_until_ready()
+        s2 = np.asarray(s2)  # hard sync (see headline-loop comment)
         ms_clouds_per_sec = round(BATCH * ROUNDS / (time.perf_counter() - t0), 2)
         ms_acc = float((np.argmax(np.asarray(s2), axis=1) == labels).mean())
 
