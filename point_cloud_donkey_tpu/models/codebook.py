@@ -80,6 +80,12 @@ class CodebookParams:
     # partial SHOT/CSHOT matching (codebook.cpp:37-38, :416-475, :952-1036)
     use_partial_shot: bool = False
     partial_shot_type: str = "front"
+    # FLANNExactMatch (implicit_shape_model.cpp:125, default false): the
+    # reference's default is APPROXIMATE kd-tree search (SearchParams(128));
+    # here exact=False selects the MXU feature-map chi-square approximation
+    # on accelerator backends (ops/neighbors.knn).  CPU is always exact, so
+    # goldens are platform-stable either way.
+    flann_exact: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -97,15 +103,16 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def _knn_program(qn: int, c: int, d: int, k: int, metric: str):
+def _knn_program(qn: int, c: int, d: int, k: int, metric: str, exact: bool):
     @jax.jit
     def run(q, db):
-        return knn(q, db, jnp.ones(c, bool), k=k, metric=metric)
+        return knn(q, db, jnp.ones(c, bool), k=k, metric=metric, exact=exact)
     return run
 
 
 def activate_knn_batch(descriptors: np.ndarray, codewords: np.ndarray,
-                       k: int, metric: str) -> Tuple[np.ndarray, np.ndarray]:
+                       k: int, metric: str, exact: bool = True
+                       ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact k-NN activation for a feature batch (replaces FLANN index
     queries in activation_strategy_knn.h:42-126).  Jitted and query-chunked:
     the [chunk, C] distance block stays bounded and the compiled program is
@@ -125,7 +132,7 @@ def activate_knn_batch(descriptors: np.ndarray, codewords: np.ndarray,
     pad = (-f) % chunk
     q = np.zeros((f + pad, d), np.float32)
     q[:f] = descriptors
-    run = _knn_program(chunk, c, d, k, metric)
+    run = _knn_program(chunk, c, d, k, metric, exact)
     cw_j = jnp.asarray(codewords)
     outs_d, outs_i = [], []
     for i0 in range(0, f + pad, chunk):
@@ -139,12 +146,13 @@ def activate_knn_batch(descriptors: np.ndarray, codewords: np.ndarray,
 
 def inn_refine_queries(descriptors: jnp.ndarray, codewords: jnp.ndarray,
                        cw_mask: jnp.ndarray, metric: str,
-                       iterations: int, residual_weight: float) -> jnp.ndarray:
+                       iterations: int, residual_weight: float,
+                       exact: bool = True) -> jnp.ndarray:
     """INN activation's iterative query refinement
     (activation_strategy_inn.h:37-75): repeatedly find the 1-NN, then push
     the query away from its projection onto that neighbor."""
     def body(_, q):
-        _, idx = knn(q, codewords, cw_mask, k=1, metric=metric)
+        _, idx = knn(q, codewords, cw_mask, k=1, metric=metric, exact=exact)
         nb = codewords[idx[:, 0]]
         factor = jnp.sum(nb * q, axis=1, keepdims=True)
         return q + residual_weight * (q - factor * nb)
@@ -163,20 +171,25 @@ def training_activation(descriptors: np.ndarray, codewords: np.ndarray,
     at threshold_capacity nearest, masked by distance; masked entries get
     index -1)."""
     t = params.activation_type
+    ex = params.flann_exact
     if t in ("KNN",):
-        return activate_knn_batch(descriptors, codewords, params.knn_k, metric)
+        return activate_knn_batch(descriptors, codewords, params.knn_k, metric,
+                                  exact=ex)
     if t == "KNNRule":
-        return activate_knn_batch(descriptors, codewords, 1, metric)
+        return activate_knn_batch(descriptors, codewords, 1, metric, exact=ex)
     if t == "INN":
         c = codewords.shape[0]
         q = inn_refine_queries(jnp.asarray(descriptors), jnp.asarray(codewords),
                                jnp.ones(c, bool), metric,
-                               params.inn_iterations, params.inn_residual_weight)
-        d, idx = knn(q, jnp.asarray(codewords), jnp.ones(c, bool), 1, metric)
+                               params.inn_iterations, params.inn_residual_weight,
+                               exact=ex)
+        d, idx = knn(q, jnp.asarray(codewords), jnp.ones(c, bool), 1, metric,
+                     exact=ex)
         return np.asarray(d), np.asarray(idx)
     if t == "Threshold":
         cap = min(params.threshold_capacity, codewords.shape[0])
-        d, idx = activate_knn_batch(descriptors, codewords, cap, metric)
+        d, idx = activate_knn_batch(descriptors, codewords, cap, metric,
+                                    exact=ex)
         idx = np.where(d < params.threshold, idx, -1)
         return d, idx
     raise ValueError(f"unknown activation strategy {t!r}")
@@ -808,7 +821,8 @@ def cast_votes(
         # detection-time 3-NN class-consistency rule
         # (activation_strategy_knn_rule.h:60-115)
         dists3, idx3 = knn(descriptors, cw, cw_mask_j,
-                           k=min(3, cw.shape[0]), metric=metric)
+                           k=min(3, cw.shape[0]), metric=metric,
+                           exact=params.flann_exact)
         vc = jnp.asarray(cb.vote_class)[idx3, 0]   # class of each neighbor
         c0, c1, c2 = vc[:, 0], vc[:, 1], vc[:, 2]
         rt = params.distance_ratio_threshold
@@ -829,20 +843,24 @@ def cast_votes(
         # all codewords within the distance threshold, capped
         # (activation_strategy_threshold.cpp:27-44)
         k = min(params.threshold_capacity, cw.shape[0])
-        dists, idx = knn(descriptors, cw, cw_mask_j, k=k, metric=metric)
+        dists, idx = knn(descriptors, cw, cw_mask_j, k=k, metric=metric,
+                         exact=params.flann_exact)
         keep = dists < params.threshold
     elif strategy == "INN":
         q = inn_refine_queries(descriptors, cw, cw_mask_j, metric,
                                params.inn_iterations,
-                               params.inn_residual_weight)
-        dists, idx = knn(q, cw, cw_mask_j, k=1, metric=metric)
+                               params.inn_residual_weight,
+                               exact=params.flann_exact)
+        dists, idx = knn(q, cw, cw_mask_j, k=1, metric=metric,
+                         exact=params.flann_exact)
         keep = jnp.ones((descriptors.shape[0], 1), bool)
         k = 1
     else:  # KNN
         k = params.knn_k
         search_k = k + 1 if (params.use_distance_ratio and k == 1) else k
         dists, idx = knn(descriptors, cw, cw_mask_j,
-                         k=min(search_k, cw.shape[0]), metric=metric)
+                         k=min(search_k, cw.shape[0]), metric=metric,
+                         exact=params.flann_exact)
         keep = jnp.ones((descriptors.shape[0], k), bool)
         if params.use_distance_ratio and k == 1 and dists.shape[1] >= 2:
             ratio_bad = dists[:, 0] / jnp.maximum(dists[:, 1], 1e-30) \

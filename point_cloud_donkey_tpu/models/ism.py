@@ -150,9 +150,11 @@ def _voting_params(cfg: ComponentConfig) -> VotingParams:
     )
 
 
-def _codebook_params(cfg: ComponentConfig) -> CodebookParams:
+def _codebook_params(cfg: ComponentConfig,
+                     flann_exact: bool = False) -> CodebookParams:
     act = cfg.child("ActivationStrategy")
     return CodebookParams(
+        flann_exact=flann_exact,
         use_class_weight=cfg.get("UseClassWeight", False),
         use_vote_weight=cfg.get("UseVoteWeight", False),
         use_matching_weight=cfg.get("UseMatchingWeight", False),
@@ -594,7 +596,8 @@ class ImplicitShapeModel:
             [features_per_model[i].center_dist for i in order])
 
         rank_params = RankingParams.from_config(
-            self.config.child("FeatureWeighting"))
+            self.config.child("FeatureWeighting"),
+            flann_exact=self.root.get("FLANNExactMatch", False))
         keep = rank_features(all_desc, all_cls, all_cdist, rank_params)
 
         # apply the keep mask back to the per-model feature sets
@@ -618,7 +621,8 @@ class ImplicitShapeModel:
         # position for the i-th cluster center (implicit_shape_model.cpp:465-475)
         cw_pos = all_pos_r[:len(centers)]
 
-        cb_params = _codebook_params(self.config.child("Codebook"))
+        cb_params = _codebook_params(self.config.child("Codebook"),
+                             flann_exact=self.root.get("FLANNExactMatch", False))
         codebook = train_codebook(
             ranked_models,
             [class_per_model[i] for i in order],
@@ -695,7 +699,8 @@ class ImplicitShapeModel:
         fcfg = self._feature_cfg()
         kp_cfg = self.config.child("Keypoints")
         vparams = _voting_params(self.config.child("Voting"))
-        cb_params = _codebook_params(self.config.child("Codebook"))
+        cb_params = _codebook_params(self.config.child("Codebook"),
+                             flann_exact=self.root.get("FLANNExactMatch", False))
 
         t_feat = time.perf_counter()
         stage_times: Dict[str, float] = {}
@@ -771,7 +776,8 @@ class ImplicitShapeModel:
         fcfg = self._feature_cfg()
         kp_cfg = self.config.child("Keypoints")
         vparams = _voting_params(self.config.child("Voting"))
-        cb_params = _codebook_params(self.config.child("Codebook"))
+        cb_params = _codebook_params(self.config.child("Codebook"),
+                             flann_exact=self.root.get("FLANNExactMatch", False))
 
         from .detect_batch import (batch_supported, fused_supported,
                                    extract_local_features_batch)

@@ -54,10 +54,17 @@ class RankingParams:
     similarity_update_type: str = "score"
     intra_pos: str = "center"
     inter_pos: str = "front"
+    # FLANNExactMatch (implicit_shape_model.cpp:125; rankings honor it at
+    # feature_ranking.cpp:340): False = the reference's default approximate
+    # search; on accelerators the chi-square kNN then uses the MXU
+    # feature-map approximation (CPU always exact).
+    flann_exact: bool = False
 
     @classmethod
-    def from_config(cls, cfg: ComponentConfig) -> "RankingParams":
+    def from_config(cls, cfg: ComponentConfig,
+                    flann_exact: bool = False) -> "RankingParams":
         return cls(
+            flann_exact=flann_exact,
             type=cfg.type or "Uniform",
             k_search=cfg.get("KSearch", 10),
             dist_thresh=cfg.get("DistanceThreshold", 0.1),
@@ -82,11 +89,12 @@ class RankingParams:
         return self.extract_offset
 
 
-def _knn_chi(queries: np.ndarray, db: np.ndarray, k: int
-             ) -> Tuple[np.ndarray, np.ndarray]:
+def _knn_chi(queries: np.ndarray, db: np.ndarray, k: int,
+             exact: bool = True) -> Tuple[np.ndarray, np.ndarray]:
     k = min(k, db.shape[0])
     d, idx = knn(jnp.asarray(queries), jnp.asarray(db),
-                 jnp.ones(db.shape[0], bool), k=k, metric="chisq")
+                 jnp.ones(db.shape[0], bool), k=k, metric="chisq",
+                 exact=exact)
     return np.asarray(d), np.asarray(idx)
 
 
@@ -142,8 +150,10 @@ def _naive_bayes(desc, cls, params) -> np.ndarray:
         if len(other) == 0:
             scores[own] = 1.0
             continue
-        d_own, _ = _knn_chi(desc[own], desc[own], params.k_search)
-        d_oth, _ = _knn_chi(desc[own], desc[other], params.k_search)
+        d_own, _ = _knn_chi(desc[own], desc[own], params.k_search,
+                             exact=params.flann_exact)
+        d_oth, _ = _knn_chi(desc[own], desc[other], params.k_search,
+                             exact=params.flann_exact)
         num_pos = (d_own < params.dist_thresh).sum(axis=1).astype(np.float32)
         num_neg = (d_oth < params.dist_thresh).sum(axis=1).astype(np.float32)
         n_cur, n_oth = float(len(own)), float(len(other))
@@ -155,7 +165,8 @@ def _naive_bayes(desc, cls, params) -> np.ndarray:
 
 def _incremental(desc, cls, params) -> np.ndarray:
     scores = np.zeros(len(desc), np.float32)
-    d, idx = _knn_chi(desc, desc, params.k_search + 1)
+    d, idx = _knn_chi(desc, desc, params.k_search + 1,
+                      exact=params.flann_exact)
     # background distance = the (k+1)-th neighbor at each step
     for q in range(len(desc)):
         for j in range(d.shape[1] - 1):
@@ -168,7 +179,8 @@ def _knn_activation(desc, cls, cdist, params) -> np.ndarray:
     inc_type = params.score_increment_type
     if inc_type == 0 or inc_type > 3 or inc_type < 1:
         inc_type = 1
-    d, idx = _knn_chi(desc, desc, params.k_search + 1)
+    d, idx = _knn_chi(desc, desc, params.k_search + 1,
+                      exact=params.flann_exact)
     for q in range(len(desc)):
         for j in range(idx.shape[1] - 1):
             fi = idx[q, j]
@@ -189,7 +201,8 @@ def _strangeness(desc, cls, params) -> np.ndarray:
     sums = np.zeros((len(desc), len(classes)), np.float32)
     for ci, cid in enumerate(classes):
         members = np.nonzero(cls == cid)[0]
-        d, _ = _knn_chi(desc, desc[members], params.k_search)
+        d, _ = _knn_chi(desc, desc[members], params.k_search,
+                        exact=params.flann_exact)
         sums[:, ci] = d.sum(axis=1)
     for q in range(len(desc)):
         own_ci = int(np.nonzero(classes == cls[q])[0][0])
@@ -221,12 +234,14 @@ def _similarity(desc, cls, params) -> np.ndarray:
     for cid in np.unique(cls):
         own = np.nonzero(cls == cid)[0]
         other = np.nonzero(cls != cid)[0]
-        d_own, i_own = _knn_chi(desc[own], desc[own], params.k_search)
+        d_own, i_own = _knn_chi(desc[own], desc[own], params.k_search,
+                                exact=params.flann_exact)
         upd = update_value(d_own)
         np.add.at(intra, own[i_own.reshape(-1)], upd.reshape(-1))
         if len(other):
             k_other = min(100, len(other))
-            d_oth, i_oth = _knn_chi(desc[own], desc[other], k_other)
+            d_oth, i_oth = _knn_chi(desc[own], desc[other], k_other,
+                                    exact=params.flann_exact)
             upd_o = update_value(d_oth)
             np.add.at(inter, other[i_oth.reshape(-1)], upd_o.reshape(-1))
 

@@ -45,61 +45,16 @@ def eigh3x3_batched(cov: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return eigh3x3(cov)
 
 
-_PALLAS_AUTO = {}  # per-process probe cache, keyed by default backend name
-# (keyed, not a single bool: one process can switch backends — e.g. the
-# driver runs entry() on the TPU then forces a CPU mesh for the multichip
-# dryrun — and a cached TPU "ok" must not route the CPU backend to pallas)
-
-
-def _probe_pallas(timeout_s: float = 240.0) -> bool:
-    """Probe pallas_call viability on the current default backend in a
-    SUBPROCESS: on runtimes without Pallas support (e.g. some TPU tunnel
-    transports) the first pallas_call kills the whole process with no
-    traceback, so the probe must be isolated.  One-off per process; the
-    result is cached by _use_pallas."""
-    import subprocess
-    import sys
-    code = (
-        "import jax, jax.numpy as jnp\n"
-        "from jax.experimental import pallas as pl\n"
-        "def k(x_ref, o_ref):\n"
-        "    o_ref[...] = x_ref[...] * 2\n"
-        "x = jnp.arange(256, dtype=jnp.float32).reshape(2, 128)\n"
-        "y = pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(x)\n"
-        "assert (y == x * 2).all()\n"
-        "print('PALLAS_OK')\n")
-    try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True)
-        return b"PALLAS_OK" in r.stdout
-    except Exception:
-        return False
-
-
 def _use_pallas() -> bool:
-    """Fused-kernel path selection (ops/pallas/lrf_moments.py).
-
-    PCD_USE_PALLAS=1 forces it on, =0 forces it off.  Unset: AUTO — on a
-    real TPU backend, probe pallas_call viability once per process (in a
-    subprocess, because an unsupported runtime kills the caller) and use
-    the fused kernels when the probe passes.  CPU/interpreter platforms
-    keep the matmul path so test goldens stay bit-stable.  NB the fused
-    kernels compute exact coordinate distances (not the matmul identity),
-    so ~2% of near-degenerate frames may settle on a different sign; parity
-    is statistical (tests/test_pallas_kernels.py)."""
-    import os
-    v = os.environ.get("PCD_USE_PALLAS")
-    if v == "1":
-        return True
-    if v == "0":
-        return False
-    import jax
-    backend = jax.default_backend()
-    if backend in ("cpu", "gpu"):
-        return False
-    if backend not in _PALLAS_AUTO:
-        _PALLAS_AUTO[backend] = _probe_pallas()
-    return _PALLAS_AUTO[backend]
+    """Fused-kernel path selection (ops/pallas/lrf_moments.py) via the
+    shared subprocess-probed selector (ops/pallas.use_pallas):
+    PCD_USE_PALLAS=1 forces on, =0 forces off, unset = auto on real TPU
+    backends.  NB the fused kernels compute exact coordinate distances
+    (not the matmul identity), so ~2% of near-degenerate frames may settle
+    on a different sign; parity is statistical
+    (tests/test_pallas_kernels.py)."""
+    from .pallas import use_pallas
+    return use_pallas()
 
 
 def _fused_lrf_moments(queries, q_mask, points, mask, radius):

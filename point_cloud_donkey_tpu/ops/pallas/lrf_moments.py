@@ -24,12 +24,11 @@ near-degenerate covariance (ambiguous LRFs by construction) can settle on
 a different sign.  Parity is asserted statistically (>= 97% of frames
 bit-close, all valid flags equal) in tests/test_pallas_kernels.py.
 
-STATUS: opt-in via PCD_USE_PALLAS=1 (ops/lrf.py dispatch).  The axon
-TPU tunnel used by this development environment terminates the process on
-the first pallas_call (even the minimal doubling kernel from the guide),
-so the kernels are validated in interpreter mode here and kept off the
-default path; on a TPU system with Pallas support they drop the LRF
-stage's HBM traffic from ~9 [Q, N] float32 arrays to the point stream.
+STATUS: AUTO-enabled on real TPU backends when the subprocess probe
+passes (ops/pallas.use_pallas; PCD_USE_PALLAS=0/1 overrides); CPU keeps
+the matmul path so goldens stay bit-stable.  The radius rides in SMEM as
+a traced scalar, so the batched detect/train programs (which pass radius
+as a program argument) compile ONE kernel for all radii.
 """
 
 from __future__ import annotations
@@ -64,16 +63,21 @@ def to_lanes(xyz: jnp.ndarray, lanes: int) -> jnp.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "weighting"))
-def _moments_call(qt: jnp.ndarray, pt: jnp.ndarray, radius: float,
+@functools.partial(jax.jit, static_argnames=("weighting",))
+def _moments_call(qt: jnp.ndarray, pt: jnp.ndarray, radius: jnp.ndarray,
                   weighting: str) -> jnp.ndarray:
+    """radius may be a TRACED scalar (the batched detect/train programs
+    pass it as a program argument so one compile serves every radius); it
+    rides in SMEM as a [1, 2] (r, r^2) operand."""
     qpad = qt.shape[1]
     npad = pt.shape[1]
-    r2 = np.float32(radius * radius)
-    rad = np.float32(radius)
+    rad_s = jnp.asarray(radius, jnp.float32)
+    rr = jnp.stack([rad_s, rad_s * rad_s]).reshape(1, 2)
 
-    def kern(q_ref, p_ref, out_ref):
+    def kern(r_ref, q_ref, p_ref, out_ref):
         j = pl.program_id(1)
+        rad = r_ref[0, 0]
+        r2 = r_ref[0, 1]
         qx, qy, qz = q_ref[0, :], q_ref[1, :], q_ref[2, :]
         px, py, pz = p_ref[0, :], p_ref[1, :], p_ref[2, :]
         dx = qx[:, None] - px[None, :]
@@ -115,6 +119,7 @@ def _moments_call(qt: jnp.ndarray, pt: jnp.ndarray, radius: float,
         out_shape=jax.ShapeDtypeStruct((16, qpad), jnp.float32),
         grid=(qpad // TQ, npad // TN),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, TQ), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, TN), lambda i, j: (0, j),
@@ -122,21 +127,23 @@ def _moments_call(qt: jnp.ndarray, pt: jnp.ndarray, radius: float,
         ],
         out_specs=pl.BlockSpec((16, TQ), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
-    )(qt, pt)
+    )(rr, qt, pt)
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
+@jax.jit
 def _sign_votes_call(qt: jnp.ndarray, pt: jnp.ndarray, axes: jnp.ndarray,
-                     radius: float) -> jnp.ndarray:
+                     radius: jnp.ndarray) -> jnp.ndarray:
     """axes: [8, Qpad] rows 0..2 = candidate x-axis, 3..5 = candidate z-axis.
     Returns [8, Qpad]: row 0 = #(offset . x_axis >= 0, in radius),
-    row 1 = same for the z-axis."""
+    row 1 = same for the z-axis.  radius may be traced (SMEM scalar)."""
     qpad = qt.shape[1]
     npad = pt.shape[1]
-    r2 = np.float32(radius * radius)
+    rad_s = jnp.asarray(radius, jnp.float32)
+    rr = (rad_s * rad_s).reshape(1, 1)
 
-    def kern(q_ref, p_ref, a_ref, out_ref):
+    def kern(r_ref, q_ref, p_ref, a_ref, out_ref):
         j = pl.program_id(1)
+        r2 = r_ref[0, 0]
         qx, qy, qz = q_ref[0, :], q_ref[1, :], q_ref[2, :]
         px, py, pz = p_ref[0, :], p_ref[1, :], p_ref[2, :]
         dx = px[None, :] - qx[:, None]        # offset vector p - q
@@ -166,6 +173,7 @@ def _sign_votes_call(qt: jnp.ndarray, pt: jnp.ndarray, axes: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((8, qpad), jnp.float32),
         grid=(qpad // TQ, npad // TN),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, TQ), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, TN), lambda i, j: (0, j),
@@ -175,7 +183,7 @@ def _sign_votes_call(qt: jnp.ndarray, pt: jnp.ndarray, axes: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((8, TQ), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
-    )(qt, pt, axes)
+    )(rr, qt, pt, axes)
 
 
 def _prep_lanes(queries, q_mask, points, mask):
@@ -198,7 +206,7 @@ def lrf_moments(queries: jnp.ndarray, q_mask: jnp.ndarray,
     fused kernel.  Returns (cov [Q,3,3], wsum [Q], count [Q], centroid-shift
     applied to inputs) matching radius_covariance's math."""
     qs, q_lanes, p_lanes, _, _ = _prep_lanes(queries, q_mask, points, mask)
-    mom = _moments_call(q_lanes, p_lanes, float(radius), weighting)
+    mom = _moments_call(q_lanes, p_lanes, jnp.asarray(radius), weighting)
     mom = mom[:, :queries.shape[0]]
 
     s0 = mom[R_S0]
@@ -232,7 +240,7 @@ def shot_lrf_pallas(queries: jnp.ndarray, q_mask: jnp.ndarray,
 
     # shared prep for the two fused passes (moments + sign votes)
     qs, q_lanes, p_lanes, qpad, _ = _prep_lanes(queries, q_mask, points, mask)
-    mom = _moments_call(q_lanes, p_lanes, float(radius), "shot")
+    mom = _moments_call(q_lanes, p_lanes, jnp.asarray(radius), "shot")
     mom = mom[:, :queries.shape[0]]
     s0 = mom[R_S0]
     s1 = mom[R_S1X:R_S1Z + 1].T
@@ -257,7 +265,7 @@ def shot_lrf_pallas(queries: jnp.ndarray, q_mask: jnp.ndarray,
     axes = jnp.zeros((8, qpad), jnp.float32)
     axes = axes.at[:3, :queries.shape[0]].set(v1.T)
     axes = axes.at[3:6, :queries.shape[0]].set(v3.T)
-    votes = _sign_votes_call(q_lanes, p_lanes, axes, float(radius))
+    votes = _sign_votes_call(q_lanes, p_lanes, axes, jnp.asarray(radius))
     plus_x = votes[0, :queries.shape[0]]
     plus_z = votes[1, :queries.shape[0]]
     n_in = count.astype(jnp.float32)

@@ -81,27 +81,43 @@ def _shot_histogram_2pass(desc, step, central_w, cos_bin, cos_w,
     re-association; 2.5x less one-hot operand traffic through HBM (the
     [K, M, V] operands dominate this kernel's cost at M ~ 2048).
 
-    Works for any per-volume bin count (SHOT 11, CSHOT color 31)."""
+    Works for any per-volume bin count (SHOT 11, CSHOT color 31).
+
+    Operand dtype: this kernel is purely HBM-bound on its [K, M, V] one-hot
+    operands (they dwarf every real input).  On accelerator backends the
+    operands are stored bf16 with f32 MXU accumulation, halving the stage's
+    HBM traffic; the one-hots are exact in bf16 and the weights (<= ~4)
+    round at 2^-8 relative, well under descriptor-matching noise.  CPU
+    keeps f32 so golden-oracle tests stay bit-stable (PCD_SHOT_BF16=0/1
+    overrides)."""
     dtype = central_w.dtype
+    import os
+    v = os.environ.get("PCD_SHOT_BF16")
+    use_bf16 = (jax.default_backend() != "cpu") if v is None else v == "1"
+    op_dtype = jnp.bfloat16 if use_bf16 else dtype
     av = jnp.arange(NR_SECTORS, dtype=jnp.int32)
     ab = jnp.arange(n_bin, dtype=jnp.int32)
     hi = jax.lax.Precision.HIGHEST
 
     # pass A: volume one-hot (desc) x [central + cosine] weighted bins
-    oh_desc = (desc[:, :, None] == av).astype(dtype)            # [K,M,V]
+    oh_desc = (desc[:, :, None] == av).astype(op_dtype)         # [K,M,V]
     wc_a = ((step[:, :, None] == ab).astype(dtype) * central_w[:, :, None]
-            + (cos_bin[:, :, None] == ab).astype(dtype) * cos_w[:, :, None])
+            + (cos_bin[:, :, None] == ab).astype(dtype) * cos_w[:, :, None]
+            ).astype(op_dtype)
     hist = jax.lax.dot_general(oh_desc, wc_a,
-                               (((1,), (1,)), ((0,), (0,))), precision=hi)
+                               (((1,), (1,)), ((0,), (0,))), precision=hi,
+                               preferred_element_type=dtype)
 
     # pass B: weighted volume multi-hot (rad/incl/az) x bin one-hot (step)
     ohvw = ((rad_vol[:, :, None] == av).astype(dtype) * rad_w[:, :, None]
             + (incl_vol[:, :, None] == av).astype(dtype) * incl_w[:, :, None]
-            + (az_vol[:, :, None] == av).astype(dtype) * az_w[:, :, None])
-    oh_step = (step[:, :, None] == ab).astype(dtype)
+            + (az_vol[:, :, None] == av).astype(dtype) * az_w[:, :, None]
+            ).astype(op_dtype)
+    oh_step = (step[:, :, None] == ab).astype(op_dtype)
     hist = hist + jax.lax.dot_general(ohvw, oh_step,
                                       (((1,), (1,)), ((0,), (0,))),
-                                      precision=hi)
+                                      precision=hi,
+                                      preferred_element_type=dtype)
     return hist.reshape(desc.shape[0], NR_SECTORS * n_bin)
 
 
@@ -145,26 +161,59 @@ def shot_descriptor_dense(
     d2 = pairwise_sqdist(keypoints, points)
     use = (d2 <= radius * radius) & (d2 > 1e-15) & mask[None, :]
     d = jnp.sqrt(jnp.maximum(d2, 0.0))
-    delta = points[None, :, :] - keypoints[:, None, :]
-    nnrm = jnp.broadcast_to(normals[None, :, :], delta.shape)
-    return _shot_core(keypoints, frames, frame_valid, delta, d, nnrm,
-                      use, radius, min_neighbors)
+    x_l, y_l, z_l, cos_desc, nrm_ok = _dense_local_coords(
+        keypoints, frames, points, normals)
+    return _shot_core_from_coords(
+        frame_valid, x_l, y_l, z_l, cos_desc, d, use & nrm_ok,
+        radius, min_neighbors)
+
+
+def _dense_local_coords(keypoints, frames, points, normals):
+    """Local-frame coordinates for the dense paths WITHOUT materializing the
+    [K, N, 3] offset block (604 MB per 32-cloud batch at K=192, N=2048 --
+    it dominated the descriptor stage's HBM traffic).  Identity:
+    (p - q) . axis = p . axis - q . axis, so three compact
+    [K*3, 3] @ [3, N] dots (HIGHEST) replace the batched per-neighbor
+    einsums, and the normal cosine is one [K, 3] @ [3, N] dot."""
+    hi = jax.lax.Precision.HIGHEST
+    k = keypoints.shape[0]
+    fr_flat = frames.reshape(k * 3, 3)
+    pf = jax.lax.dot_general(fr_flat, points, (((1,), (1,)), ((), ())),
+                             precision=hi).reshape(k, 3, -1)      # [K, 3, N]
+    off = jnp.einsum("kd,kad->ka", keypoints, frames,
+                     precision=hi)                                # [K, 3]
+    x_l = pf[:, 0, :] - off[:, 0, None]
+    y_l = pf[:, 1, :] - off[:, 1, None]
+    z_l = pf[:, 2, :] - off[:, 2, None]
+    cos_desc = jnp.clip(
+        jax.lax.dot_general(frames[:, 2, :], normals,
+                            (((1,), (1,)), ((), ())), precision=hi),
+        -1.0, 1.0)                                                # [K, N]
+    nrm_ok = jnp.all(jnp.isfinite(normals), axis=-1)[None, :]
+    return x_l, y_l, z_l, cos_desc, nrm_ok
 
 
 def _shot_core(keypoints, frames, frame_valid, delta, dist, nnrm, use,
                radius, min_neighbors):
-    """Shared SHOT math over [K, M] neighbor blocks (M = capacity or N)."""
-    dtype = keypoints.dtype
-    # sanitize distances of unused entries so no inf/NaN leaks through
-    # masked arithmetic (0 * inf = NaN)
-    d = jnp.where(use, dist, radius * 0.5)
+    """Shared SHOT math over gathered [K, M] neighbor blocks (exact
+    coordinate differences; the dense path computes its local coords via
+    _dense_local_coords instead)."""
     x_l = jnp.einsum("kmd,kd->km", delta, frames[:, 0, :])
     y_l = jnp.einsum("kmd,kd->km", delta, frames[:, 1, :])
     z_l = jnp.einsum("kmd,kd->km", delta, frames[:, 2, :])
-
-    # cosine histogram coordinate (normal vs LRF z-axis)
     cos_desc = jnp.clip(jnp.einsum("kmd,kd->km", nnrm, frames[:, 2, :]), -1.0, 1.0)
     use = use & jnp.all(jnp.isfinite(nnrm), axis=-1)
+    return _shot_core_from_coords(frame_valid, x_l, y_l, z_l, cos_desc,
+                                  dist, use, radius, min_neighbors)
+
+
+def _shot_core_from_coords(frame_valid, x_l, y_l, z_l, cos_desc, dist, use,
+                           radius, min_neighbors):
+    """Shared SHOT binning over precomputed local coordinates [K, M]."""
+    dtype = x_l.dtype
+    # sanitize distances of unused entries so no inf/NaN leaks through
+    # masked arithmetic (0 * inf = NaN)
+    d = jnp.where(use, dist, radius * 0.5)
     bin_dist = (1.0 + cos_desc) * NR_BINS / 2.0
     step = jnp.floor(bin_dist + 0.5).astype(jnp.int32)
     bd = bin_dist - step.astype(dtype)
@@ -292,13 +341,24 @@ def cshot_descriptor(
     interpolation weights apply to both channels."""
     from .color import rgb_to_cielab_normalized
 
+    from .color import color_distance
+
     npos = points[nbr.idx]
     nnrm = normals[nbr.idx]
     use = nbr.valid & (nbr.dist > 1e-15) & jnp.isfinite(nbr.dist)
     delta = npos - keypoints[:, None, :]
+    x_l = jnp.einsum("kmd,kd->km", delta, frames[:, 0, :])
+    y_l = jnp.einsum("kmd,kd->km", delta, frames[:, 1, :])
+    z_l = jnp.einsum("kmd,kd->km", delta, frames[:, 2, :])
+    cos_desc = jnp.clip(
+        jnp.einsum("kmd,kd->km", nnrm, frames[:, 2, :]), -1.0, 1.0)
+    use = use & jnp.all(jnp.isfinite(nnrm), axis=-1)
+    lab_kp = rgb_to_cielab_normalized(kp_rgb)           # [K, 3]
     lab_n = rgb_to_cielab_normalized(rgb)[nbr.idx]      # [K, M, 3]
-    return _cshot_core(keypoints, kp_rgb, frames, frame_valid, delta,
-                       nbr.dist, nnrm, lab_n, use, radius, min_neighbors)
+    cdist = color_distance(lab_kp[:, None, :], lab_n)
+    return _cshot_core_from_coords(frame_valid, x_l, y_l, z_l, cos_desc,
+                                   nbr.dist, cdist, use, radius,
+                                   min_neighbors)
 
 
 def cshot_descriptor_dense(
@@ -314,40 +374,36 @@ def cshot_descriptor_dense(
     min_neighbors: int = 5,
 ) -> ShotResult:
     """Gather-free CSHOT over dense [K, N] masked arrays (serving path; see
-    shot_descriptor_dense for the distance-precision caveat)."""
-    from .color import rgb_to_cielab_normalized
+    shot_descriptor_dense for the distance-precision caveat; local coords
+    via _dense_local_coords, no [K, N, 3] offset block)."""
+    from .color import color_distance, rgb_to_cielab_normalized
     from .neighbors import pairwise_sqdist
     d2 = pairwise_sqdist(keypoints, points)
     use = (d2 <= radius * radius) & (d2 > 1e-15) & mask[None, :]
     d = jnp.sqrt(jnp.maximum(d2, 0.0))
-    delta = points[None, :, :] - keypoints[:, None, :]
-    nnrm = jnp.broadcast_to(normals[None, :, :], delta.shape)
-    lab_n = jnp.broadcast_to(rgb_to_cielab_normalized(rgb)[None, :, :],
-                             delta.shape)
-    return _cshot_core(keypoints, kp_rgb, frames, frame_valid, delta, d,
-                       nnrm, lab_n, use, radius, min_neighbors)
+    x_l, y_l, z_l, cos_desc, nrm_ok = _dense_local_coords(
+        keypoints, frames, points, normals)
+    lab_kp = rgb_to_cielab_normalized(kp_rgb)           # [K, 3]
+    lab_n = rgb_to_cielab_normalized(rgb)               # [N, 3]
+    cdist = color_distance(lab_kp[:, None, :], lab_n[None, :, :])
+    return _cshot_core_from_coords(frame_valid, x_l, y_l, z_l, cos_desc,
+                                   d, cdist, use & nrm_ok, radius,
+                                   min_neighbors)
 
 
-def _cshot_core(keypoints, kp_rgb, frames, frame_valid, delta, dist, nnrm,
-                lab_n, use, radius, min_neighbors):
-    from .color import color_distance, rgb_to_cielab_normalized
-    dtype = keypoints.dtype
+def _cshot_core_from_coords(frame_valid, x_l, y_l, z_l, cos_desc, dist,
+                            cdist, use, radius, min_neighbors):
+    """Shared CSHOT binning over precomputed local coordinates and color
+    distances [K, M]."""
+    dtype = x_l.dtype
     d = jnp.where(use, dist, radius * 0.5)
 
-    x_l = jnp.einsum("kmd,kd->km", delta, frames[:, 0, :])
-    y_l = jnp.einsum("kmd,kd->km", delta, frames[:, 1, :])
-    z_l = jnp.einsum("kmd,kd->km", delta, frames[:, 2, :])
-
     # shape channel coordinate
-    cos_desc = jnp.clip(jnp.einsum("kmd,kd->km", nnrm, frames[:, 2, :]), -1.0, 1.0)
-    use = use & jnp.all(jnp.isfinite(nnrm), axis=-1)
     bin_shape = (1.0 + cos_desc) * NR_BINS / 2.0
     step_s = jnp.floor(bin_shape + 0.5).astype(jnp.int32)
     bd_s = bin_shape - step_s.astype(dtype)
 
     # color channel coordinate (cshot.hpp: colorDistance * nr_color_bins)
-    lab_kp = rgb_to_cielab_normalized(kp_rgb)           # [K, 3]
-    cdist = color_distance(lab_kp[:, None, :], lab_n)
     bin_color = cdist * NR_COLOR_BINS
     step_c = jnp.floor(bin_color + 0.5).astype(jnp.int32)
     bd_c = bin_color - step_c.astype(dtype)

@@ -149,7 +149,8 @@ def sharded_training_activation(mesh: Mesh, codewords: np.ndarray,
     @functools.partial(jax.jit, in_shardings=data_sharding,
                        out_shardings=(data_sharding, data_sharding))
     def run(q):
-        return knn(q, cw_sh, cwm_sh, k=k, metric=metric)
+        return knn(q, cw_sh, cwm_sh, k=k, metric=metric,
+                   exact=params.flann_exact)
 
     def activate(descriptors: np.ndarray):
         f = descriptors.shape[0]
