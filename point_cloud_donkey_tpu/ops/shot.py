@@ -89,7 +89,20 @@ def _shot_histogram_2pass(desc, step, central_w, cos_bin, cos_w,
     HBM traffic; the one-hots are exact in bf16 and the weights (<= ~4)
     round at 2^-8 relative, well under descriptor-matching noise.  CPU
     keeps f32 so golden-oracle tests stay bit-stable (PCD_SHOT_BF16=0/1
-    overrides)."""
+    overrides).
+
+    PCD_PALLAS_SHOTHIST=1 routes to the VMEM-one-hot Pallas kernel
+    (ops/pallas/shot_hist.py) -- NOT auto-enabled: measured 20x slower on
+    v5e (per-keypoint tile-fragment matmuls; see that module's docstring
+    for the numbers).  This XLA formulation is within ~1.6x of the
+    stage's HBM floor."""
+    import os as _os
+    if _os.environ.get("PCD_PALLAS_SHOTHIST") == "1":
+        from .pallas.shot_hist import shot_histogram_pallas
+        hist = shot_histogram_pallas(desc, step, central_w, cos_bin, cos_w,
+                                     rad_vol, rad_w, incl_vol, incl_w,
+                                     az_vol, az_w, n_bin)
+        return hist.astype(central_w.dtype)
     dtype = central_w.dtype
     import os
     v = os.environ.get("PCD_SHOT_BF16")

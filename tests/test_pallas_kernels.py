@@ -70,3 +70,29 @@ def test_lrf_orthonormal_rotation_equivariant(cloud):
                                atol=1e-3)
     det = np.linalg.det(fr)
     np.testing.assert_allclose(det, 1.0, atol=1e-3)
+
+
+def test_shot_histogram_pallas_matches_2pass():
+    """Opt-in SHOT-histogram kernel == the XLA 2-pass accumulation
+    (interpreter mode; the kernel is a measured-slower negative result on
+    real v5e -- see ops/pallas/shot_hist.py -- but parity is kept pinned
+    so the opt-in path cannot rot)."""
+    from point_cloud_donkey_tpu.ops.pallas.shot_hist import (
+        shot_histogram_pallas)
+    from point_cloud_donkey_tpu.ops.shot import _shot_histogram_2pass
+
+    rng = np.random.default_rng(11)
+    K, M, NB = 37, 700, 11
+    ints = lambda hi: jnp.asarray(rng.integers(0, hi, (K, M)), jnp.int32)
+    w = lambda: jnp.asarray((rng.random((K, M)) * 2), jnp.float32)
+    desc, step, cos_bin = ints(32), ints(NB), ints(NB)
+    rad_vol, incl_vol, az_vol = ints(32), ints(32), ints(32)
+    cw, cosw, rw, iw, azw = w(), w(), w(), w(), w()
+    ref = np.asarray(_shot_histogram_2pass(
+        desc, step, cw, cos_bin, cosw, rad_vol, rw, incl_vol, iw,
+        az_vol, azw, NB))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(shot_histogram_pallas(
+            desc, step, cw, cos_bin, cosw, rad_vol, rw, incl_vol, iw,
+            az_vol, azw, NB))
+    np.testing.assert_allclose(got, ref, atol=1e-3)
