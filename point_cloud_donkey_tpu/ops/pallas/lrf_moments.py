@@ -43,7 +43,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TQ = 256   # query tile (lanes-major rows of the output)
-TN = 512   # point tile streamed per grid step
+TN = 2048  # point tile streamed per grid step
+# tile sweep on v5e (32-cloud self-LRF normals, N=2048, honest host-fetch
+# sync): (256, 512) 5.28 ms -> (256, 1024) 4.46 -> (256, 2048) 4.25;
+# TQ=512+ or TN>2048 blocks fail VMEM compile.  The kernel is grid-step
+# overhead-bound at small tiles (1024 steps/batch at 256x512), so bigger
+# n-tiles win; small clouds pad up to one 2048 tile, which costs ~nothing
+# in absolute terms.
 
 # moment output rows in the [16, Q] result
 R_S0, R_S1X, R_S1Y, R_S1Z = 0, 1, 2, 3
