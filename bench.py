@@ -82,6 +82,8 @@ def _pallas_status(timeout_s: float = 240.0) -> str:
 
 def main():
     import jax
+    from point_cloud_donkey_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     # BENCH_PLATFORM=cpu: measure on the host CPU (skipping the accelerator
     # probe) so a round-long axon outage still yields a builder-measured

@@ -246,8 +246,8 @@ def _descriptor_batch_program(b: int, n: int, k: int, fcfg: FeatureConfig):
     return run
 
 
-def _chunk_indices(order: List[int]) -> List[List[int]]:
-    return [order[i:i + MB] for i in range(0, len(order), MB)]
+def _chunk_indices(order: List[int], width: int = MB) -> List[List[int]]:
+    return [order[i:i + width] for i in range(0, len(order), width)]
 
 
 class _ChunkState(NamedTuple):

@@ -702,6 +702,47 @@ class ImplicitShapeModel:
         cb_params = _codebook_params(self.config.child("Codebook"),
                              flann_exact=self.root.get("FLANNExactMatch", False))
 
+        from .detect_batch import fused_supported
+        from .keypoints import KeypointParams
+        kp_params = KeypointParams.from_config(kp_cfg)
+        cn_method = self.root.get("ConsistentNormalsMethod", 2)
+        if (not self._callbacks
+                and not getattr(self, "force_staged_detect", False)
+                and fused_supported(fcfg, kp_params, [xyz], [normals],
+                                    int(cn_method))):
+            # single-cloud latency path: the whole normals -> voxel keypoints
+            # -> descriptors -> vote-casting chain is ONE compiled B=1
+            # program (build_fused_detect_fn) instead of 4-5 staged
+            # dispatches, each of which pays a full tunnel round-trip.
+            # Valid votes are bit-identical to the staged path (pinned by
+            # tests/test_detection.py::test_fused_detect_votes_match_staged
+            # and ::test_detect_fused_routing_matches_staged); the hot path
+            # of the reference being accelerated is
+            # implicit_shape_model.cpp:583-712.
+            t_feat = time.perf_counter()
+            votes = self._detect_votes_fused(
+                [xyz], [rgb], fcfg, kp_params, cb_params, width=1)[0]
+            self.processing_times["features"] += \
+                time.perf_counter() - t_feat
+        else:
+            votes = self._detect_votes_staged(xyz, normals, rgb, fcfg,
+                                              kp_cfg, cb_params)
+
+        # per-class mean-shift batched across classes: one dispatch for all
+        # of this cloud's classes instead of one per class
+        ms_pre = self._precompute_mean_shift_batch([votes], vparams)[0]
+        maxima = self._finish_detect(votes, xyz, normals, rgb, vparams,
+                                     ms_pre=ms_pre)
+        self.processing_times["complete"] += time.perf_counter() - t0
+        return maxima, dict(self.processing_times)
+
+    def _detect_votes_staged(self, xyz, normals, rgb, fcfg, kp_cfg,
+                             cb_params: CodebookParams) -> CastVotes:
+        """Per-cloud staged vote casting: separate dispatches for features
+        and casting.  Fallback for configurations the fused program does not
+        cover (provided normals, EMST orientation, detector keypoints,
+        culling, scene-scale clouds) and for callback observers, which need
+        the intermediate FeatureSet."""
         t_feat = time.perf_counter()
         stage_times: Dict[str, float] = {}
         fs = extract_local_features(
@@ -744,14 +785,7 @@ class ImplicitShapeModel:
             jnp.asarray(fmask)))
         votes = _unpack_cast(packed)
         self.processing_times["voting"] += time.perf_counter() - t_vote
-
-        # per-class mean-shift batched across classes: one dispatch for all
-        # of this cloud's classes instead of one per class
-        ms_pre = self._precompute_mean_shift_batch([votes], vparams)[0]
-        maxima = self._finish_detect(votes, xyz, normals, rgb, vparams,
-                                     ms_pre=ms_pre)
-        self.processing_times["complete"] += time.perf_counter() - t0
-        return maxima, dict(self.processing_times)
+        return votes
 
     def detect_batch(self, clouds, normals_list=None, rgb_list=None
                      ) -> List[Tuple[List[VotingMaximum], Dict[str, float]]]:
@@ -932,19 +966,23 @@ class ImplicitShapeModel:
         return votes_out
 
     def _detect_votes_fused(self, clouds, rgb_list, fcfg,
-                            kp_params, cb_params: CodebookParams):
-        """Cast votes for many clouds with ONE device dispatch per MB-wide
-        chunk: the whole normals -> voxel keypoints -> descriptors -> cast
-        chain runs as a single jitted program (models/detect_batch.py:
-        build_fused_detect_fn).  The keypoint capacity is fixed host-side
-        from the exact occupied-voxel count, so no intermediate pull is
-        needed.  Valid votes are bit-identical to the staged path (pinned by
-        tests/test_detection.py)."""
+                            kp_params, cb_params: CodebookParams,
+                            width: Optional[int] = None):
+        """Cast votes for many clouds with ONE device dispatch per
+        `width`-wide chunk (default MB): the whole normals -> voxel keypoints
+        -> descriptors -> cast chain runs as a single jitted program
+        (models/detect_batch.py: build_fused_detect_fn).  The keypoint
+        capacity is fixed host-side from the exact occupied-voxel count, so
+        no intermediate pull is needed.  Valid votes are bit-identical to the
+        staged path (pinned by tests/test_detection.py).  detect() calls
+        this with width=1 so a single-cloud detection is ONE B=1 dispatch,
+        not an 8x-padded chunk."""
         from .detect_batch import (MB, _chunk_indices, build_fused_detect_fn,
                                    check_rgb_available, host_voxel_count)
         from .features import bucket_size, pad_cloud
 
         check_rgb_available(fcfg, rgb_list)
+        width = MB if width is None else width
         leaf = float(kp_params.leaf_size)
         nr = float(self.root.get("NormalRadius", 0.05))
         nm = int(self.root.get("ConsistentNormalsMethod", 2))
@@ -960,11 +998,24 @@ class ImplicitShapeModel:
             # compiled program serves every chunk of the group
             k_cap = max(bucket_size(host_voxel_count(clouds[ci], leaf),
                                     minimum=64) for ci in idxs)
-            for chunk in _chunk_indices(idxs):
-                padded = chunk + [chunk[-1]] * (MB - len(chunk))
-                pts_b = np.zeros((MB, n, 3), np.float32)
-                mask_b = np.zeros((MB, n), bool)
-                rgb_b = np.zeros((MB, n, 3), np.float32)
+            # sticky capacity: reuse an already-compiled program with a
+            # larger capacity instead of compiling the exact bucket -- a
+            # serving stream whose per-cloud voxel counts straddle a pow2
+            # boundary would otherwise alternate between two programs and
+            # pay a fresh 30-90s compile per flip (extra capacity rows are
+            # invalid and zeroed, so results are unchanged)
+            compiled = [k[3] for k in self._cast_cache
+                        if isinstance(k, tuple) and k[0] == "fused"
+                        and k[1:3] == (width, n) and k[4:] == (has_rgb,
+                                                               self.metric)
+                        and k[3] >= k_cap]
+            if compiled:
+                k_cap = min(compiled)
+            for chunk in _chunk_indices(idxs, width):
+                padded = chunk + [chunk[-1]] * (width - len(chunk))
+                pts_b = np.zeros((width, n, 3), np.float32)
+                mask_b = np.zeros((width, n), bool)
+                rgb_b = np.zeros((width, n, 3), np.float32)
                 for r, ci in enumerate(padded):
                     p, m = pad_cloud(clouds[ci], bucket=n)
                     pts_b[r], mask_b[r] = p, m
@@ -976,7 +1027,7 @@ class ImplicitShapeModel:
                         jnp.asarray(fcfg.ref_frame_radius, jnp.float32))
 
                 def run_chunk(cap):
-                    key2 = ("fused", MB, n, cap, has_rgb, self.metric)
+                    key2 = ("fused", width, n, cap, has_rgb, self.metric)
                     if key2 not in self._cast_cache:
                         # program build+compile billed as "flann" like the
                         # other lazy index builds

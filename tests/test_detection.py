@@ -129,12 +129,21 @@ def test_detection_end_to_end(rng, tmp_path):
 
     # detect() populates every reference timing key
     # (implicit_shape_model.cpp:636-709; normals stays 0 for SHORT_SHOT,
-    # which skips normal computation, implicit_shape_model.cpp:852-867)
+    # which skips normal computation, implicit_shape_model.cpp:852-867).
+    # The fused single-dispatch path cannot attribute keypoints/voting
+    # separately (the whole chain is one program), so the staged path is
+    # forced for the full-key assertion; the fused path's merged keys are
+    # checked after.
     from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
     ism2 = ImplicitShapeModel.load(str(tmp_path / "trained.ism"))
+    ism2.force_staged_detect = True
     _, times = ism2.detect(scene)
     for k in ("complete", "features", "keypoints", "flann", "voting", "maxima"):
         assert times[k] > 0.0, (k, times)
+    ism3 = ImplicitShapeModel.load(str(tmp_path / "trained.ism"))
+    _, times3 = ism3.detect(scene)
+    for k in ("complete", "features", "flann", "maxima"):
+        assert times3[k] > 0.0, (k, times3)
 
 
 def test_hough_device_matches_oracle(rng):
@@ -450,6 +459,37 @@ def test_fused_detect_votes_match_staged(rng, tmp_path):
     singles = [ism.detect(c)[0] for c in clouds]
     for (mb, _), ms in zip(ism.detect_batch(clouds), singles):
         assert [m.class_id for m in mb] == [m.class_id for m in ms]
+
+
+def test_detect_fused_routing_matches_staged(rng, tmp_path):
+    """detect() routes a single cloud through the fused B=1 program
+    (single-cloud latency path); its per-cloud decisions must equal the
+    staged per-cloud path's, and the B=1 fused program must actually have
+    been compiled (cache key with width 1)."""
+    from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+    from point_cloud_donkey_tpu.utils.config import IsmConfig
+
+    ism = ImplicitShapeModel(IsmConfig.from_json(_batch_cfg(None)))
+    for cid in range(3):
+        pts = shapes.make_instance(rng, cid, n=900, rotate=False, noise=0.005)
+        p = str(tmp_path / f"t{cid}.pcd")
+        save_pcd(p, PointCloud(xyz=pts))
+        ism.add_training_model(p, cid, cid)
+    ism.train()
+
+    clouds = [shapes.make_instance(rng, i % 3, n=700 + 150 * i, rotate=True)
+              for i in range(4)]
+    fused = [ism.detect(c)[0] for c in clouds]
+    assert any(k[0] == "fused" and k[1] == 1 for k in ism._cast_cache)
+
+    ism.force_staged_detect = True
+    staged = [ism.detect(c)[0] for c in clouds]
+    for mf, ms in zip(fused, staged):
+        assert [m.class_id for m in mf] == [m.class_id for m in ms]
+        for a, b in zip(mf, ms):
+            np.testing.assert_allclose(a.position, b.position, atol=1e-4)
+            np.testing.assert_allclose(a.weight, b.weight,
+                                       rtol=1e-4, atol=1e-6)
 
 
 def test_class_mean_shift_batch_matches_single(rng):
