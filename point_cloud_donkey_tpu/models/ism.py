@@ -322,7 +322,7 @@ class ImplicitShapeModel:
     """The orchestrator.  Construct, read a config, add training models,
     train() or detect()."""
 
-    def __init__(self, config: Optional[IsmConfig] = None):
+    def __init__(self, config: Optional[IsmConfig] = None, mesh=None):
         self.config = config or IsmConfig.from_json({"ObjectConfig": {}})
         self.state: Optional[TrainedState] = None
         self._training: List[Tuple[str, int, int]] = []  # (file, class, inst)
@@ -332,6 +332,34 @@ class ImplicitShapeModel:
         self._cast_cache = {}
         self._gc_cache = None
         self._callbacks: List = []
+        # optional explicit jax.sharding.Mesh for multi-chip training; when
+        # None the UseDeviceMesh config param decides (Auto = use every
+        # visible device when there is more than one)
+        self.mesh = mesh
+
+    def _training_mesh(self, cb_params: CodebookParams):
+        """The mesh for codebook training, or None for the host path.
+        Config param UseDeviceMesh: "Auto" (default; a mesh over all devices
+        when more than one is visible), true (require it), false (never).
+        INN activation is inherently sequential and stays on the host
+        regardless (parallel/sharded.py rejects it)."""
+        if cb_params.activation_type == "INN":
+            return None
+        if self.mesh is not None:
+            return self.mesh
+        want = self.root.get("UseDeviceMesh", "Auto")
+        if want is False or (isinstance(want, str)
+                             and want.lower() == "false"):
+            return None
+        n = len(jax.devices())
+        if n <= 1:
+            if want is True or (isinstance(want, str)
+                                and want.lower() == "true"):
+                raise ValueError("UseDeviceMesh=true needs more than one "
+                                 f"device (found {n})")
+            return None
+        from ..parallel.sharded import make_mesh
+        return make_mesh()
 
     # -- live progress signals ----------------------------------------------
     # The reference streams stage results over boost signals while running
@@ -623,12 +651,26 @@ class ImplicitShapeModel:
 
         cb_params = _codebook_params(self.config.child("Codebook"),
                              flann_exact=self.root.get("FLANNExactMatch", False))
-        codebook = train_codebook(
-            ranked_models,
-            [class_per_model[i] for i in order],
-            [instance_per_model[i] for i in order],
-            [boxes_per_model[i] for i in order],
-            centers, cw_pos, cb_params, self.metric)
+        mesh = self._training_mesh(cb_params)
+        if mesh is not None:
+            # multi-chip training from the product path: the device-heavy
+            # activation stage runs sharded over the data x model mesh,
+            # bit-identical to the host path (parallel/sharded.py:
+            # train_codebook_sharded; pinned by tests/test_sharded.py)
+            from ..parallel.sharded import train_codebook_sharded
+            codebook = train_codebook_sharded(
+                mesh, ranked_models,
+                [class_per_model[i] for i in order],
+                [instance_per_model[i] for i in order],
+                [boxes_per_model[i] for i in order],
+                centers, cw_pos, cb_params, self.metric)
+        else:
+            codebook = train_codebook(
+                ranked_models,
+                [class_per_model[i] for i in order],
+                [instance_per_model[i] for i in order],
+                [boxes_per_model[i] for i in order],
+                centers, cw_pos, cb_params, self.metric)
         if self._callbacks:
             self._emit("codebook", codebook=codebook)
 

@@ -150,6 +150,68 @@ def test_sharded_codebook_training_bit_identical(n_data, n_model, activation):
             err_msg=f"field {name} differs")
 
 
+def test_train_product_path_uses_mesh_bit_identical(tmp_path):
+    """ImplicitShapeModel.train() (the product/CLI path) takes the sharded
+    codebook trainer when a mesh is available (UseDeviceMesh Auto picks up
+    the 8 virtual devices) and produces a TrainedState bit-identical to the
+    forced host path (VERDICT r3 next #3)."""
+    import sys
+    sys.path.insert(0, "tests")
+    import shapes
+    from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+    from point_cloud_donkey_tpu.utils.config import IsmConfig
+    from point_cloud_donkey_tpu.utils.io import PointCloud, save_pcd
+
+    rng = np.random.default_rng(9)
+    cfg = {"ObjectConfig": {"Children": {
+        "Clustering": {"Type": "None"},
+        "Codebook": {"Children": {"ActivationStrategy": {
+            "Parameters": {"K": 2}, "Type": "KNN"}}},
+        "FeatureWeighting": {"Type": "Uniform"},
+        "Features": {"Parameters": {
+            "Radius": 0.6, "ReferenceFrameRadius": 0.5}, "Type": "SHORT_SHOT"},
+        "GlobalFeatures": {"Type": "Dummy"},
+        "Keypoints": {"Parameters": {"LeafSize": 0.35}, "Type": "VoxelGrid"},
+        "Voting": {"Parameters": {"Bandwidth": 0.5}, "Type": "MeanShift"}},
+        "Parameters": {"DistanceType": "ChiSquared",
+                       "BoundingBoxType": "AABB"}}}
+
+    paths = []
+    for cid in range(3):
+        pts = shapes.make_instance(rng, cid, n=600, rotate=False, noise=0.005)
+        p = str(tmp_path / f"t{cid}.pcd")
+        save_pcd(p, PointCloud(xyz=pts))
+        paths.append((p, cid))
+
+    def trained(extra_params):
+        c = {"ObjectConfig": {
+            "Children": cfg["ObjectConfig"]["Children"],
+            "Parameters": {**cfg["ObjectConfig"]["Parameters"],
+                           **extra_params}}}
+        ism = ImplicitShapeModel(IsmConfig.from_json(c))
+        for p, cid in paths:
+            ism.add_training_model(p, cid, cid)
+        ism.train()
+        return ism
+
+    assert len(jax.devices()) >= 8
+    auto = trained({})            # Auto: 8 virtual devices -> mesh path
+    # the mesh really was taken: _training_mesh returns one for this config
+    from point_cloud_donkey_tpu.models.ism import _codebook_params
+    assert auto._training_mesh(
+        _codebook_params(auto.config.child("Codebook"))) is not None
+    host = trained({"UseDeviceMesh": False})
+    assert host._training_mesh(
+        _codebook_params(host.config.child("Codebook"))) is None
+
+    for name in host.state.codebook._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(host.state.codebook, name)),
+            np.asarray(getattr(auto.state.codebook, name)),
+            err_msg=f"field {name} differs")
+    assert host.state.dims_map == auto.state.dims_map
+
+
 @pytest.mark.parametrize("n_data,n_model", [(8, 1), (4, 2)])
 def test_batched_detect_matches_single_device(n_data, n_model):
     """Sharded full-detection step (features -> votes -> per-class
