@@ -42,6 +42,22 @@ class PipelineParams:
     max_coord: float = 2.0
     use_mvbb: bool = True
     inlier_threshold: float = 0.03
+    # aldoma ICP refinement + global hypothesis verification
+    # (global_hv.cpp:469-496 fixed parameters, exposed here so datasets at a
+    # different metric scale can rescale them coherently)
+    icp_max_iterations: int = 100
+    icp_max_corr_dist: float = 0.05
+    hv_inlier_threshold: float = 0.01
+    hv_occlusion_threshold: float = 0.02
+    hv_regularizer: float = 1.0
+    hv_clutter_regularizer: float = 5.0
+    hv_radius_clutter: float = 0.1
+    hv_detect_clutter: bool = True
+    # PCL's HypothesisVerification voxel-downsamples the scene to
+    # `resolution_` (default 0.005 m) before computing the cost model; the
+    # explained/clutter balance only works when scene density is comparable
+    # to the instance keypoint density
+    hv_resolution: float = 0.005
 
 
 def dataset_preset(dataset: str, bin_size: float = 0.0,
@@ -333,6 +349,188 @@ def absolute_orientation_ransac(
         err = np.linalg.norm(scene_pts - (obj_pts @ best_R.T + best_t), axis=1)
         best_in = err < inlier_threshold
     return best_R, best_t, best_in
+
+
+# ---------------------------------------------------------------------------
+# ICP refinement (alignCloudsWithICP, pipeline_building_blocks.cpp:616-650:
+# pcl::IterativeClosestPoint point-to-point, max iterations + max
+# correspondence distance)
+# ---------------------------------------------------------------------------
+
+def icp_point_to_point(
+    src: np.ndarray, dst: np.ndarray,
+    max_iterations: int = 100, max_corr_dist: float = 0.05,
+    transformation_eps: float = 1e-8,
+) -> Tuple[np.ndarray, np.ndarray, bool, float]:
+    """Point-to-point ICP of `src` onto `dst` (the reference runs
+    pcl::IterativeClosestPoint with setMaximumIterations(100) and
+    setMaxCorrespondenceDistance(0.05), pipeline_building_blocks.cpp:627-633).
+
+    Each iteration matches every source point to its nearest destination
+    point, drops pairs beyond max_corr_dist, and solves the rigid alignment
+    in closed form (Kabsch/Umeyama — PCL's default
+    TransformationEstimationSVD).  Stops early when the incremental motion
+    falls below transformation_eps (PCL's transformation-epsilon criterion).
+
+    Returns (R, t, converged, fitness): `converged` is False when an
+    iteration finds fewer than 3 correspondences (PCL's
+    CONVERGENCE_CRITERIA_NO_CORRESPONDENCES failure → hasConverged()==false,
+    and the reference drops such instances, :639-645); fitness is the mean
+    squared distance of the final correspondences (PCL's getFitnessScore).
+    """
+    R = np.eye(3)
+    t = np.zeros(3)
+    cur = src.astype(np.float64)
+    dst = dst.astype(np.float64)
+    fitness = np.inf
+    for _ in range(max_iterations):
+        d2 = ((cur[:, None, :] - dst[None, :, :]) ** 2).sum(-1)
+        nn = d2.argmin(axis=1)
+        nd2 = d2[np.arange(len(cur)), nn]
+        keep = nd2 < max_corr_dist * max_corr_dist
+        if keep.sum() < 3:
+            return R, t, False, float("inf")
+        dR, dt = _kabsch(cur[keep], dst[nn[keep]])
+        cur = cur @ dR.T + dt
+        R = dR @ R
+        t = dR @ t + dt
+        fitness = float(nd2[keep].mean())
+        if np.abs(dR - np.eye(3)).max() < transformation_eps \
+                and np.abs(dt).max() < transformation_eps:
+            break
+    return R, t, True, fitness
+
+
+# ---------------------------------------------------------------------------
+# Aldoma global hypothesis verification (runGlobalHV,
+# pipeline_building_blocks.cpp:653-683 = pcl::GlobalHypothesesVerification;
+# Aldoma et al., ECCV 2012 cost model over the hypothesis mask)
+# ---------------------------------------------------------------------------
+
+def voxel_downsample(xyz: np.ndarray, resolution: float) -> np.ndarray:
+    """Per-voxel centroid downsampling (pcl::VoxelGrid essence) for the
+    host-side HV cost model — PCL's HypothesisVerification downsamples the
+    scene cloud to `resolution_` in initialize() before any explained/clutter
+    computation."""
+    if resolution <= 0 or len(xyz) == 0:
+        return xyz
+    keys = np.floor(xyz / resolution).astype(np.int64)
+    _, inv = np.unique(keys, axis=0, return_inverse=True)
+    n = inv.max() + 1
+    sums = np.zeros((n, 3), np.float64)
+    np.add.at(sums, inv, xyz)
+    counts = np.bincount(inv, minlength=n).astype(np.float64)
+    return sums / counts[:, None]
+
+
+def run_global_hv(
+    scene_xyz: np.ndarray,                    # [S, 3]
+    instances: List[np.ndarray],              # per hypothesis: aligned model pts
+    inlier_threshold: float = 0.01,
+    occlusion_threshold: float = 0.02,
+    regularizer: float = 1.0,
+    clutter_regularizer: float = 5.0,
+    radius_clutter: float = 0.1,
+    detect_clutter: bool = True,
+    scene_normals: Optional[np.ndarray] = None,
+    occlusion_reasoning: bool = False,
+    eps_angle_threshold: float = 0.25,
+) -> List[bool]:
+    """Select the subset of hypotheses minimizing the Aldoma ECCV'12 global
+    cost (parameters mirror global_hv.cpp:469-496: inlier 0.01, occlusion
+    0.02, regularizer 1.0, clutter regularizer 5.0, clutter radius 0.1,
+    detect_clutter true).
+
+    Per hypothesis h (aligned model cloud M_h):
+      * explained scene points: scene points within inlier_threshold of M_h,
+        with fit weight w = 1 - d^2/th^2;
+      * outliers: model points without scene support within inlier_threshold,
+        each costing `regularizer`.  With occlusion_reasoning (the reference
+        passes occlusion reasoning OFF at addModels, :671) model points whose
+        nearest scene distance exceeds occlusion_threshold are treated as
+        occluded and excluded from the outlier count — a viewpoint-free
+        stand-in for PCL's z-buffer reasoning, which needs organized clouds;
+      * clutter: unexplained scene points within radius_clutter of an
+        explained point cost (1 - (d/radius)^2), multiplied by
+        clutter_regularizer when they continue the same smooth surface
+        (normal angle below eps_angle_threshold rad — PCL's smooth-segment
+        test collapsed to pairwise normals).
+
+    Global cost of an active mask X:
+        cost(X) = sum_h in X (regularizer * outliers_h + clutter_h)
+                  + duplicity(X) - explained(X)
+    where explained(X) credits each scene point its best active fit weight
+    and duplicity(X) charges every additional active explanation (points
+    claimed by multiple hypotheses).  The mask is optimized by greedy
+    activation followed by single-flip local search — the deterministic
+    counterpart of PCL's simulated-annealing metaheuristic.
+    """
+    H = len(instances)
+    if H == 0:
+        return []
+    S = len(scene_xyz)
+    th2 = inlier_threshold * inlier_threshold
+    w_expl = np.zeros((H, S))            # fit weight per (hyp, scene point)
+    outliers = np.zeros(H)
+    clutter = np.zeros(H)
+    for h, pts in enumerate(instances):
+        d2 = ((scene_xyz[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        d2_scene = d2.min(axis=1)        # scene point -> nearest model point
+        d2_model = d2.min(axis=0)        # model point -> nearest scene point
+        expl = d2_scene < th2
+        w_expl[h, expl] = 1.0 - d2_scene[expl] / th2
+        out = d2_model >= th2
+        if occlusion_reasoning:
+            out &= d2_model < occlusion_threshold * occlusion_threshold
+        outliers[h] = out.sum()
+        if detect_clutter and expl.any() and (~expl).any():
+            une = np.where(~expl)[0]
+            d2_ep = ((scene_xyz[une][:, None, :]
+                      - scene_xyz[expl][None, :, :]) ** 2).sum(-1).min(axis=1)
+            near = d2_ep < radius_clutter * radius_clutter
+            if near.any():
+                w = 1.0 - d2_ep[near] / (radius_clutter * radius_clutter)
+                if scene_normals is not None:
+                    nn_e = ((scene_xyz[une][near][:, None, :]
+                             - scene_xyz[expl][None, :, :]) ** 2
+                            ).sum(-1).argmin(axis=1)
+                    dots = np.einsum(
+                        "ij,ij->i", scene_normals[une][near],
+                        scene_normals[np.where(expl)[0][nn_e]])
+                    smooth = dots > np.cos(eps_angle_threshold)
+                    w = w * np.where(smooth, clutter_regularizer, 1.0)
+                else:
+                    w = w * clutter_regularizer
+                clutter[h] = w.sum()
+
+    def cost(active: np.ndarray) -> float:
+        if not active.any():
+            return 0.0
+        w = w_expl[active]
+        best = w.max(axis=0)
+        explained = best.sum()
+        duplicity = (w.sum(axis=0) - best).sum()
+        return (float((regularizer * outliers[active]
+                       + clutter[active]).sum())
+                + duplicity - explained)
+
+    active = np.zeros(H, bool)
+    # greedy activation, then single-flip local search to a fixed point
+    improved = True
+    while improved:
+        improved = False
+        base = cost(active)
+        best_gain, best_h = 0.0, -1
+        for h in range(H):
+            trial = active.copy()
+            trial[h] = not trial[h]
+            gain = base - cost(trial)
+            if gain > best_gain + 1e-12:
+                best_gain, best_h = gain, h
+        if best_h >= 0:
+            active[best_h] = not active[best_h]
+            improved = True
+    return list(active)
 
 
 # ---------------------------------------------------------------------------

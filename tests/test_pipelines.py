@@ -102,6 +102,99 @@ def test_pipeline_end_to_end(dataset, name, tmp_path):
     assert correct >= 2, f"{name}: {correct}/3"
 
 
+def test_icp_point_to_point_refines_coarse_alignment():
+    """alignCloudsWithICP semantics (pipeline_building_blocks.cpp:616-650):
+    a coarsely-misaligned instance converges onto the target; an instance
+    with no correspondences in range reports non-convergence (PCL's
+    hasConverged()==false drop rule)."""
+    from point_cloud_donkey_tpu.pipelines.building_blocks import (
+        icp_point_to_point)
+    rng = np.random.default_rng(5)
+    dst = rng.normal(size=(60, 3))
+    ang = 0.06
+    R0 = np.array([[np.cos(ang), -np.sin(ang), 0],
+                   [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+    t0 = np.array([0.02, -0.015, 0.03])
+    src = dst @ R0.T + t0                       # coarse misalignment
+    R, t, converged, fitness = icp_point_to_point(
+        src, dst, max_iterations=100, max_corr_dist=0.5)
+    assert converged and fitness < 1e-8
+    aligned = src @ R.T + t
+    assert np.abs(aligned - dst).max() < 1e-4
+    # out-of-range source: fewer than 3 correspondences -> not converged
+    _, _, converged, fitness = icp_point_to_point(
+        src + 100.0, dst, max_iterations=10, max_corr_dist=0.5)
+    assert not converged and fitness == float("inf")
+
+
+def _plane_scene_with_sphere(rng):
+    """Scene: a dense ground plane (smooth clutter) + an isolated sphere."""
+    g = np.linspace(-0.4, 0.4, 41)
+    gx, gy = np.meshgrid(g, g)
+    plane = np.stack([gx.ravel(), gy.ravel(), np.zeros(gx.size)], axis=1)
+    sph = np.asarray(shapes.ellipsoid(rng, 300), np.float64) * 0.1
+    sph += np.array([0.0, 0.0, 1.0])
+    return np.concatenate([plane, sph]), plane, sph
+
+
+def test_global_hv_rejects_clutter_overlapping_hypothesis():
+    """The Aldoma ECCV'12 cost model (runGlobalHV, global_hv.cpp:455-520):
+    a TRUE hypothesis (model aligned on the isolated scene object) is
+    accepted; a FALSE hypothesis lying on the smooth ground plane has
+    inlier support 1.0 -- it would PASS the old inlier-fraction >= 0.25
+    criterion -- but the clutter term (unexplained plane points around it,
+    weighted by the clutter regularizer) makes its global cost positive,
+    so HV rejects it."""
+    from point_cloud_donkey_tpu.pipelines.building_blocks import run_global_hv
+    rng = np.random.default_rng(6)
+    scene, plane, sph = _plane_scene_with_sphere(rng)
+    true_hyp = sph.copy()                       # perfectly registered
+    # false hypothesis: a patch of the plane itself (support fraction 1.0)
+    patch = plane[(np.abs(plane[:, 0]) < 0.1) & (np.abs(plane[:, 1]) < 0.1)]
+    false_hyp = patch.copy()
+    # sanity: the old criterion would have accepted the false hypothesis
+    d2 = ((false_hyp[:, None, :] - scene[None, :, :]) ** 2).sum(-1)
+    assert (np.sqrt(d2.min(axis=1)) < 0.01).mean() >= 0.25
+    mask = run_global_hv(scene, [true_hyp, false_hyp],
+                         inlier_threshold=0.01, occlusion_threshold=0.02,
+                         regularizer=1.0, clutter_regularizer=5.0,
+                         radius_clutter=0.1, detect_clutter=True)
+    assert mask == [True, False]
+
+
+def test_aldoma_detect_end_to_end(dataset, tmp_path):
+    """findObjects with ICP + global HV on a composed scene: the trained
+    object placed away from a clutter plane is found with the right class."""
+    from point_cloud_donkey_tpu.pipelines.aldoma import GlobalHV
+    files, labels, tests, tlabels, d = dataset
+    pipe = GlobalHV(PARAMS)
+    model = str(tmp_path / "aldoma_det_model")
+    pipe.train(files, labels, labels, model)
+    pipe.load_model(model)
+    # compose: test object 0 (ellipsoid) + a sparse distant clutter plane
+    rng = np.random.default_rng(7)
+    obj = np.asarray(shapes.ellipsoid(rng, 900), np.float32)
+    g = np.linspace(-1.0, 1.0, 15)
+    gx, gy = np.meshgrid(g, g)
+    plane = np.stack([gx.ravel(), gy.ravel(),
+                      np.full(gx.size, -2.5)], axis=1).astype(np.float32)
+    scene = np.concatenate([obj, plane])
+    f = str(tmp_path / "aldoma_scene.pcd")
+    save_pcd(f, PointCloud(xyz=scene))
+    # thresholds rescaled to the toy set's metric scale: voxel keypoints of
+    # two independent samplings of the same surface jitter by up to the
+    # 0.3 leaf, so the RANSAC/HV radii sit just above it
+    pipe.params = PARAMS.__class__(
+        **{**PARAMS.__dict__, "inlier_threshold": 0.45,
+           "icp_max_corr_dist": 0.5,
+           "hv_inlier_threshold": 0.4, "hv_occlusion_threshold": 0.8,
+           "hv_radius_clutter": 0.4, "hv_resolution": 0.3})
+    res = pipe.detect(f, use_global_hv=True)
+    assert res, "no hypothesis survived HV"
+    assert res[0][0] == 0
+    assert np.linalg.norm(res[0][2] - obj.mean(axis=0)) < 0.6
+
+
 def test_self_adapted_hough_smoke():
     rng = np.random.default_rng(3)
     n = 30
