@@ -22,10 +22,22 @@ single-process OpenMP CPU program).
   - hard_accuracy: the standing 20-class accuracy benchmark
     (tests/hard_shapes.py): composite shapes, random rotations, extra
     noise, partial views, occlusion bites.
+  - harder_accuracy_base/extended: the keep=0.6/noise=0.02/bite=0.15
+    regime where SVM verification strictly beats the base pipeline (the
+    reference's extended-pipeline claim, README.md:23-29).  Runs EARLY
+    (right after the headline stages) so the driver record always carries
+    this evidence (VERDICT r3 next #1).
   - sanity_accuracy: argmax-vs-label on the benchmark batch.
 
 Stages run in priority order against a soft budget (BENCH_BUDGET_S env,
 default 1500s); stages that would blow it are skipped and reported null.
+
+Two caches keep repeat runs inside the budget (both safe: results are
+bit-equal, and BENCH_NO_CACHE=1 disables the model cache):
+  - bench_cache/: trained benchmark models keyed by config + training-cloud
+    bytes + backend platform (tests/hard_shapes.py:model_cache_key);
+    training-throughput measurement never uses it.
+  - the persistent XLA compilation cache (utils/jax_cache.py).
 """
 
 import json
@@ -152,7 +164,18 @@ def main():
     def left():
         return budget_s - (time.perf_counter() - bench_t0)
 
+    def stamp(name):
+        # stage timeline on stderr (the driver parses only the stdout JSON);
+        # this is how budget regressions get root-caused (VERDICT r3 weak #1)
+        print(f"[bench {time.perf_counter() - bench_t0:7.1f}s] {name}",
+              file=sys.stderr, flush=True)
+
     rng = np.random.default_rng(42)
+
+    cache_dir = None
+    if os.environ.get("BENCH_NO_CACHE", "") != "1":
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_cache")
 
     # --- train a real codebook on synthetic shapes (host path) -------------
     config = {
@@ -178,14 +201,21 @@ def main():
                            "BoundingBoxType": "AABB"},
         }
     }
+    import hard_shapes
     ism = ImplicitShapeModel(IsmConfig.from_json(config))
     tmp = tempfile.mkdtemp()
+    tr_clouds, tr_labels = [], []
     for cid in range(NUM_CLASSES):
         pts = shapes.make_instance(rng, cid, n=N, rotate=False, noise=0.005)
         p = os.path.join(tmp, f"t{cid}.pcd")
         save_pcd(p, PointCloud(xyz=pts))
         ism.add_training_model(p, cid, cid)
-    ism.train()
+        tr_clouds.append(pts)
+        tr_labels.append(cid)
+    stamp("setup: training models written")
+    ism = hard_shapes.load_or_train(ism, config, tr_clouds, tr_labels,
+                                    cache_dir)
+    stamp("main model ready")
     cb = jax.tree_util.tree_map(jnp.asarray, ism.state.codebook)
 
     # capacities sized to the measured maxima for this workload
@@ -216,6 +246,7 @@ def main():
     # drains the dispatch queue.
     scores = step(pts_j, mask_j)
     np.asarray(scores)
+    stamp("headline compiled + warm")
 
     t0 = time.perf_counter()
     for _ in range(ROUNDS):
@@ -223,12 +254,13 @@ def main():
     scores = np.asarray(scores)
     dt = time.perf_counter() - t0
 
+    stamp("headline measured")
     clouds_per_sec = BATCH * ROUNDS / dt
     acc = float((np.argmax(np.asarray(scores), axis=1) == labels).mean())
 
     # --- mean-shift serving path (full per-class maxima search) -------------
     ms_clouds_per_sec = ms_acc = None
-    if left() > 240:
+    if left() > 120:
         step_ms = jax.jit(jax.vmap(
             lambda p, m: classify_scores_mean_shift(p, m, cb, cfg, params)))
         s2 = step_ms(pts_j, mask_j)
@@ -240,37 +272,50 @@ def main():
         ms_clouds_per_sec = round(BATCH * ROUNDS / (time.perf_counter() - t0), 2)
         ms_acc = float((np.argmax(np.asarray(s2), axis=1) == labels).mean())
 
-    # --- host-orchestrated detect() (the eval-CLI path) ----------------------
-    # measured through detect_batch: same per-cloud decisions as detect()
-    # (pinned by tests/test_detection.py), device stages batched across
-    # clouds.  host_detect_single_clouds_per_sec keeps the per-call API
-    # number for comparison.
-    host_clouds_per_sec = host_acc = host_single_clouds_per_sec = None
-    if left() > 180:
-        # warm the per-bucket compile caches (feature counts vary per cloud)
-        # so the metric reports steady-state throughput
-        ism.detect_batch([clouds[i] for i in range(min(8, HOST_DETECT_N))])
-        t0 = time.perf_counter()
-        results = ism.detect_batch([clouds[i] for i in range(HOST_DETECT_N)])
-        host_dt = time.perf_counter() - t0
-        host_correct = sum(
-            1 for i, (maxima, _) in enumerate(results)
-            if maxima and maxima[0].class_id == labels[i])
-        host_clouds_per_sec = round(HOST_DETECT_N / host_dt, 2)
-        host_acc = host_correct / HOST_DETECT_N
-        if left() > 240:
-            # per-call API number for comparison (compiles the per-cloud
-            # programs; skipped when the budget is tight)
-            ism.detect(clouds[0])  # warm the single-cloud programs
-            t0 = time.perf_counter()
-            for i in range(min(4, HOST_DETECT_N)):
-                ism.detect(clouds[i])
-            host_single_clouds_per_sec = round(
-                min(4, HOST_DETECT_N) / (time.perf_counter() - t0), 2)
+    stamp("mean-shift stage done")
+    # --- harder accuracy pair: the extended-pipeline-wins evidence ----------
+    # keep=0.6, noise=0.02, bite=0.15 is the regime where SVM verification
+    # STRICTLY beats the base pipeline (the reference's extended-pipeline
+    # claim, README.md:23-29).  This pair runs FIRST among the accuracy
+    # stages so the driver's TPU record always carries it (VERDICT r3 #1).
+    harder_base = harder_ext = None
+    if left() > 300:
+        harder_base, _ = hard_shapes.run_hard_benchmark(
+            keep_frac=0.6, noise=0.02, bite_frac=0.15, cache_dir=cache_dir)
+        harder_ext, _ = hard_shapes.run_hard_benchmark_extended(
+            keep_frac=0.6, noise=0.02, bite_frac=0.15, cache_dir=cache_dir)
 
-    # --- training throughput (warm programs) ---------------------------------
+    stamp("harder pair done")
+    # --- standing 20-class hard accuracy benchmark ---------------------------
+    hard_acc = hard_acc_ext = hard_acc_global_only = None
+    if left() > 240:
+        hard_acc, _per_class = hard_shapes.run_hard_benchmark(
+            cache_dir=cache_dir)
+
+    stamp("hard 20-class done")
+    # extended pipeline (ISM + ESF + chi2-SVM verification, merge fn 3):
+    # exercises the full verification subsystem every round.  NB the global
+    # descriptor sees partial/occluded views, so global-only accuracy is
+    # low by construction (the reference reports partial-view datasets
+    # separately for the same reason, README.md:33).
+    if left() > 240:
+        hard_acc_ext, hard_acc_global_only = \
+            hard_shapes.run_hard_benchmark_extended(cache_dir=cache_dir)
+
+    stamp("hard extended done")
+    # --- training throughput (warm programs; NEVER cache-assisted) ----------
     train_clouds_per_sec = None
-    if left() > 150:
+    if left() > 120:
+        # warm the training programs with a tiny untimed run first: the
+        # model cache means the setup phase no longer trains live, so
+        # without this the measurement would include one-off compiles
+        ism_w = ImplicitShapeModel(IsmConfig.from_json(config))
+        for cid in range(min(2, NUM_CLASSES)):
+            p = os.path.join(tmp, f"tw{cid}.pcd")
+            save_pcd(p, PointCloud(xyz=tr_clouds[cid]))
+            ism_w.add_training_model(p, cid, cid)
+        ism_w.train()
+        stamp("train programs warm")
         ism_t = ImplicitShapeModel(IsmConfig.from_json(config))
         for i in range(TRAIN_N):
             cid = i % NUM_CLASSES
@@ -282,30 +327,40 @@ def main():
         ism_t.train()
         train_clouds_per_sec = round(TRAIN_N / (time.perf_counter() - t0), 2)
 
-    # --- standing 20-class hard accuracy benchmark ---------------------------
-    hard_acc = hard_acc_ext = hard_acc_global_only = None
-    if left() > 420:
-        import hard_shapes
-        hard_acc, _per_class = hard_shapes.run_hard_benchmark()
+    stamp("train throughput done")
+    # --- host-orchestrated detect() (the eval-CLI path) ----------------------
+    # measured through detect_batch: same per-cloud decisions as detect()
+    # (pinned by tests/test_detection.py), device stages batched across
+    # clouds.  host_detect_single_clouds_per_sec measures the per-call API
+    # (now routed through the fused B=1 program).
+    host_clouds_per_sec = host_acc = host_single_clouds_per_sec = None
+    if left() > 120:
+        # warm the per-bucket compile caches (feature counts vary per cloud)
+        # so the metric reports steady-state throughput
+        ism.detect_batch([clouds[i] for i in range(min(8, HOST_DETECT_N))])
+        t0 = time.perf_counter()
+        results = ism.detect_batch([clouds[i] for i in range(HOST_DETECT_N)])
+        host_dt = time.perf_counter() - t0
+        host_correct = sum(
+            1 for i, (maxima, _) in enumerate(results)
+            if maxima and maxima[0].class_id == labels[i])
+        host_clouds_per_sec = round(HOST_DETECT_N / host_dt, 2)
+        host_acc = host_correct / HOST_DETECT_N
+        if left() > 120:
+            # per-call API number (fused B=1 path; warm it over the
+            # capacity variants first, then time the steady state)
+            for i in range(min(8, HOST_DETECT_N)):
+                ism.detect(clouds[i])
+            t0 = time.perf_counter()
+            for i in range(min(8, HOST_DETECT_N)):
+                ism.detect(clouds[i])
+            host_single_clouds_per_sec = round(
+                min(8, HOST_DETECT_N) / (time.perf_counter() - t0), 2)
 
-    # extended pipeline (ISM + ESF + chi2-SVM verification, merge fn 3):
-    # exercises the full verification subsystem every round.  NB the global
-    # descriptor sees partial/occluded views, so global-only accuracy is
-    # low by construction (the reference reports partial-view datasets
-    # separately for the same reason, README.md:33).
-    if left() > 420:
-        import hard_shapes
-        hard_acc_ext, hard_acc_global_only = \
-            hard_shapes.run_hard_benchmark_extended()
-
-    # --- pallas viability (VERDICT r2 #9: re-probe each round) ---------------
-    pallas = None
-    if not force_cpu and left() > 300:
-        pallas = _pallas_status()
-
+    stamp("host detect done")
     # --- scene-scale detection (tiled neighbor path, ops/tiled.py) -----------
     scene_pts_per_sec = scene_points = scene_recall = None
-    if left() > 300:
+    if left() > 240:
         scfg = {"ObjectConfig": {"Children": {
             "Clustering": {"Type": "None"},
             "Codebook": {"Children": {"ActivationStrategy": {
@@ -326,13 +381,17 @@ def main():
         # curved classes: flat-faced objects in planar-clutter scenes are
         # the classic ISM failure mode (box faces == plane patches), so the
         # standing scene benchmark tracks curved-object detection
+        s_clouds, s_labels = [], []
         for cid in (2, 4):
             for j in range(2):
                 pts = shapes.make_instance(rng, cid, n=2000, rotate=False)
                 p = os.path.join(tmp, f"s{cid}{j}.pcd")
                 save_pcd(p, PointCloud(xyz=pts))
                 ism_s.add_training_model(p, cid, cid)
-        ism_s.train()
+                s_clouds.append(pts)
+                s_labels.append(cid)
+        ism_s = hard_shapes.load_or_train(ism_s, scfg, s_clouds, s_labels,
+                                          cache_dir)
         # 120k-point composed scene: 2 objects + dense ground + clutter
         box_pts = shapes.make_instance(rng, 2, n=20000, rotate=False)
         torus_pts = shapes.make_instance(rng, 4, n=20000, rotate=False) \
@@ -360,19 +419,15 @@ def main():
                 found += 1
         scene_recall = found / len(gts)
 
-    # harder accuracy variant (keep=0.6, noise=0.02, bite=0.15): the regime
-    # where SVM verification STRICTLY beats the base pipeline (the
-    # reference's extended-pipeline claim, README.md:23-29); measured CPU:
-    # base 0.900, extended 0.925.  Runs last -- it is the least
-    # time-critical stage on a tight budget.
-    harder_base = harder_ext = None
-    if left() > 600:
-        import hard_shapes
-        harder_base, _ = hard_shapes.run_hard_benchmark(
-            keep_frac=0.6, noise=0.02, bite_frac=0.15)
-        harder_ext, _ = hard_shapes.run_hard_benchmark_extended(
-            keep_frac=0.6, noise=0.02, bite_frac=0.15)
+    stamp("scene stage done")
+    # --- pallas viability (VERDICT r2 #9: re-probe each round) ---------------
+    # last: a probe, not a measurement -- it must never starve the accuracy
+    # or throughput stages (VERDICT r3 weak #1)
+    pallas = None
+    if not force_cpu and left() > 150:
+        pallas = _pallas_status(timeout_s=min(120.0, max(30.0, left() - 20)))
 
+    stamp("pallas probe done")
     print(json.dumps({
         "metric": "clouds/sec/chip end-to-end classification (2048-pt clouds, SHOT-352 + kNN codebook + voting)",
         "value": round(clouds_per_sec, 2),
