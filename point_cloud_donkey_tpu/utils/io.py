@@ -320,6 +320,15 @@ def load_cloud(path: str) -> PointCloud:
         return load_pcd(path)
     if path.endswith(".ply"):
         return load_ply(path)
+    if path.endswith(".off"):
+        # ModelNet meshes: sample on the fly (PCD_OFF_POINTS/PCD_OFF_SEED
+        # env overrides); cli/modelnet.py pre-converts for repeat runs
+        import os
+        from .mesh import off_to_cloud
+        return off_to_cloud(path,
+                            n_points=int(os.environ.get("PCD_OFF_POINTS",
+                                                        "2048")),
+                            seed=int(os.environ.get("PCD_OFF_SEED", "0")))
     raise ValueError(f"unknown extension for {path}")
 
 
