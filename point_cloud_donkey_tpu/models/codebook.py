@@ -105,8 +105,8 @@ import functools
 @functools.lru_cache(maxsize=None)
 def _knn_program(qn: int, c: int, d: int, k: int, metric: str, exact: bool):
     @jax.jit
-    def run(q, db):
-        return knn(q, db, jnp.ones(c, bool), k=k, metric=metric, exact=exact)
+    def run(q, db, db_mask):
+        return knn(q, db, db_mask, k=k, metric=metric, exact=exact)
     return run
 
 
@@ -114,17 +114,23 @@ def activate_knn_batch(descriptors: np.ndarray, codewords: np.ndarray,
                        k: int, metric: str, exact: bool = True
                        ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact k-NN activation for a feature batch (replaces FLANN index
-    queries in activation_strategy_knn.h:42-126).  Jitted and query-chunked:
-    the [chunk, C] distance block stays bounded and the compiled program is
-    reused across training models/classes."""
+    queries in activation_strategy_knn.h:42-126).  Jitted and chunked with
+    BOTH axes bucketed to powers of two (queries chunked, codewords padded +
+    masked): the [chunk, C] distance block stays bounded and the compiled
+    program is reused across training models, classes AND training sets of
+    similar size -- with the persistent XLA cache this removes the
+    per-training-run recompile that used to dominate train() wall time."""
     c, d = codewords.shape
     f = descriptors.shape[0]
     if c <= k:
         idx = np.tile(np.arange(c), (f, 1))
         dd = np.zeros_like(idx, np.float32)
         return dd, idx
+    c_pad = 512
+    while c_pad < c:
+        c_pad *= 2
     # chunk so the [chunk, C] block stays ~64M elements; bucket to pow2
-    chunk = max(64, min(8192, (1 << 26) // max(c, 1)))
+    chunk = max(64, min(8192, (1 << 26) // c_pad))
     b = 64
     while b < chunk:
         b *= 2
@@ -132,11 +138,14 @@ def activate_knn_batch(descriptors: np.ndarray, codewords: np.ndarray,
     pad = (-f) % chunk
     q = np.zeros((f + pad, d), np.float32)
     q[:f] = descriptors
-    run = _knn_program(chunk, c, d, k, metric, exact)
-    cw_j = jnp.asarray(codewords)
+    cw = np.zeros((c_pad, d), np.float32)
+    cw[:c] = codewords
+    run = _knn_program(chunk, c_pad, d, k, metric, exact)
+    cw_j = jnp.asarray(cw)
+    mask_j = jnp.arange(c_pad) < c      # padded entries -> +inf distance
     outs_d, outs_i = [], []
     for i0 in range(0, f + pad, chunk):
-        dd, ii = run(jnp.asarray(q[i0:i0 + chunk]), cw_j)
+        dd, ii = run(jnp.asarray(q[i0:i0 + chunk]), cw_j, mask_j)
         outs_d.append(np.asarray(dd))
         outs_i.append(np.asarray(ii))
     dists = np.concatenate(outs_d)[:f]
@@ -219,6 +228,7 @@ def train_codebook(
 
     classes = sorted(set(class_per_model))
     class_sigmas: Dict[int, float] = {}
+    sigma_pending: Dict[int, tuple] = {}
 
     # --- step 0: activation for ALL models in one batch ---------------------
     # A per-model activation call costs a full device dispatch round-trip
@@ -310,13 +320,13 @@ def train_codebook(
         if sample_feature_descs and sample_cw_descs:
             fd = np.concatenate(sample_feature_descs, axis=0)
             cd = np.concatenate(sample_cw_descs, axis=0)
-            d = _all_pairs_distance(fd, cd, metric)
-            num = d.size
-            mean = d.sum() / num
-            var = float(((d - mean) ** 2).sum() / max(num - 1, 1))
-            class_sigmas[class_id] = var
+            sigma_pending[class_id] = _pair_distance_stats_async(
+                fd, cd, metric)
         else:
             class_sigmas[class_id] = 1.0
+
+    for cid, handle in sigma_pending.items():
+        class_sigmas[cid] = _resolve_pair_stats(handle)[1]
 
     V = sum(len(a) for a in rec_cw)
     cw_arr = np.concatenate(rec_cw) if V else np.zeros(0, np.int64)
@@ -521,6 +531,7 @@ def train_codebook_loop(
     # --- step 1: activation + vote recording, grouped per class ------------
     votes_by_cw: Dict[int, list] = {}
     class_sigmas: Dict[int, float] = {}
+    sigma_pending: Dict[int, tuple] = {}
 
     classes = sorted(set(class_per_model))
     for class_id in classes:
@@ -583,13 +594,13 @@ def train_codebook_loop(
         if sample_feature_descs and sample_cw_descs:
             fd = np.concatenate(sample_feature_descs, axis=0)
             cd = np.concatenate(sample_cw_descs, axis=0)
-            d = _all_pairs_distance(fd, cd, metric)
-            num = d.size
-            mean = d.sum() / num
-            var = float(((d - mean) ** 2).sum() / max(num - 1, 1))
-            class_sigmas[class_id] = var
+            sigma_pending[class_id] = _pair_distance_stats_async(
+                fd, cd, metric)
         else:
             class_sigmas[class_id] = 1.0
+
+    for cid, handle in sigma_pending.items():
+        class_sigmas[cid] = _resolve_pair_stats(handle)[1]
 
     # --- KNN k=1 / INN cleanup: keep single-vote codewords only ------------
     clean_up = (params.activation_type == "KNN" and params.knn_k == 1) or \
@@ -647,17 +658,61 @@ def train_codebook_loop(
     return out
 
 
-def _all_pairs_distance(a: np.ndarray, b: np.ndarray, metric: str) -> np.ndarray:
-    """Host-numpy all-pairs distances for the (small, sqrt-sampled) class
-    sigma estimate; eager device ops here cost more than the math."""
-    from ..ops.neighbors import chi_square_distance_np
+@functools.lru_cache(maxsize=None)
+def _pair_stats_program(a_pad: int, b_pad: int, d: int, metric: str):
+    from ..ops.neighbors import chi_square_distance_matrix, pairwise_sqdist
+
+    @jax.jit
+    def run(a, b, na, nb):
+        if metric == "l2":
+            dm = jnp.maximum(pairwise_sqdist(a, b), 0.0)
+        else:
+            dm = chi_square_distance_matrix(a, b)   # exact, like the host path
+        valid = (jnp.arange(a_pad)[:, None] < na) \
+            & (jnp.arange(b_pad)[None, :] < nb)
+        dm = jnp.where(valid, dm, 0.0)
+        return dm.sum(), (dm * dm).sum()
+    return run
+
+
+def _pair_distance_stats_async(a: np.ndarray, b: np.ndarray, metric: str):
+    """Dispatch the class-sigma all-pairs stats on device (pow2-bucketed
+    shapes so the program is reused across classes and training runs; the
+    full matrix is never materialized on the host).  Returns (s, ss, n) with
+    s/ss still device-resident -- resolve with _resolve_pair_stats so the
+    per-class dispatches overlap and only ONE sync pays the link latency."""
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
-    if metric == "l2":
-        d2 = (a * a).sum(1)[:, None] + (b * b).sum(1)[None, :] \
-            - 2.0 * (a @ b.T)
-        return np.maximum(d2, 0.0)
-    return chi_square_distance_np(a, b)
+    A, D = a.shape
+    B = b.shape[0]
+
+    def bucket(n: int) -> int:
+        p = 256
+        while p < n:
+            p *= 2
+        return p
+
+    ap, bp = bucket(A), bucket(B)
+    qa = np.zeros((ap, D), np.float32)
+    qa[:A] = a
+    qb = np.zeros((bp, D), np.float32)
+    qb[:B] = b
+    s, ss = _pair_stats_program(ap, bp, D, metric)(
+        jnp.asarray(qa), jnp.asarray(qb), A, B)
+    return s, ss, A * B
+
+
+def _resolve_pair_stats(handle) -> Tuple[float, float]:
+    """(mean, variance) from an async stats handle (blocks on the device)."""
+    s, ss, n = handle
+    mean = float(s) / n
+    var = (float(ss) - n * mean * mean) / max(n - 1, 1)
+    return mean, max(var, 0.0)
+
+
+def _pair_distance_stats(a: np.ndarray, b: np.ndarray, metric: str
+                         ) -> Tuple[float, float]:
+    return _resolve_pair_stats(_pair_distance_stats_async(a, b, metric))
 
 
 def _compute_center_weights(votes: List[dict]) -> None:
