@@ -85,6 +85,13 @@ def main(argv=None) -> int:
     dim = {"SHOT": 352, "CSHOT": 1344, "SHORT_SHOT": 32}[args.descriptor]
     cb = graft._synthetic_codebook(dim=dim, num_classes=args.classes)
 
+    # bf16 peak of the chip, for the MFU column (TPU v5e: 197 TFLOP/s;
+    # the pipeline is mostly f32 so this is the honest UPPER bound --
+    # f32 work can at best hit half of it)
+    peaks = {"TPU v5 lite": 197e12, "TPU v4": 275e12, "TPU v6 lite": 918e12}
+    dev_kind = getattr(jax.devices()[0], "device_kind", "")
+    peak_flops = next((v for k, v in peaks.items() if k in dev_kind), None)
+
     def timed(name, fn, *xs):
         """Warm `fn` then time `rounds` full-batch dispatches.
 
@@ -93,7 +100,11 @@ def main(argv=None) -> int:
         loop ends with a host fetch of that scalar.  block_until_ready is
         NOT used: on the axon tunnel it returns without waiting for
         execution (measured 0.03 ms/batch "timings"), while a host fetch
-        genuinely drains the queue."""
+        genuinely drains the queue.
+
+        Each stage also reports XLA's static cost analysis (flops / bytes
+        per batch), the achieved FLOP/s over the measured wall time, and —
+        when the chip's peak is known — the model FLOPs utilization."""
         out = fn(*xs)
         np.asarray(out)
         t0 = time.perf_counter()
@@ -101,8 +112,27 @@ def main(argv=None) -> int:
             out = fn(*xs)
         np.asarray(out)
         dt = time.perf_counter() - t0
-        return {"clouds_per_sec": round(B * args.rounds / dt, 2),
-                "ms_per_batch": round(1e3 * dt / args.rounds, 2)}
+        res = {"clouds_per_sec": round(B * args.rounds / dt, 2),
+               "ms_per_batch": round(1e3 * dt / args.rounds, 2)}
+        try:
+            ca = fn.lower(*xs).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            flops = float(ca.get("flops", 0.0))
+            nbytes = float(ca.get("bytes accessed", 0.0))
+            res["gflops_per_batch"] = round(flops / 1e9, 3)
+            res["gbytes_per_batch"] = round(nbytes / 1e9, 3)
+            achieved = flops * args.rounds / dt
+            res["achieved_gflops_per_sec"] = round(achieved / 1e9, 2)
+            if nbytes:
+                res["achieved_gbytes_per_sec"] = round(
+                    nbytes * args.rounds / dt / 1e9, 2)
+                res["arithmetic_intensity"] = round(flops / nbytes, 2)
+            if peak_flops:
+                res["mfu_vs_bf16_peak"] = round(achieved / peak_flops, 5)
+        except Exception:
+            pass  # cost analysis is best-effort (older jax / exotic backend)
+        return res
 
     def vm(f):
         """jit(vmap(f)) reduced to one scalar so timed()'s sync fetch is
@@ -152,11 +182,36 @@ def main(argv=None) -> int:
         return classify_scores(p, m, cb, cfg, params,
                                rgb=c if needs_rgb else None)
 
+    # --- padding occupancy: how much of each padded capacity is real work --
+    # (VERDICT r3 weak #5: low occupancy is where silent 10x losses hide)
+    def occupancy():
+        def _occ(p, m, c):
+            kres = voxel_grid(p, m, cfg.leaf_size,
+                              capacity=cfg.keypoint_capacity,
+                              features=c if needs_rgb else None)
+            kp = jnp.where(kres.mask[:, None], kres.centroids[:, :3], 1e9)
+            d2 = ((kp[:, None, :] - p[None, :, :]) ** 2).sum(-1)
+            in_r = (d2 <= cfg.radius * cfg.radius) \
+                & kres.mask[:, None] & m[None, :]
+            return kres.mask.sum(), in_r.sum(axis=1), kres.mask
+        kp_n, nbr_n, kp_m = jax.jit(jax.vmap(_occ))(pts_j, mask_j, rgb_j)
+        kp_n = np.asarray(kp_n)
+        nbr = np.asarray(nbr_n)[np.asarray(kp_m)]
+        return {
+            "keypoint_capacity": cfg.keypoint_capacity,
+            "keypoint_occupancy": round(float(kp_n.mean())
+                                        / cfg.keypoint_capacity, 3),
+            "mean_neighbors_in_radius": round(float(nbr.mean()), 1),
+            "neighbor_occupancy_vs_cloud": round(float(nbr.mean()) / N, 3),
+        }
+
     res = {
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
+        "device_kind": dev_kind,
         "batch": B, "points": N, "rounds": args.rounds,
         "descriptor": args.descriptor,
+        "occupancy": occupancy(),
         "voxel_keypoints": timed("voxel", stage_voxel, pts_j, mask_j, rgb_j),
         "kp+lrf": timed("lrf", vm(lrf_only), pts_j, mask_j, rgb_j),
         "kp+lrf+normals+desc": timed("desc", vm(desc_only), pts_j, mask_j,
