@@ -70,26 +70,15 @@ def _device_alive(timeout_s: float = 180.0) -> bool:
 
 
 def _pallas_status(timeout_s: float = 240.0) -> str:
-    """Probe pallas_call viability on the real device in a SUBPROCESS: on
-    the axon tunnel any pallas_call silently kills the whole process (no
-    traceback), so the probe must be isolated.  Returns "ok" (the doubling
-    kernel ran and returned 2x), "crashed", or "timeout"."""
-    import subprocess
-    code = (
-        "import jax, jax.numpy as jnp\n"
-        "from jax.experimental import pallas as pl\n"
-        "def k(x_ref, o_ref):\n"
-        "    o_ref[...] = x_ref[...] * 2\n"
-        "x = jnp.arange(256, dtype=jnp.float32).reshape(2, 128)\n"
-        "y = pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(x)\n"
-        "assert (y == x * 2).all()\n"
-        "print('PALLAS_OK')\n")
-    try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True)
-        return "ok" if b"PALLAS_OK" in r.stdout else "crashed"
-    except Exception:
-        return "timeout"
+    """Probe pallas_call viability via the shared disk-cached probe
+    (ops/pallas.probe_pallas): on the axon tunnel any pallas_call silently
+    kills the whole process (no traceback), so the probe runs in a
+    subprocess; conclusive verdicts are cached on disk so repeat bench
+    runs don't pay the 80-240s subprocess backend init (under load the
+    probe times out, which used to silently route the serving path off
+    pallas, -30% headline).  Returns "ok" or "off"."""
+    from point_cloud_donkey_tpu.ops.pallas import probe_pallas
+    return "ok" if probe_pallas(timeout_s=timeout_s) else "off"
 
 
 def main():
@@ -287,10 +276,17 @@ def main():
 
     stamp("harder pair done")
     # --- standing 20-class hard accuracy benchmark ---------------------------
-    hard_acc = hard_acc_ext = hard_acc_global_only = None
+    hard_acc = hard_acc_ext = hard_acc_global_only = hard_acc_exact = None
     if left() > 240:
         hard_acc, _per_class = hard_shapes.run_hard_benchmark(
             cache_dir=cache_dir)
+
+    # exact-vs-approx activation A/B (VERDICT r3 #10): same trained model
+    # (cached), same views, exact brute-force chi-square instead of the
+    # default MXU feature-map approximation
+    if left() > 180:
+        hard_acc_exact, _ = hard_shapes.run_hard_benchmark(
+            cache_dir=cache_dir, flann_exact=True)
 
     stamp("hard 20-class done")
     # extended pipeline (ISM + ESF + chi2-SVM verification, merge fn 3):
@@ -443,6 +439,7 @@ def main():
                   "train_clouds_per_sec": train_clouds_per_sec,
                   "train_n": TRAIN_N,
                   "hard_accuracy_20class": hard_acc,
+                  "hard_accuracy_20class_exact_chisq": hard_acc_exact,
                   "hard_accuracy_20class_extended": hard_acc_ext,
                   "hard_accuracy_global_only": hard_acc_global_only,
                   "harder_accuracy_base": harder_base,

@@ -37,6 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--classes", type=int, default=5)
     p.add_argument("--descriptor", default="SHOT",
                    choices=["SHOT", "CSHOT", "SHORT_SHOT"])
+    # pipeline geometry overrides (defaults = JitPipelineConfig defaults;
+    # pass the bench's values to profile the exact headline workload)
+    p.add_argument("--radius", type=float, default=None)
+    p.add_argument("--ref-frame-radius", type=float, default=None)
+    p.add_argument("--leaf-size", type=float, default=None)
+    p.add_argument("--normal-radius", type=float, default=None)
+    p.add_argument("--kp-capacity", type=int, default=None)
     return p
 
 
@@ -56,8 +63,15 @@ def main(argv=None) -> int:
     from ..ops.voxel_grid import voxel_grid
 
     B, N = args.batch, args.points
+    overrides = {k: v for k, v in [
+        ("radius", args.radius),
+        ("ref_frame_radius", args.ref_frame_radius),
+        ("leaf_size", args.leaf_size),
+        ("normal_radius", args.normal_radius),
+        ("keypoint_capacity", args.kp_capacity),
+    ] if v is not None}
     cfg = JitPipelineConfig(descriptor=args.descriptor,
-                            num_classes=args.classes)
+                            num_classes=args.classes, **overrides)
     params = CodebookParams(knn_k=1)
     needs_normals = args.descriptor != "SHORT_SHOT"
     needs_rgb = args.descriptor == "CSHOT"

@@ -17,10 +17,47 @@ _PALLAS_AUTO = {}  # per-process probe cache, keyed by default backend name
 # dryrun -- and a cached TPU "ok" must not route the CPU backend to pallas)
 
 
+def _probe_cache_path() -> str:
+    """Disk-cache location for a CONCLUSIVE probe verdict, keyed by the jax
+    version and device kind (the things whose change could alter pallas
+    viability)."""
+    import os
+
+    import jax
+    kind = str(getattr(jax.devices()[0], "device_kind",
+                       jax.default_backend()))
+    key = f"{jax.__version__}-{kind}".replace(" ", "_").replace("/", "_")
+    d = os.path.join(os.path.expanduser("~"), ".cache",
+                     "point_cloud_donkey_tpu")
+    return os.path.join(d, f"pallas_probe_{key}")
+
+
 def probe_pallas(timeout_s: float = 240.0) -> bool:
-    """Run the minimal doubling kernel in a subprocess; True iff it works."""
+    """Run the minimal doubling kernel in a subprocess; True iff it works.
+
+    The subprocess pays full backend init (on the axon tunnel: 80-240+s,
+    and under load it can exceed any reasonable timeout), so CONCLUSIVE
+    verdicts are cached on disk keyed by (jax version, device kind): a
+    measured "ok" or a subprocess CRASH is stable machine state, while a
+    timeout is inconclusive (contention) and is never cached -- without
+    the cache a flaky timeout silently dropped the serving headline ~30%
+    by routing the LRF/moments stages to the XLA fallback."""
+    import os
     import subprocess
     import sys
+
+    cache = None
+    try:
+        cache = _probe_cache_path()
+        with open(cache) as f:
+            verdict = f.read().strip()
+        if verdict in ("ok", "crash"):
+            return verdict == "ok"
+    except FileNotFoundError:
+        pass
+    except Exception:
+        cache = None
+
     code = (
         "import jax, jax.numpy as jnp\n"
         "from jax.experimental import pallas as pl\n"
@@ -30,10 +67,29 @@ def probe_pallas(timeout_s: float = 240.0) -> bool:
         "y = pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(x)\n"
         "assert (y == x * 2).all()\n"
         "print('PALLAS_OK')\n")
+
+    def remember(verdict: str) -> None:
+        if cache is None:
+            return
+        try:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            with open(cache, "w") as f:
+                f.write(verdict)
+        except Exception:
+            pass
+
     try:
         r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
                            capture_output=True)
-        return b"PALLAS_OK" in r.stdout
+        if b"PALLAS_OK" in r.stdout:
+            remember("ok")
+            return True
+        # ran to completion and failed: a real crash, stable for this
+        # (jax, device) pair
+        remember("crash")
+        return False
+    except subprocess.TimeoutExpired:
+        return False  # inconclusive -- do not cache
     except Exception:
         return False
 

@@ -274,11 +274,15 @@ def train_keep_frac(j: int) -> float:
 def run_hard_benchmark(seed=7, n_train=3, n_test=2, n=2048,
                        num_classes=NUM_HARD_CLASSES, keep_frac=0.7,
                        bite_frac=0.1, noise=0.015, keypoint_capacity=384,
-                       cache_dir=None):
+                       cache_dir=None, flann_exact=False):
     """Train on rotated instances (complete + partial views,
     train_keep_frac), classify rotated/noisy/partial/occluded test instances
     through the jitted fast path.  Returns (accuracy, per-class correct
-    counts)."""
+    counts).  flann_exact=True classifies with exact brute-force chi-square
+    activation instead of the default MXU feature-map approximation, for the
+    exact-vs-approx accuracy A/B the bench records (the trained model is
+    identical either way -- the flag only affects detection-time
+    matching, implicit_shape_model.cpp:125)."""
     import os
     import tempfile
 
@@ -330,7 +334,7 @@ def run_hard_benchmark(seed=7, n_train=3, n_test=2, n=2048,
         normal_radius=0.25, normals_method=2, metric="chisq", knn_k=1,
         keypoint_capacity=keypoint_capacity, neighbor_capacity=1024,
         bandwidth=0.5, num_classes=num_classes)
-    params = CodebookParams(knn_k=1)
+    params = CodebookParams(knn_k=1, flann_exact=flann_exact)
     step = jax.jit(jax.vmap(
         lambda p, m: classify_scores(p, m, cb, cfg, params)))
 
