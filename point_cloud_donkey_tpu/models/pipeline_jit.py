@@ -90,12 +90,26 @@ def extract_features_jit(points: jnp.ndarray, mask: jnp.ndarray,
     return kp, lrf.frames, res.descriptors, valid
 
 
-def classify_scores(points: jnp.ndarray, mask: jnp.ndarray, cb,
-                    cfg: JitPipelineConfig,
-                    cb_params: CodebookParams,
-                    rgb: jnp.ndarray = None) -> jnp.ndarray:
-    """Forward step: per-class scores [num_classes] for one cloud via the
-    centroid density query (single-object mode)."""
+class ClassifyIntermediates(NamedTuple):
+    """Every stage output of the fused classification step, for the
+    platform-divergence A/B instrument (platform_ab.py)."""
+    scores: jnp.ndarray         # [num_classes]
+    keypoints: jnp.ndarray      # [K, 3]
+    descriptors: jnp.ndarray    # [K, D]
+    desc_valid: jnp.ndarray     # [K]
+    vote_position: jnp.ndarray  # [T, 3]
+    vote_weight: jnp.ndarray    # [T]
+    vote_class: jnp.ndarray     # [T]
+    vote_valid: jnp.ndarray     # [T]
+
+
+def classify_intermediates(points: jnp.ndarray, mask: jnp.ndarray, cb,
+                           cfg: JitPipelineConfig,
+                           cb_params: CodebookParams,
+                           rgb: jnp.ndarray = None) -> ClassifyIntermediates:
+    """classify_scores plus all stage outputs.  classify_scores delegates
+    here so the instrumented and serving paths can never drift; under jit
+    XLA dead-code-eliminates whichever outputs the caller drops."""
     kp, frames, desc, valid = extract_features_jit(points, mask, cfg, rgb)
     votes = cast_votes(cb, desc, kp, frames, valid, cb_params, cfg.metric)
 
@@ -108,7 +122,19 @@ def classify_scores(points: jnp.ndarray, mask: jnp.ndarray, cb,
     kern = jnp.exp(-0.5 * d2 / b2)
     w = jnp.where(in_r, kern * votes.weight, 0.0)
     scores = jax.ops.segment_sum(w, votes.class_id, num_segments=cfg.num_classes)
-    return scores
+    return ClassifyIntermediates(
+        scores=scores, keypoints=kp, descriptors=desc, desc_valid=valid,
+        vote_position=votes.position, vote_weight=w,
+        vote_class=votes.class_id, vote_valid=in_r)
+
+
+def classify_scores(points: jnp.ndarray, mask: jnp.ndarray, cb,
+                    cfg: JitPipelineConfig,
+                    cb_params: CodebookParams,
+                    rgb: jnp.ndarray = None) -> jnp.ndarray:
+    """Forward step: per-class scores [num_classes] for one cloud via the
+    centroid density query (single-object mode)."""
+    return classify_intermediates(points, mask, cb, cfg, cb_params, rgb).scores
 
 
 def classify_scores_instances(points: jnp.ndarray, mask: jnp.ndarray, cb,
