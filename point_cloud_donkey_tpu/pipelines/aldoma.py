@@ -16,6 +16,7 @@ from .building_blocks import (PipelineModel, PipelineParams,
                               icp_point_to_point, prepare_center_votes,
                               process_point_cloud, run_global_hv,
                               train_pipeline_model, voxel_downsample)
+from .building_blocks import load_scene
 from ..utils.io import load_cloud
 
 
@@ -70,8 +71,9 @@ class GlobalHV:
         ECCV'12 GLOBAL hypothesis verification over all registered instances
         jointly against the scene cloud (runGlobalHV, :653-683) -> for each
         surviving hypothesis, majority class over the cluster and centroid
-        of the cluster's scene keypoints (global_hv.cpp:497-526)."""
-        cloud = load_cloud(filename).remove_nan()
+        of the cluster's scene keypoints (global_hv.cpp:497-526).  Scenes
+        get the preset's z passthrough (global_hv.cpp:273-283)."""
+        cloud = load_scene(filename, self.params)
         pc = process_point_cloud(cloud.xyz, cloud.rgb, self.params)
         o, s, d = find_nn_correspondences(pc.descriptors,
                                           self.model.descriptors)

@@ -58,6 +58,10 @@ class PipelineParams:
     # explained/clutter balance only works when scene density is comparable
     # to the instance keypoint density
     hv_resolution: float = 0.005
+    # detection-scene z passthrough (hough3d.cpp:289-300 / global_hv.cpp:
+    # 273-283: points with z outside [0, cutoff] are dropped before feature
+    # extraction; 0 = off; only the "wil" preset enables it)
+    cutoff_distance_z: float = 0.0
 
 
 def dataset_preset(dataset: str, bin_size: float = 0.0,
@@ -92,8 +96,20 @@ def dataset_preset(dataset: str, bin_size: float = 0.0,
             normal_method=0, feature_type="CSHOT",
             bin_size=bin_size or 0.05, rel_threshold=-(th or 0.8),
             min_coord=-1.0, max_coord=1.0,
-            use_mvbb=(dataset in ("dataset5", "kin")))
+            use_mvbb=(dataset in ("dataset5", "kin")),
+            cutoff_distance_z=(2.0 if dataset == "wil" else 0.0))
     raise ValueError(f"dataset preset {dataset!r} not supported")
+
+
+def load_scene(filename: str, params: PipelineParams):
+    """Detection-scene loader: load + NaN removal + the preset's z
+    passthrough (hough3d.cpp:283-300; classification never filters)."""
+    cloud = load_cloud(filename).remove_nan()
+    z = params.cutoff_distance_z
+    if z > 0.0:
+        cloud = cloud.select((cloud.xyz[:, 2] >= 0.0)
+                             & (cloud.xyz[:, 2] <= z))
+    return cloud
 
 
 class ProcessedCloud(NamedTuple):

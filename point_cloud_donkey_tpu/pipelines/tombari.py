@@ -15,6 +15,7 @@ from .building_blocks import (PipelineModel, PipelineParams,
                               generate_classification_hypotheses,
                               prepare_center_votes, process_point_cloud,
                               train_pipeline_model)
+from .building_blocks import load_scene
 from ..utils.io import load_cloud
 
 
@@ -31,8 +32,11 @@ class Hough3d:
     def load_model(self, path: str) -> None:
         self.model = PipelineModel.load(path)
 
-    def _correspond(self, filename: str):
-        cloud = load_cloud(filename).remove_nan()
+    def _correspond(self, filename: str, scene: bool = False):
+        # detection scenes get the preset's z passthrough
+        # (hough3d.cpp:289-300); classification loads the raw cloud
+        cloud = (load_scene(filename, self.params) if scene
+                 else load_cloud(filename).remove_nan())
         pc = process_point_cloud(cloud.xyz, cloud.rgb, self.params)
         o, s, d = find_nn_correspondences(pc.descriptors,
                                           self.model.descriptors)
@@ -75,7 +79,7 @@ class Hough3d:
         """findObjects (hough3d.cpp:485-560): Hough maxima -> per-maximum
         absolute orientation (RANSAC); detections are (class, weight,
         position)."""
-        pc, o, s, d, centers = self._correspond(filename)
+        pc, o, s, d, centers = self._correspond(filename, scene=True)
         if len(o) == 0:
             return []
         maxima, vote_ids = self._hough(centers, self.params.rel_threshold)

@@ -14,6 +14,7 @@ from .building_blocks import (PipelineModel, PipelineParams,
                               generate_classification_hypotheses,
                               prepare_center_votes, process_point_cloud,
                               self_adapted_hough_voting, train_pipeline_model)
+from .building_blocks import load_scene
 from ..utils.io import load_cloud
 
 
@@ -32,8 +33,11 @@ class SelfAdaptHGHV:
     def load_model(self, path: str) -> None:
         self.model = PipelineModel.load(path)
 
-    def _vote(self, filename: str):
-        cloud = load_cloud(filename).remove_nan()
+    def _vote(self, filename: str, scene: bool = False):
+        # detection scenes get the preset's z passthrough
+        # (self_adapt_hghv.cpp's loader mirrors hough3d.cpp:289-300)
+        cloud = (load_scene(filename, self.params) if scene
+                 else load_cloud(filename).remove_nan())
         pc = process_point_cloud(cloud.xyz, cloud.rgb, self.params)
         o, s, d = find_nn_correspondences(pc.descriptors,
                                           self.model.descriptors)
@@ -62,7 +66,7 @@ class SelfAdaptHGHV:
         """findObjects (self_adapt_hghv.cpp:340-470): self-adapted Hough ->
         absolute orientation with inlier threshold = found bin size ->
         fitness-score verification."""
-        pc, o, s, maxima, vote_ids = self._vote(filename)
+        pc, o, s, maxima, vote_ids = self._vote(filename, scene=True)
         if not maxima:
             return []
         cls = self.model.class_ids[o]

@@ -261,3 +261,26 @@ def test_self_adapted_hough_smoke():
     maxima, ids, sel, bin_size = self_adapted_hough_voting(
         o, s, d, obj_kp, eye, scene_kp, eye)
     assert maxima and len(ids[0]) >= 3   # consistent rigid motion -> a peak
+
+
+def test_load_scene_z_cutoff(tmp_path):
+    """The wil preset's z passthrough (hough3d.cpp:289-300) drops points
+    outside [0, cutoff] at detection-scene load; other presets load raw."""
+    from point_cloud_donkey_tpu.pipelines.building_blocks import (
+        dataset_preset, load_scene)
+    from point_cloud_donkey_tpu.utils.io import PointCloud, save_pcd
+
+    rng = np.random.default_rng(0)
+    xyz = rng.uniform(-1.0, 3.0, size=(200, 3)).astype(np.float32)
+    p = str(tmp_path / "scene.pcd")
+    save_pcd(p, PointCloud(xyz=xyz))
+
+    wil = dataset_preset("wil", bin_size=0.05, th=0.8)
+    assert wil.cutoff_distance_z == 2.0
+    kept = load_scene(p, wil).xyz
+    assert len(kept) < len(xyz)
+    assert (kept[:, 2] >= 0.0).all() and (kept[:, 2] <= 2.0).all()
+
+    cha = dataset_preset("cha", bin_size=0.05, th=0.8)
+    assert cha.cutoff_distance_z == 0.0
+    assert len(load_scene(p, cha).xyz) == len(xyz)
