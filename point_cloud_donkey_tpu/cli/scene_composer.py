@@ -90,9 +90,23 @@ def main(argv=None) -> int:
         prog="scene_composer",
         description="Compose scenes from model clouds + write GT boxes")
     p.add_argument("spec", help="JSON scene spec (see module docstring)")
+    p.add_argument("--edit", metavar="EDITOR_HTML",
+                   help="instead of composing, emit the interactive browser "
+                        "editor for this spec (model_gui editing analog; "
+                        "viz/editor.py) -- move/rotate/scale objects, export "
+                        "the edited spec, then compose it")
     args = p.parse_args(argv)
     with open(args.spec) as f:
-        return compose(json.load(f))
+        spec = json.load(f)
+    if args.edit:
+        import os
+
+        from ..viz.editor import write_scene_editor
+        write_scene_editor(args.edit, spec,
+                           base_dir=os.path.dirname(os.path.abspath(args.spec)))
+        print(f"wrote editor to {args.edit}")
+        return 0
+    return compose(spec)
 
 
 if __name__ == "__main__":
