@@ -302,13 +302,19 @@ def main():
     # --- training throughput (warm programs; NEVER cache-assisted) ----------
     train_clouds_per_sec = None
     if left() > 120:
-        # warm the training programs with a tiny untimed run first: the
-        # model cache means the setup phase no longer trains live, so
-        # without this the measurement would include one-off compiles
+        # warm the training programs with an untimed SAME-SHAPE run first:
+        # the model cache means the setup phase no longer trains live, and
+        # the activation/sigma programs are keyed on pow2 codeword buckets,
+        # so the warm-up must reach the SAME buckets as the measured set
+        # (a 2-cloud warm-up left the 24-cloud bucket compiling inside the
+        # measured window: 1.36 clouds/s instead of the warm rate)
         ism_w = ImplicitShapeModel(IsmConfig.from_json(config))
-        for cid in range(min(2, NUM_CLASSES)):
-            p = os.path.join(tmp, f"tw{cid}.pcd")
-            save_pcd(p, PointCloud(xyz=tr_clouds[cid]))
+        for i in range(TRAIN_N):
+            cid = i % NUM_CLASSES
+            pts = shapes.make_instance(rng, cid, n=N, rotate=True,
+                                       noise=0.005)
+            p = os.path.join(tmp, f"tw{i}.pcd")
+            save_pcd(p, PointCloud(xyz=pts))
             ism_w.add_training_model(p, cid, cid)
         ism_w.train()
         stamp("train programs warm")
