@@ -142,8 +142,14 @@ def main():
 
     N = 2048
     NUM_CLASSES = 5
-    BATCH = 32
-    ROUNDS = 16
+    # headline batch: throughput scales with batch on v5e (profiled 2412 /
+    # 2607 / 2882 clouds/s at B=32/64/128, bench config) -- 128 amortizes
+    # the dispatch + padding overheads; the mean-shift stage keeps its own
+    # smaller batch to bound its (while_loop-heavy) compile time
+    BATCH = 128
+    ROUNDS = 8
+    MS_BATCH = 32
+    MS_ROUNDS = 16
     TRAIN_N = 24        # training-throughput clouds (warm programs)
     HOST_DETECT_N = 32  # host ImplicitShapeModel.detect_batch clouds
 
@@ -250,16 +256,19 @@ def main():
     # --- mean-shift serving path (full per-class maxima search) -------------
     ms_clouds_per_sec = ms_acc = None
     if left() > 120:
+        pts_ms, mask_ms = pts_j[:MS_BATCH], mask_j[:MS_BATCH]
         step_ms = jax.jit(jax.vmap(
             lambda p, m: classify_scores_mean_shift(p, m, cb, cfg, params)))
-        s2 = step_ms(pts_j, mask_j)
+        s2 = step_ms(pts_ms, mask_ms)
         np.asarray(s2)
         t0 = time.perf_counter()
-        for _ in range(ROUNDS):
-            s2 = step_ms(pts_j, mask_j)
+        for _ in range(MS_ROUNDS):
+            s2 = step_ms(pts_ms, mask_ms)
         s2 = np.asarray(s2)  # hard sync (see headline-loop comment)
-        ms_clouds_per_sec = round(BATCH * ROUNDS / (time.perf_counter() - t0), 2)
-        ms_acc = float((np.argmax(np.asarray(s2), axis=1) == labels).mean())
+        ms_clouds_per_sec = round(
+            MS_BATCH * MS_ROUNDS / (time.perf_counter() - t0), 2)
+        ms_acc = float(
+            (np.argmax(np.asarray(s2), axis=1) == labels[:MS_BATCH]).mean())
 
     stamp("mean-shift stage done")
     # --- harder accuracy pair: the extended-pipeline-wins evidence ----------
