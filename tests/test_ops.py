@@ -49,6 +49,23 @@ def test_voxel_grid_matches_numpy(rng):
     np.testing.assert_allclose(got_sorted, want_sorted, rtol=1e-4, atol=1e-5)
 
 
+def test_voxel_grid_matmul_segments_matches_scatter(rng, monkeypatch):
+    """The MXU one-hot segment reduction (TPU default) must agree with the
+    scatter path (CPU default) up to fp re-association."""
+    pts = rng.uniform(-1, 1, size=(500, 3)).astype(np.float32)
+    mask = np.arange(500) < 430
+    feats = rng.uniform(0, 1, size=(500, 2)).astype(np.float32)
+    monkeypatch.setenv("PCD_VOXEL_MATMUL", "0")
+    a = voxel_grid(jnp.asarray(pts), jnp.asarray(mask), 0.25,
+                   features=jnp.asarray(feats), capacity=192)
+    monkeypatch.setenv("PCD_VOXEL_MATMUL", "1")
+    b = voxel_grid(jnp.asarray(pts), jnp.asarray(mask), 0.25,
+                   features=jnp.asarray(feats), capacity=192)
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+    np.testing.assert_allclose(np.asarray(a.centroids), np.asarray(b.centroids),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_voxel_grid_mask(rng):
     pts = rng.uniform(-1, 1, size=(100, 3)).astype(np.float32)
     pts[50:] = 50.0
