@@ -61,6 +61,27 @@ def _pad_lanes(n: int, t: int) -> int:
     return -(-n // t) * t
 
 
+def _kernel_version() -> int:
+    """v1 = all per-pair feature reductions on the VPU (original kernels);
+    v2 = moments and sign-vote dots ride the MXU (d2 via the matmul
+    identity, per-point feature matrix contracted against the weight tile,
+    manual bf16x3 splits because Mosaic only lowers DEFAULT/HIGHEST).
+    PCD_PALLAS_LRF_V=1/2 overrides.
+
+    MEASURED NEGATIVE (kept opt-in, default v1): on an idle v5e via the
+    axon tunnel, 128-cloud batches, N=2048 --
+      Q=256 (the serving keypoint shape): v2 0.97x of v1 (5.47 vs 5.29 ms)
+      Q=512: 0.67x    Q=1024: 0.61x    Q=2048 (self-LRF): 0.58x
+    The per-pair work the MXU absorbs (~35 VPU ops/pair) is already hidden
+    behind the [TQ, TN] block loads at these tiles, while v2 pays 3x dot
+    passes for the f32 split plus the [12, TN] feature-matrix build per
+    grid step; frames agree with v1 (|cos|>0.999 on 100% of valid frames,
+    ~0.3% sign flips on near-tied votes).  Revisit if a backend with
+    cheaper dot precision control (or much larger N tiles) shows up."""
+    import os
+    return int(os.environ.get("PCD_PALLAS_LRF_V", "1"))
+
+
 def to_lanes(xyz: jnp.ndarray, lanes: int) -> jnp.ndarray:
     """[L, 3] -> [8, lanes] rows x/y/z, padded entries parked at 1e9."""
     L = xyz.shape[0]
@@ -134,6 +155,157 @@ def _moments_call(qt: jnp.ndarray, pt: jnp.ndarray, radius: jnp.ndarray,
         out_specs=pl.BlockSpec((16, TQ), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
     )(rr, qt, pt)
+
+
+@functools.partial(jax.jit, static_argnames=("weighting",))
+def _moments_call_v2(qt: jnp.ndarray, pt: jnp.ndarray, radius: jnp.ndarray,
+                     weighting: str) -> jnp.ndarray:
+    """MXU formulation of _moments_call: d2 via the matmul identity
+    (matches ops/neighbors.pairwise_sqdist, so the radius gate agrees with
+    the XLA path), then the 10 moment rows as ONE [12, TN] x [TN, TQ]
+    contraction of the per-point feature matrix against the weight tile.
+    Mosaic lowers only DEFAULT/HIGHEST dot precisions, so the moment
+    contraction uses a manual bf16x3 split (precision=HIGH equivalent);
+    the k=3 identity dot uses HIGHEST (6 passes of a k=3 matmul -- cheap).
+    VPU work per pair drops from ~45 ops to ~10 (gate + weight)."""
+    qpad = qt.shape[1]
+    npad = pt.shape[1]
+    rad_s = jnp.asarray(radius, jnp.float32)
+    rr = jnp.stack([rad_s, rad_s * rad_s]).reshape(1, 2)
+    hi = jax.lax.Precision.HIGHEST
+
+    def kern(r_ref, q_ref, p_ref, out_ref):
+        j = pl.program_id(1)
+        rad, r2 = r_ref[0, 0], r_ref[0, 1]
+        q3 = q_ref[:3, :]                        # [3, TQ]
+        p3 = p_ref[:3, :]                        # [3, TN]
+        qq = jnp.sum(q3 * q3, axis=0)            # [TQ]
+        pp = jnp.sum(p3 * p3, axis=0)            # [TN]
+        qp = jax.lax.dot_general(q3, p3, (((0,), (0,)), ((), ())),
+                                 precision=hi)   # [TQ, TN]
+        d2 = qq[:, None] + pp[None, :] - 2.0 * qp
+        in_r = d2 <= r2
+        if weighting == "shot":
+            w = jnp.where(in_r, rad - jnp.sqrt(jnp.maximum(d2, 0.0)), 0.0)
+        else:
+            w = in_r.astype(jnp.float32)
+        px, py, pz = p3[0], p3[1], p3[2]
+        ones = jnp.ones_like(px)
+        zeros = jnp.zeros_like(px)
+        F = jnp.stack([ones, px, py, pz, px * px, py * py, pz * pz,
+                       px * py, px * pz, py * pz, zeros, zeros])  # [12, TN]
+
+        def split(x):
+            h = x.astype(jnp.bfloat16).astype(jnp.float32)
+            return h, x - h
+        F_hi, F_lo = split(F)
+        w_hi, w_lo = split(w)
+        dims = (((1,), (1,)), ((), ()))
+        mom = (jax.lax.dot_general(F_hi, w_hi, dims)
+               + jax.lax.dot_general(F_lo, w_hi, dims)
+               + jax.lax.dot_general(F_hi, w_lo, dims))          # [12, TQ]
+        cnt = jnp.sum(in_r.astype(jnp.float32), axis=1)          # [TQ]
+        block = jnp.concatenate(
+            [mom[:10], cnt[None, :],
+             jnp.zeros((5, mom.shape[1]), mom.dtype)], axis=0)   # [16, TQ]
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = block
+
+        @pl.when(j != 0)
+        def _():
+            out_ref[:] = out_ref[:] + block
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((16, qpad), jnp.float32),
+        grid=(qpad // TQ, npad // TN),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, TQ), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TN), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((16, TQ), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(rr, qt, pt)
+
+
+@jax.jit
+def _sign_votes_call_v2(qt: jnp.ndarray, pt: jnp.ndarray, axes: jnp.ndarray,
+                        radius: jnp.ndarray) -> jnp.ndarray:
+    """MXU formulation of _sign_votes_call: the gate's d2 and both axis
+    dots are k=3 HIGHEST matmuls ([TQ, 3] x [3, TN] through the MXU);
+    the VPU keeps only the gate comparison and the two vote reductions.
+    Same [8, Qpad] output contract as v1 (row 0 = plus_x, row 1 = plus_z)."""
+    qpad = qt.shape[1]
+    npad = pt.shape[1]
+    rad_s = jnp.asarray(radius, jnp.float32)
+    rr = (rad_s * rad_s).reshape(1, 1)
+    hi = jax.lax.Precision.HIGHEST
+
+    def kern(r_ref, q_ref, p_ref, a_ref, out_ref):
+        j = pl.program_id(1)
+        r2 = r_ref[0, 0]
+        q3 = q_ref[:3, :]
+        p3 = p_ref[:3, :]
+        v3 = a_ref[:3, :]                        # x-axis candidate [3, TQ]
+        u3 = a_ref[3:6, :]                       # z-axis candidate
+        qq = jnp.sum(q3 * q3, axis=0)
+        pp = jnp.sum(p3 * p3, axis=0)
+        dims = (((0,), (0,)), ((), ()))
+        qp = jax.lax.dot_general(q3, p3, dims, precision=hi)     # [TQ, TN]
+        vp = jax.lax.dot_general(v3, p3, dims, precision=hi)
+        up = jax.lax.dot_general(u3, p3, dims, precision=hi)
+        d2 = qq[:, None] + pp[None, :] - 2.0 * qp
+        in_r = d2 <= r2
+        qv = jnp.sum(q3 * v3, axis=0)            # [TQ]
+        qu = jnp.sum(q3 * u3, axis=0)
+        plus_x = jnp.sum((in_r & (vp - qv[:, None] >= 0)).astype(jnp.float32),
+                         axis=1)
+        plus_z = jnp.sum((in_r & (up - qu[:, None] >= 0)).astype(jnp.float32),
+                         axis=1)
+        zero = jnp.zeros_like(plus_x)
+        block = jnp.stack([plus_x, plus_z] + [zero] * 6)         # [8, TQ]
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = block
+
+        @pl.when(j != 0)
+        def _():
+            out_ref[:] = out_ref[:] + block
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((8, qpad), jnp.float32),
+        grid=(qpad // TQ, npad // TN),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, TQ), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TN), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TQ), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, TQ), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(rr, qt, pt, axes)
+
+
+def _moments_dispatch(qt, pt, radius, weighting):
+    if _kernel_version() >= 2:
+        return _moments_call_v2(qt, pt, radius, weighting)
+    return _moments_call(qt, pt, radius, weighting)
+
+
+def _sign_votes_dispatch(qt, pt, axes, radius):
+    if _kernel_version() >= 2:
+        return _sign_votes_call_v2(qt, pt, axes, radius)
+    return _sign_votes_call(qt, pt, axes, radius)
 
 
 @jax.jit
@@ -212,7 +384,7 @@ def lrf_moments(queries: jnp.ndarray, q_mask: jnp.ndarray,
     fused kernel.  Returns (cov [Q,3,3], wsum [Q], count [Q], centroid-shift
     applied to inputs) matching radius_covariance's math."""
     qs, q_lanes, p_lanes, _, _ = _prep_lanes(queries, q_mask, points, mask)
-    mom = _moments_call(q_lanes, p_lanes, jnp.asarray(radius), weighting)
+    mom = _moments_dispatch(q_lanes, p_lanes, jnp.asarray(radius), weighting)
     mom = mom[:, :queries.shape[0]]
 
     s0 = mom[R_S0]
@@ -246,7 +418,7 @@ def shot_lrf_pallas(queries: jnp.ndarray, q_mask: jnp.ndarray,
 
     # shared prep for the two fused passes (moments + sign votes)
     qs, q_lanes, p_lanes, qpad, _ = _prep_lanes(queries, q_mask, points, mask)
-    mom = _moments_call(q_lanes, p_lanes, jnp.asarray(radius), "shot")
+    mom = _moments_dispatch(q_lanes, p_lanes, jnp.asarray(radius), "shot")
     mom = mom[:, :queries.shape[0]]
     s0 = mom[R_S0]
     s1 = mom[R_S1X:R_S1Z + 1].T
@@ -271,7 +443,7 @@ def shot_lrf_pallas(queries: jnp.ndarray, q_mask: jnp.ndarray,
     axes = jnp.zeros((8, qpad), jnp.float32)
     axes = axes.at[:3, :queries.shape[0]].set(v1.T)
     axes = axes.at[3:6, :queries.shape[0]].set(v3.T)
-    votes = _sign_votes_call(q_lanes, p_lanes, axes, jnp.asarray(radius))
+    votes = _sign_votes_dispatch(q_lanes, p_lanes, axes, jnp.asarray(radius))
     plus_x = votes[0, :queries.shape[0]]
     plus_z = votes[1, :queries.shape[0]]
     n_in = count.astype(jnp.float32)

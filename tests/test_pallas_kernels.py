@@ -96,3 +96,30 @@ def test_shot_histogram_pallas_matches_2pass():
             desc, step, cw, cos_bin, cosw, rad_vol, rw, incl_vol, iw,
             az_vol, azw, NB))
     np.testing.assert_allclose(got, ref, atol=1e-3)
+
+
+def test_lrf_v2_mxu_kernels_match_v1(cloud, monkeypatch):
+    """Opt-in v2 MXU kernels (PCD_PALLAS_LRF_V=2: moments + sign votes as
+    dot_generals) == v1 VPU-reduction kernels (interpreter mode; v2 is a
+    measured-neutral-to-slower negative result on real v5e -- see
+    lrf_moments._kernel_version -- parity pinned so the opt-in path cannot
+    rot).  Frames compared up to the ~0.3% near-tied sign flips the two
+    summation orders legitimately disagree on."""
+    p, m = cloud
+    kp = p[::7]
+    km = jnp.ones(kp.shape[0], bool)
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("PCD_PALLAS_LRF_V", "1")
+        cov1, ws1, ct1 = lrf_moments(kp, km, p, m, 0.4, weighting="shot")
+        fr1, va1 = shot_lrf_pallas(p, m, p, m, 0.3)
+        monkeypatch.setenv("PCD_PALLAS_LRF_V", "2")
+        cov2, ws2, ct2 = lrf_moments(kp, km, p, m, 0.4, weighting="shot")
+        fr2, va2 = shot_lrf_pallas(p, m, p, m, 0.3)
+    np.testing.assert_allclose(np.asarray(ws2), np.asarray(ws1), rtol=2e-4)
+    assert (np.abs(np.asarray(ct2) - np.asarray(ct1)) <= 1).all()
+    np.testing.assert_allclose(np.asarray(cov2), np.asarray(cov1), atol=5e-4)
+    va1, va2 = np.asarray(va1), np.asarray(va2)
+    assert (va1 == va2).all()
+    fr1, fr2 = np.asarray(fr1)[va1], np.asarray(fr2)[va1]
+    cos = np.abs(np.einsum("kij,kij->ki", fr1, fr2)).min(axis=1)
+    assert (cos > 0.999).mean() >= 0.97
