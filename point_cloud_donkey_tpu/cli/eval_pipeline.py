@@ -19,7 +19,7 @@ def make_pipeline(name: str, dataset: str, bin_size: float, th: float):
     from ..pipelines.building_blocks import dataset_preset
     params = None
     if dataset:
-        params = dataset_preset(dataset, bin_size, th)
+        params = dataset_preset(dataset, bin_size, th, pipeline=name)
     if name == "lnbnn":
         from ..pipelines.lnbnn import Lnbnn
         return Lnbnn(params)

@@ -65,9 +65,72 @@ class PipelineParams:
 
 
 def dataset_preset(dataset: str, bin_size: float = 0.0,
-                   th: float = 0.0) -> PipelineParams:
-    """Per-dataset parameter blocks (hough3d.cpp:31-140; the same table is
-    duplicated in the other pipelines)."""
+                   th: float = 0.0, pipeline: str = "tombari"
+                   ) -> PipelineParams:
+    """Per-dataset parameter blocks.  The base table is Tombari's
+    (hough3d.cpp:31-140); the reference duplicates the table in each
+    pipeline's source with per-pipeline tweaks, reproduced here as the
+    `pipeline=` overrides:
+
+    - aldoma: mn10-family keypoint sampling 0.25 (global_hv.cpp:53)
+    - zhou: mn10-family keypoint sampling 0.25, washington/ycb correlation
+      threshold -0.5, detection presets with reference_frame_radius =
+      feature_radius = 0.05 and normal method 1 on dataset1
+      (self_adapt_hghv.cpp:47-110); only dataset1/dataset5 detection exists
+    - lnbnn: mn10-family keypoint sampling 0.25, a single
+      washington/bigbird/ycb block with reference_frame_radius 0.04
+      (lnbnn.cpp:24-38); classification only
+    - knopp: FPFH features with feature_radius 0.4/0.05 and no LRF
+      (pcl_ism.cpp:29-37); classification only
+    """
+    p = _tombari_preset(dataset, bin_size, th)
+    if pipeline in ("tombari", ""):
+        return p
+    mn10 = dataset in ("aim", "mcgill", "mcg", "psb", "sh12", "mn10", "mn40")
+    wash = dataset in ("washington", "wash", "bigbird", "bigb")
+    ycb = dataset in ("wash-p", "ycb")
+    detection = not (mn10 or wash or ycb)
+    if pipeline == "aldoma":
+        # global_hv.cpp:46-130: identical to tombari except the
+        # classification keypoint sampling radius (0.25 vs 0.2)
+        return replace(p, keypoint_sampling_radius=0.25) if mn10 else p
+    if pipeline == "zhou":
+        if mn10:
+            return replace(p, keypoint_sampling_radius=0.25)
+        if wash or ycb:
+            # self_adapt_hghv.cpp:65/79: corr_threshold -0.5 (not -0.1)
+            return replace(p, rel_threshold=-0.5)
+        if dataset in ("dataset1", "rav"):
+            # self_adapt_hghv.cpp:88-103: rfr = feature_radius = 0.05,
+            # normal method 1 (tombari uses 2 here)
+            return replace(p, reference_frame_radius=0.05,
+                           feature_radius=0.05, normal_method=1)
+        if dataset in ("dataset5", "kin"):
+            return replace(p, reference_frame_radius=0.05,
+                           feature_radius=0.05)
+        raise ValueError(
+            f"zhou has no preset for dataset {dataset!r} "
+            "(self_adapt_hghv.cpp supports dataset1/dataset5 detection only)")
+    if pipeline == "lnbnn":
+        if detection:
+            raise ValueError("lnbnn is classification-only (lnbnn.cpp)")
+        if mn10:
+            return replace(p, keypoint_sampling_radius=0.25)
+        # lnbnn.cpp:32-38: one block for washington/bigbird/ycb, rfr 0.04
+        return replace(p, reference_frame_radius=0.04)
+    if pipeline == "knopp":
+        if detection:
+            raise ValueError("knopp is classification-only (pcl_ism.cpp)")
+        if mn10:
+            return replace(p, feature_type="FPFH")
+        # pcl_ism.cpp:34-37: washington-family FPFH radius is 0.05
+        return replace(p, feature_type="FPFH", feature_radius=0.05)
+    raise ValueError(f"unknown pipeline {pipeline!r}")
+
+
+def _tombari_preset(dataset: str, bin_size: float = 0.0,
+                    th: float = 0.0) -> PipelineParams:
+    """The Hough3d parameter table (hough3d.cpp:31-140)."""
     if dataset in ("aim", "mcgill", "mcg", "psb", "sh12", "mn10", "mn40"):
         return PipelineParams()
     if dataset in ("washington", "wash", "bigbird", "bigb"):

@@ -51,6 +51,46 @@ def test_dataset_presets():
         dataset_preset("nope")
 
 
+def test_dataset_presets_per_pipeline():
+    # aldoma/zhou/lnbnn sample keypoints at 0.25 on the mn10 family where
+    # tombari uses 0.2 (global_hv.cpp:53, self_adapt_hghv.cpp:58,
+    # lnbnn.cpp:28 vs hough3d.cpp:46)
+    assert dataset_preset("mn10").keypoint_sampling_radius == 0.2
+    for pipe in ("aldoma", "zhou", "lnbnn"):
+        assert dataset_preset(
+            "mn10", pipeline=pipe).keypoint_sampling_radius == 0.25
+    # zhou's washington/ycb correlation threshold is -0.5, not -0.1
+    # (self_adapt_hghv.cpp:65,79)
+    assert dataset_preset("wash", pipeline="zhou").rel_threshold == -0.5
+    assert dataset_preset("ycb", pipeline="zhou").rel_threshold == -0.5
+    assert dataset_preset("wash").rel_threshold == -0.1
+    # zhou detection presets: rfr = feature_radius = 0.05, normal method 1
+    # on dataset1 (tombari uses 2) (self_adapt_hghv.cpp:88-103)
+    z1 = dataset_preset("dataset1", pipeline="zhou")
+    assert (z1.reference_frame_radius, z1.feature_radius,
+            z1.normal_method) == (0.05, 0.05, 1)
+    z5 = dataset_preset("dataset5", pipeline="zhou")
+    assert (z5.reference_frame_radius, z5.feature_radius,
+            z5.normal_method) == (0.05, 0.05, 0)
+    # lnbnn uses one washington/bigbird/ycb block with rfr 0.04
+    # (lnbnn.cpp:32-38); tombari's wash block uses 0.05
+    assert dataset_preset(
+        "wash", pipeline="lnbnn").reference_frame_radius == 0.04
+    assert dataset_preset("wash").reference_frame_radius == 0.05
+    # knopp is FPFH with feature radius 0.4 / 0.05 (pcl_ism.cpp:29-37)
+    k = dataset_preset("mn10", pipeline="knopp")
+    assert k.feature_type == "FPFH" and k.feature_radius == 0.4
+    k = dataset_preset("wash", pipeline="knopp")
+    assert k.feature_type == "FPFH" and k.feature_radius == 0.05
+    # classification-only pipelines reject detection datasets; zhou only
+    # supports dataset1/dataset5 detection
+    for pipe in ("lnbnn", "knopp"):
+        with pytest.raises(ValueError):
+            dataset_preset("dataset1", pipeline=pipe)
+    with pytest.raises(ValueError):
+        dataset_preset("wil", pipeline="zhou")
+
+
 def test_hough_space_votes_and_maxima():
     votes = np.array([[0.0, 0, 0]] * 5 + [[2.0, 2, 2]] * 2, np.float64)
     maxima, ids = cast_votes_and_find_maxima(
