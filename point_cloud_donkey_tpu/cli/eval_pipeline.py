@@ -118,9 +118,19 @@ def main(argv=None) -> int:
                    help="detection: RANSAC inlier threshold override")
     args = p.parse_args(argv)
 
-    if args.detect:
-        return run_detection(args)
+    try:
+        if args.detect:
+            return run_detection(args)
+        return run_classification(args)
+    except ValueError as e:
+        # bad preset/pipeline combinations (e.g. a classification-only
+        # pipeline on a detection dataset) exit like the reference CLIs:
+        # a clean stderr message, nonzero status, no traceback
+        print(f"eval_pipeline: {e}", file=sys.stderr)
+        return 1
 
+
+def run_classification(args) -> int:
     fl = parse_file_list(args.dataset_file)
     pipe = make_pipeline(args.pipeline, args.dataset, args.bin, args.th)
     labels = (fl.instance_labels

@@ -82,6 +82,16 @@ def dataset_preset(dataset: str, bin_size: float = 0.0,
       (lnbnn.cpp:24-38); classification only
     - knopp: FPFH features with feature_radius 0.4/0.05 and no LRF
       (pcl_ism.cpp:29-37); classification only
+
+    Two deliberate leniency divergences from the reference CLIs:
+    (a) zhou accepts the 'rav'/'kin' aliases for 'dataset1'/'dataset5'
+        (self_adapt_hghv.cpp's constructor matches only the literal names);
+        the produced parameter values are identical either way.
+    (b) zhou/aldoma detection presets inherit tombari's bin/th fallbacks
+        (bin_size or 0.01/0.05, -(th or 0.01/0.8)) -- the reference zhou/
+        aldoma constructors use the raw CLI --bin/--th with NO fallback, so
+        omitting them there silently yields 0.0 bins; the fallback here is
+        intentional (a zero bin size is never a useful accumulator).
     """
     p = _tombari_preset(dataset, bin_size, th)
     if pipeline in ("tombari", ""):
