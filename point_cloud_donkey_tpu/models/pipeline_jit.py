@@ -45,14 +45,24 @@ class JitPipelineConfig(NamedTuple):
     neighbor_capacity: int = 1024
     bandwidth: float = 0.5
     num_classes: int = 5
+    # sorted-axis windowed normals capacity (ops/binned.py); 0 = dense
+    # sweep.  Calibrate per workload with ops.binned.required_window; the
+    # batched entry (classify_scores_batch) reports an exactness flag and
+    # callers fall back to dense when it trips.
+    normals_window: int = 0
 
 
 def extract_features_jit(points: jnp.ndarray, mask: jnp.ndarray,
-                         cfg: JitPipelineConfig, rgb: jnp.ndarray = None):
+                         cfg: JitPipelineConfig, rgb: jnp.ndarray = None,
+                         normals: jnp.ndarray = None):
     """points [N,3], mask [N] -> (keypoints [K,3], frames [K,3,3],
-    descriptors [K,D], valid [K]).  rgb [N,3] required for CSHOT."""
+    descriptors [K,D], valid [K]).  rgb [N,3] required for CSHOT.
+    `normals` short-circuits the normal stage (the batched windowed entry
+    computes them once over the whole sorted batch)."""
     needs_normals = not cfg.descriptor.startswith("SHORT_SHOT")
-    if not needs_normals:
+    if normals is not None:
+        pass
+    elif not needs_normals:
         normals = jnp.zeros_like(points)
     elif cfg.normals_method == 2:
         # serving fast path: skip the PCA pass (only the normal is consumed)
@@ -106,11 +116,14 @@ class ClassifyIntermediates(NamedTuple):
 def classify_intermediates(points: jnp.ndarray, mask: jnp.ndarray, cb,
                            cfg: JitPipelineConfig,
                            cb_params: CodebookParams,
-                           rgb: jnp.ndarray = None) -> ClassifyIntermediates:
+                           rgb: jnp.ndarray = None,
+                           normals: jnp.ndarray = None
+                           ) -> ClassifyIntermediates:
     """classify_scores plus all stage outputs.  classify_scores delegates
     here so the instrumented and serving paths can never drift; under jit
     XLA dead-code-eliminates whichever outputs the caller drops."""
-    kp, frames, desc, valid = extract_features_jit(points, mask, cfg, rgb)
+    kp, frames, desc, valid = extract_features_jit(points, mask, cfg, rgb,
+                                                   normals)
     votes = cast_votes(cb, desc, kp, frames, valid, cb_params, cfg.metric)
 
     m = mask.astype(points.dtype)
@@ -131,10 +144,48 @@ def classify_intermediates(points: jnp.ndarray, mask: jnp.ndarray, cb,
 def classify_scores(points: jnp.ndarray, mask: jnp.ndarray, cb,
                     cfg: JitPipelineConfig,
                     cb_params: CodebookParams,
-                    rgb: jnp.ndarray = None) -> jnp.ndarray:
+                    rgb: jnp.ndarray = None,
+                    normals: jnp.ndarray = None) -> jnp.ndarray:
     """Forward step: per-class scores [num_classes] for one cloud via the
     centroid density query (single-object mode)."""
-    return classify_intermediates(points, mask, cb, cfg, cb_params, rgb).scores
+    return classify_intermediates(points, mask, cb, cfg, cb_params, rgb,
+                                  normals).scores
+
+
+def classify_scores_batch(points: jnp.ndarray,  # [B, N, 3]
+                          mask: jnp.ndarray,    # [B, N]
+                          cb, cfg: JitPipelineConfig,
+                          cb_params: CodebookParams,
+                          rgb: jnp.ndarray = None):
+    """Batched forward step.  With cfg.normals_window > 0 (and a normals-
+    consuming descriptor at ConsistentNormalsMethod 2) the normal stage
+    runs ONCE over the principal-axis-sorted batch through the windowed
+    sweep (ops/binned.py) -- the headline's HBM/VPU hot spot cut by the
+    window/N ratio -- and the per-cloud stages run on the sorted clouds
+    (scores are point-order invariant).  Returns (scores [B, C], exact []):
+    `exact` False means some tile's candidate range overflowed the window
+    capacity; the caller must rerun with the dense path (bench.py does)."""
+    from ..ops.binned import compute_normals_fast_windowed, sort_clouds
+
+    needs_normals = not cfg.descriptor.startswith("SHORT_SHOT")
+    if not (cfg.normals_window > 0 and needs_normals
+            and cfg.normals_method == 2):
+        scores = jax.vmap(
+            lambda p, m, r: classify_scores(p, m, cb, cfg, cb_params, r),
+            in_axes=(0, 0, None if rgb is None else 0))(points, mask, rgb)
+        return scores, jnp.asarray(True)
+
+    pts_s, mask_s, keys_s, order = sort_clouds(points, mask)
+    rgb_s = None if rgb is None else jnp.take_along_axis(
+        rgb, order[..., None], axis=1)
+    normals, exact = compute_normals_fast_windowed(
+        pts_s, mask_s, keys_s, cfg.normal_radius, cfg.normals_window)
+    scores = jax.vmap(
+        lambda p, m, r, nr: classify_scores(p, m, cb, cfg, cb_params, r,
+                                            nr),
+        in_axes=(0, 0, None if rgb_s is None else 0, 0))(
+            pts_s, mask_s, rgb_s, normals)
+    return scores, exact
 
 
 def classify_scores_instances(points: jnp.ndarray, mask: jnp.ndarray, cb,

@@ -409,6 +409,225 @@ def lrf_moments(queries: jnp.ndarray, q_mask: jnp.ndarray,
     return cov, s0, count
 
 
+# ---------------------------------------------------------------------------
+# Windowed (sorted-axis pruned) variants: ops/binned.py sorts each cloud by
+# its principal axis, so a tile of TQW consecutive queries only needs a
+# contiguous window of the sorted points.  The windows are PRE-GATHERED by
+# XLA into a [8, T * W] lane array (contiguous slab gather -- ~0.1 ms for
+# the whole serving batch), so the kernels keep a plain 1-D grid with the
+# SAME step count as the dense kernels and 0.5-0.6x the per-step work; no
+# scalar-prefetch plumbing, and the window aligns to the 128-lane tile
+# instead of a coarse block size.  Exactness is the caller's contract
+# (ops/binned.window_starts).
+# ---------------------------------------------------------------------------
+
+TQW = 256  # query tile of the windowed kernels
+
+
+@functools.partial(jax.jit, static_argnames=("weighting", "window"))
+def _moments_call_gathered(qt: jnp.ndarray,   # [8, Q]
+                           pw: jnp.ndarray,   # [8, T * window] per-tile rows
+                           radius: jnp.ndarray, weighting: str,
+                           window: int) -> jnp.ndarray:
+    """_moments_call over pre-gathered per-tile windows: query tile i
+    sweeps ONLY its own [8, window] slab (block i of pw)."""
+    qpad = qt.shape[1]
+    rad_s = jnp.asarray(radius, jnp.float32)
+    rr = jnp.stack([rad_s, rad_s * rad_s]).reshape(1, 2)
+
+    def kern(r_ref, q_ref, p_ref, out_ref):
+        rad = r_ref[0, 0]
+        r2 = r_ref[0, 1]
+        qx, qy, qz = q_ref[0, :], q_ref[1, :], q_ref[2, :]
+        px, py, pz = p_ref[0, :], p_ref[1, :], p_ref[2, :]
+        dx = qx[:, None] - px[None, :]
+        dy = qy[:, None] - py[None, :]
+        dz = qz[:, None] - pz[None, :]
+        d2 = dx * dx + dy * dy + dz * dz
+        in_r = d2 <= r2
+        if weighting == "shot":
+            w = jnp.where(in_r, rad - jnp.sqrt(d2), 0.0)
+        else:
+            w = in_r.astype(jnp.float32)
+        pxb, pyb, pzb = px[None, :], py[None, :], pz[None, :]
+        rows = [
+            jnp.sum(w, axis=1),
+            jnp.sum(w * pxb, axis=1),
+            jnp.sum(w * pyb, axis=1),
+            jnp.sum(w * pzb, axis=1),
+            jnp.sum(w * (pxb * pxb), axis=1),
+            jnp.sum(w * (pyb * pyb), axis=1),
+            jnp.sum(w * (pzb * pzb), axis=1),
+            jnp.sum(w * (pxb * pyb), axis=1),
+            jnp.sum(w * (pxb * pzb), axis=1),
+            jnp.sum(w * (pyb * pzb), axis=1),
+            jnp.sum(in_r.astype(jnp.float32), axis=1),
+        ]
+        zero = jnp.zeros_like(rows[0])
+        out_ref[:] = jnp.stack(rows + [zero] * (16 - len(rows)))
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((16, qpad), jnp.float32),
+        grid=(qpad // TQW,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, TQW), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, window), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((16, TQW), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(rr, qt, pw)
+
+
+@functools.partial(jax.jit, static_argnames=("z_only", "window"))
+def _sign_votes_call_gathered(qt: jnp.ndarray, pw: jnp.ndarray,
+                              axes: jnp.ndarray, radius: jnp.ndarray,
+                              z_only: bool, window: int) -> jnp.ndarray:
+    """_sign_votes_call over pre-gathered windows.  z_only skips the
+    x-axis dot (the normals consumer reads only the z axis; row 0 is then
+    zero)."""
+    qpad = qt.shape[1]
+    rad_s = jnp.asarray(radius, jnp.float32)
+    rr = (rad_s * rad_s).reshape(1, 1)
+
+    def kern(r_ref, q_ref, p_ref, a_ref, out_ref):
+        r2 = r_ref[0, 0]
+        qx, qy, qz = q_ref[0, :], q_ref[1, :], q_ref[2, :]
+        px, py, pz = p_ref[0, :], p_ref[1, :], p_ref[2, :]
+        dx = px[None, :] - qx[:, None]
+        dy = py[None, :] - qy[:, None]
+        dz = pz[None, :] - qz[:, None]
+        d2 = dx * dx + dy * dy + dz * dz
+        in_r = d2 <= r2
+        ux, uy, uz = a_ref[3, :], a_ref[4, :], a_ref[5, :]
+        dot_z = dx * ux[:, None] + dy * uy[:, None] + dz * uz[:, None]
+        plus_z = jnp.sum((in_r & (dot_z >= 0)).astype(jnp.float32), axis=1)
+        if z_only:
+            plus_x = jnp.zeros_like(plus_z)
+        else:
+            vx, vy, vz = a_ref[0, :], a_ref[1, :], a_ref[2, :]
+            dot_x = dx * vx[:, None] + dy * vy[:, None] + dz * vz[:, None]
+            plus_x = jnp.sum((in_r & (dot_x >= 0)).astype(jnp.float32),
+                             axis=1)
+        zero = jnp.zeros_like(plus_z)
+        out_ref[:] = jnp.stack([plus_x, plus_z] + [zero] * 6)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((8, qpad), jnp.float32),
+        grid=(qpad // TQW,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, TQW), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, window), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TQW), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, TQW), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(rr, qt, pw, axes)
+
+
+def shot_lrf_pallas_windowed(points_sorted: jnp.ndarray,  # [B, N, 3]
+                             mask_sorted: jnp.ndarray,    # [B, N]
+                             keys_sorted: jnp.ndarray,    # [B, N]
+                             radius: float,
+                             window: int,
+                             tile_q: int = TQW,
+                             min_neighbors: int = 5,
+                             z_only: bool = False):
+    """Self-LRF over a principal-axis-sorted batch via the windowed
+    kernels, flattened to ONE pallas call over all B*N queries (no vmap of
+    pallas_call; tiles never span clouds because N % tile_q == 0 and
+    window starts are clamped inside each cloud's block range).
+
+    Returns (frames [B, N, 3, 3], valid [B, N], exact []).  Parity target:
+    ops/lrf.shot_lrf per cloud, same statistical-sign caveat as the dense
+    fused kernels (module docstring)."""
+    from ..binned import window_starts
+    from ..eigh3 import eigh3x3
+
+    b, n, _ = points_sorted.shape
+    if n % tile_q or tile_q != TQW:
+        raise ValueError(f"N={n} must divide by tile_q={TQW}")
+    window = min(window, n)
+    if window % 128:
+        raise ValueError("window must be a multiple of the 128-lane tile")
+
+    # per-cloud element starts (lane-aligned, clamped inside the cloud)
+    def plan_one(qk, qm):
+        return window_starts(qk, qm, qk, radius, tile_q, window, align=128)
+
+    plans = jax.vmap(plan_one)(keys_sorted, mask_sorted)
+    base = (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
+    starts = (plans.starts + base).reshape(-1)              # [T] global elems
+    exact = jnp.all(plans.exact)
+
+    # centroid-shift per cloud, park invalid, flatten, pack to lanes
+    m = mask_sorted.astype(points_sorted.dtype)
+    cnt = jnp.maximum(m.sum(axis=1), 1.0)
+    shift = jnp.sum(points_sorted * m[..., None], axis=1) / cnt[:, None]
+    pts = jnp.where(mask_sorted[..., None],
+                    points_sorted - shift[:, None, :], 1e9)
+    flat = pts.reshape(b * n, 3)
+    lanes = to_lanes(flat, b * n)
+
+    # pre-gather each tile's window into [8, T * window].  The gather moves
+    # whole 128-lane blocks along a MIDDLE axis (starts are 128-aligned by
+    # the plan): a flat lane-axis gather (lanes[:, idx]) is a pathological
+    # column gather on TPU -- measured ~18 ms/batch vs ~0.1 ms for the
+    # block form at serving shapes.
+    lanes3 = lanes.reshape(8, (b * n) // 128, 128)
+    blk = (starts // 128)[:, None] + jnp.arange(window // 128)[None, :]
+    pwin = jnp.take(lanes3, blk.reshape(-1), axis=1,
+                    ).reshape(8, starts.shape[0] * window)
+
+    mom = _moments_call_gathered(lanes, pwin, jnp.asarray(radius), "shot",
+                                 window)
+    s0 = mom[R_S0]
+    s1 = mom[R_S1X:R_S1Z + 1].T
+    s2 = jnp.stack([
+        jnp.stack([mom[R_XX], mom[R_XY], mom[R_XZ]], axis=-1),
+        jnp.stack([mom[R_XY], mom[R_YY], mom[R_YZ]], axis=-1),
+        jnp.stack([mom[R_XZ], mom[R_YZ], mom[R_ZZ]], axis=-1),
+    ], axis=-2)
+    count = mom[R_CNT].astype(jnp.int32)
+    s0_safe = jnp.maximum(s0, 1e-30)
+    c = jnp.where(mask_sorted.reshape(-1)[:, None], flat, 0.0)
+    cov = (s2 - c[:, :, None] * s1[:, None, :]
+           - s1[:, :, None] * c[:, None, :]
+           + s0[:, None, None] * c[:, :, None] * c[:, None, :])
+    cov = cov / s0_safe[:, None, None]
+
+    _, vecs = eigh3x3(cov)
+    v1 = vecs[:, :, 2]
+    v3 = vecs[:, :, 0]
+
+    axes = jnp.zeros((8, b * n), jnp.float32)
+    if not z_only:
+        axes = axes.at[:3, :].set(v1.T)
+    axes = axes.at[3:6, :].set(v3.T)
+    votes = _sign_votes_call_gathered(lanes, pwin, axes,
+                                      jnp.asarray(radius), z_only, window)
+    n_in = count.astype(jnp.float32)
+    plus_z = votes[1]
+    z_axis = jnp.where((plus_z < n_in - plus_z)[:, None], -v3, v3)
+    if z_only:
+        x_axis = v1
+    else:
+        plus_x = votes[0]
+        x_axis = jnp.where((plus_x < n_in - plus_x)[:, None], -v1, v1)
+    y_axis = jnp.cross(z_axis, x_axis)
+    frames = jnp.stack([x_axis, y_axis, z_axis], axis=1)
+    valid = mask_sorted.reshape(-1) & (count >= min_neighbors) & (s0 > 0)
+    return (frames.reshape(b, n, 3, 3), valid.reshape(b, n), exact)
+
+
 def shot_lrf_pallas(queries: jnp.ndarray, q_mask: jnp.ndarray,
                     points: jnp.ndarray, mask: jnp.ndarray, radius: float,
                     min_neighbors: int = 5):

@@ -363,6 +363,172 @@ def run_hard_benchmark(seed=7, n_train=3, n_test=2, n=2048,
     return acc, per_class
 
 
+# ---------------------------------------------------------------------------
+# instance-label benchmark (the Washington/BigBird/YCB analogue: class AND
+# instance accuracy, InstanceLabelsPrimary both ways; reference
+# eval_helpers.h:46-61, README.md:33-35)
+# ---------------------------------------------------------------------------
+
+# deterministic anisotropic scalings: instances of a class are the same
+# shape family with different proportions (like object instances within a
+# category in the RGB-D datasets)
+INSTANCE_SCALES = [
+    (1.0, 1.0, 1.0),
+    (0.85, 1.1, 1.0),
+    (1.2, 0.9, 0.8),
+    (0.95, 0.8, 1.25),
+]
+
+
+def make_instance_variant(rng, class_id, variant, n=2048, rotate=True,
+                          noise=0.01, keep_frac=1.0, bite_frac=0.0):
+    """A view of instance `variant` of class `class_id`: the class shape
+    scaled by the variant's fixed factors (pre-rotation), then the usual
+    view transformations."""
+    pts = HARD_SHAPES[class_id](rng, n).astype(np.float32)
+    pts = pts * np.asarray(INSTANCE_SCALES[variant], np.float32)
+    pts = pts - pts.mean(0)
+    if keep_frac < 1.0:
+        pts = partial_view(rng, pts, keep_frac)
+    if bite_frac > 0.0:
+        pts = occlusion_bite(rng, pts, bite_frac)
+    if rotate:
+        pts = pts @ random_rotation(rng).T
+    return (pts + rng.normal(scale=noise,
+                             size=pts.shape).astype(np.float32)
+            ).astype(np.float32)
+
+
+def run_instance_benchmark(seed=11, num_classes=5, num_variants=4,
+                           n_train_views=3, n_test_views=2, n=2048,
+                           noise=0.015, keep_frac=0.85, cache_dir=None,
+                           keypoint_capacity=256):
+    """Train and evaluate the instance-label duality both ways
+    (eval_helpers.h:46-61):
+
+    * CLASS_PRIMARY: codebook keyed by class labels; instance prediction
+      from per-vote instance ids (classify_scores_instances, the fused
+      analogue of eval_classification.cpp:469-473).
+    * INSTANCE_PRIMARY (the reference default): codebook keyed by instance
+      labels; class prediction = instance_to_class[argmax].
+
+    Returns a dict with class/instance accuracy for both modes."""
+    import os
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from point_cloud_donkey_tpu.models.codebook import CodebookParams
+    from point_cloud_donkey_tpu.models.ism import ImplicitShapeModel
+    from point_cloud_donkey_tpu.models.pipeline_jit import (
+        JitPipelineConfig, classify_scores, classify_scores_instances)
+    from point_cloud_donkey_tpu.utils.config import IsmConfig
+    from point_cloud_donkey_tpu.utils.io import PointCloud, save_pcd
+
+    def base_config(instance_primary: bool) -> dict:
+        return {"ObjectConfig": {"Children": {
+            "Clustering": {"Type": "None"},
+            "Codebook": {"Children": {"ActivationStrategy": {
+                "Parameters": {"K": 1}, "Type": "KNN"}}},
+            "FeatureWeighting": {"Type": "Uniform"},
+            "Features": {"Parameters": {
+                "Radius": 0.6, "ReferenceFrameRadius": 0.5,
+                "ReferenceFrameType": "SHOT"}, "Type": "SHOT"},
+            "GlobalFeatures": {"Type": "Dummy"},
+            "Keypoints": {"Parameters": {"LeafSize": 0.35},
+                          "Type": "VoxelGrid"},
+            "Voting": {"Parameters": {
+                "Bandwidth": 0.5, "SingleObjectMode": True,
+                "SingleObjectMaxType": "BandwidthVotes"},
+                "Type": "MeanShift"}},
+            "Parameters": {"DistanceType": "ChiSquared",
+                           "NormalRadius": 0.25,
+                           "ConsistentNormalsMethod": 2,
+                           "BoundingBoxType": "AABB",
+                           "InstanceLabelsPrimary": instance_primary}}}
+
+    tmp = tempfile.mkdtemp()
+    rng = np.random.default_rng(seed)
+    # one shared training-view set (cloud bytes identical across modes so
+    # the accuracy difference is purely the label-duality choice)
+    train = []  # (path, class_id, instance_id, cloud)
+    for cid in range(num_classes):
+        for v in range(num_variants):
+            inst = cid * num_variants + v
+            for j in range(n_train_views):
+                pts = make_instance_variant(
+                    rng, cid, v, n=n, rotate=True, noise=0.005,
+                    keep_frac=train_keep_frac(j))
+                p = os.path.join(tmp, f"i{inst}_{j}.pcd")
+                save_pcd(p, PointCloud(xyz=pts))
+                train.append((p, cid, inst, pts))
+    tests, t_cls, t_inst = [], [], []
+    for cid in range(num_classes):
+        for v in range(num_variants):
+            for _ in range(n_test_views):
+                tests.append(make_instance_variant(
+                    rng, cid, v, n=n, rotate=True, noise=noise,
+                    keep_frac=keep_frac))
+                t_cls.append(cid)
+                t_inst.append(cid * num_variants + v)
+    m = max(len(t) for t in tests)
+    batch = np.full((len(tests), m, 3), 1e9, np.float32)
+    bmask = np.zeros((len(tests), m), bool)
+    for i, t in enumerate(tests):
+        batch[i, :len(t)] = t
+        bmask[i, :len(t)] = True
+    batch_j, bmask_j = jnp.asarray(batch), jnp.asarray(bmask)
+    t_cls = np.asarray(t_cls)
+    t_inst = np.asarray(t_inst)
+    n_inst_total = num_classes * num_variants
+
+    def jcfg(num_out):
+        return JitPipelineConfig(
+            descriptor="SHOT", radius=0.6, ref_frame_radius=0.5,
+            leaf_size=0.35, normal_radius=0.25, normals_method=2,
+            metric="chisq", knn_k=1, keypoint_capacity=keypoint_capacity,
+            neighbor_capacity=1024, bandwidth=0.5, num_classes=num_out)
+
+    params = CodebookParams(knn_k=1)
+    out = {}
+
+    # --- CLASS_PRIMARY: codebook by class, instances from vote ids --------
+    cfg_a = base_config(False)
+    ism_a = ImplicitShapeModel(IsmConfig.from_json(cfg_a))
+    for p, cid, inst, _ in train:
+        ism_a.add_training_model(p, cid, inst)
+    ism_a = load_or_train(ism_a, cfg_a, [t[3] for t in train],
+                          [t[1] for t in train], cache_dir)
+    cb_a = jax.tree_util.tree_map(jnp.asarray, ism_a.state.codebook)
+    step_a = jax.jit(jax.vmap(lambda p, mk: jnp.concatenate(
+        classify_scores_instances(p, mk, cb_a, jcfg(num_classes), params,
+                                  n_inst_total))))
+    packed = np.asarray(step_a(batch_j, bmask_j))
+    pred_c = packed[:, :num_classes].argmax(1)
+    pred_i = packed[:, num_classes:].argmax(1)
+    out["class_primary_class_acc"] = float((pred_c == t_cls).mean())
+    out["class_primary_instance_acc"] = float((pred_i == t_inst).mean())
+
+    # --- INSTANCE_PRIMARY: codebook by instance, class via the map --------
+    cfg_b = base_config(True)
+    ism_b = ImplicitShapeModel(IsmConfig.from_json(cfg_b))
+    for p, cid, inst, _ in train:
+        ism_b.add_training_model(p, inst, inst)
+    ism_b = load_or_train(ism_b, cfg_b, [t[3] for t in train],
+                          [t[2] for t in train], cache_dir)
+    cb_b = jax.tree_util.tree_map(jnp.asarray, ism_b.state.codebook)
+    step_b = jax.jit(jax.vmap(lambda p, mk: classify_scores(
+        p, mk, cb_b, jcfg(n_inst_total), params)))
+    scores_b = np.asarray(step_b(batch_j, bmask_j))
+    pred_bi = scores_b.argmax(1)
+    pred_bc = pred_bi // num_variants  # instance_to_class by construction
+    out["instance_primary_class_acc"] = float((pred_bc == t_cls).mean())
+    out["instance_primary_instance_acc"] = float((pred_bi == t_inst).mean())
+    out["n_test_views"] = len(tests)
+    return out
+
+
 def run_hard_benchmark_extended(seed=7, n_train=3, n_test=2, n=2048,
                                 num_classes=NUM_HARD_CLASSES, keep_frac=0.7,
                                 bite_frac=0.1, noise=0.015, cache_dir=None):
