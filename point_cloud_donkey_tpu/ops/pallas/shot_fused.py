@@ -1,0 +1,293 @@
+"""Fully-fused SHOT-352 descriptor Pallas kernel.
+
+Why: the XLA serving path (ops/shot.shot_descriptor_dense) is floored by
+its one-hot matmul operands -- [K, M, 32] + [K, M, 11] bf16 one-/multi-hot
+arrays materialized in HBM for BOTH histogram passes, ~67 MB per 2048-pt
+cloud (~8.6 GB per 128-cloud batch, ~10.5 ms at v5e bandwidth), measured
+17.1 ms for the whole stage (experiments/r5_stages.py).
+
+This kernel computes everything per (8-keypoint, TM-point) tile in VMEM:
+local-frame coordinates from packed lanes, the full PCL binning math
+(ops/shot._shot_core_from_coords), the one-hot operands, and the histogram
+as two BLOCK-DIAGONAL MXU dots -- [TK*32, TM] x [TK*16, TM] contractions
+whose k-diagonal [32, 16] blocks are the per-keypoint histograms.  The
+block-diagonal form wastes a factor TK of MXU FLOPs but keeps the dots at
+full systolic-array shapes (the earlier per-keypoint formulation,
+ops/pallas/shot_hist.py, ran tile-fragment dots at ~3% MXU utilization and
+lost 20x).  Nothing [K, M]-sized ever touches HBM.
+
+Numerics: distances are exact coordinate differences (the XLA dense path
+uses the matmul identity), so radius-boundary pairs within ~1e-7 can gate
+differently; histogram sums re-associate.  Same statistical parity
+contract as the fused LRF kernels (tests/test_shot_fused.py).
+
+Layouts:
+  points operand  [8, B*M]: rows 0-2 xyz (centroid-shifted not required;
+                  invalid parked at 1e9), rows 3-5 normals.
+  keypoint operand [16, B*K]: rows 0-8 frame (x,y,z axes row-major),
+                  rows 9-11 keypoint xyz, row 12 frame-valid flag.
+  outputs: histogram [B*K*32, 16] f32 (volume-major, bins 11-15 zero) and
+                  in-radius counts [B*K, 128] f32 (lane 0).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TK = 8       # keypoints per tile (sublane tile)
+TM = 2048    # points per tile
+NR_BINS = 10
+NR_SECTORS = 32
+NB = 16      # padded bins per volume (11 used)
+
+_RAD_45 = np.pi / 4.0
+_RAD_90 = np.pi / 2.0
+_RAD_135 = 3.0 * np.pi / 4.0
+_RAD_PI_7_8 = np.pi * 7.0 / 8.0
+
+
+@functools.partial(jax.jit, static_argnames=("m", "k_per_cloud",
+                                             "interpret"))
+def _shot_fused_call(kp_ops: jnp.ndarray,   # [16, BK]
+                     pt_ops: jnp.ndarray,   # [8, BM]
+                     radius: jnp.ndarray,
+                     m: int, k_per_cloud: int,
+                     interpret: bool = False):
+    bk = kp_ops.shape[1]
+    rad_s = jnp.asarray(radius, jnp.float32)
+    rr = jnp.stack([rad_s, rad_s * rad_s]).reshape(1, 2)
+    mt = m // TM
+
+    def kern(r_ref, k_ref, p_ref, hist_ref, cnt_ref):
+        j = pl.program_id(1)
+        rad = r_ref[0, 0]
+        r2 = r_ref[0, 1]
+        px, py, pz = p_ref[0, :], p_ref[1, :], p_ref[2, :]
+        nx, ny, nz = p_ref[3, :], p_ref[4, :], p_ref[5, :]
+        fxs = [k_ref[i, :] for i in range(9)]                  # frame rows
+        qx, qy, qz = k_ref[9, :], k_ref[10, :], k_ref[11, :]
+
+        # exact coordinate differences [TK, TM]
+        dx = px[None, :] - qx[:, None]
+        dy = py[None, :] - qy[:, None]
+        dz = pz[None, :] - qz[:, None]
+        d2 = dx * dx + dy * dy + dz * dz
+        use = (d2 <= r2) & (d2 > 1e-15)
+        use = use & ((nx * 0.0 == 0.0) & (ny * 0.0 == 0.0)
+                     & (nz * 0.0 == 0.0))[None, :]
+        d = jnp.sqrt(jnp.maximum(d2, 0.0))
+        d = jnp.where(use, d, rad * 0.5)
+
+        # local-frame coords: (p - q) . axis
+        x_l = dx * fxs[0][:, None] + dy * fxs[1][:, None] + dz * fxs[2][:, None]
+        y_l = dx * fxs[3][:, None] + dy * fxs[4][:, None] + dz * fxs[5][:, None]
+        z_l = dx * fxs[6][:, None] + dy * fxs[7][:, None] + dz * fxs[8][:, None]
+        cos_desc = jnp.clip(nx[None, :] * fxs[6][:, None]
+                            + ny[None, :] * fxs[7][:, None]
+                            + nz[None, :] * fxs[8][:, None], -1.0, 1.0)
+
+        # --- PCL binning math (port of ops/shot._shot_core_from_coords) ---
+        dtype = jnp.float32
+        bin_dist = (1.0 + cos_desc) * (NR_BINS / 2.0)
+        step = jnp.floor(bin_dist + 0.5).astype(jnp.int32)
+        bd = bin_dist - step.astype(dtype)
+
+        bit4 = ((y_l > 0) | ((y_l == 0.0) & (x_l < 0))).astype(jnp.int32)
+        bit3_cond = (x_l > 0) | ((x_l == 0.0) & (y_l > 0))
+        bit3 = jnp.where(bit3_cond, 1 - bit4, bit4)
+        desc = ((bit4 << 3) + (bit3 << 2)) << 1
+        inner_cond = (x_l * y_l > 0) | (x_l == 0.0)
+        add4 = jnp.where(
+            inner_cond,
+            jnp.where(jnp.abs(x_l) >= jnp.abs(y_l), 0, 4),
+            jnp.where(jnp.abs(x_l) > jnp.abs(y_l), 4, 0))
+        desc = desc + add4 + (z_l > 0).astype(jnp.int32)
+        r_half = rad / 2.0
+        desc = desc + jnp.where(d > r_half, 2, 0)
+
+        central_w = 1.0 - jnp.abs(bd)
+        cos_bin = jnp.where(bd > 0, (step + 1) % NR_BINS,
+                            (step - 1 + NR_BINS) % NR_BINS)
+        cos_w = jnp.abs(bd)
+
+        r34, r14 = 3.0 * rad / 4.0, rad / 4.0
+        rd_out = (d - r34) / r_half
+        rd_in = (d - r14) / r_half
+        outer = d > r_half
+        rd = jnp.where(outer, rd_out, rd_in)
+        has_rad = jnp.where(outer, d <= r34, d >= r14)
+        central_w = central_w + jnp.where(
+            outer,
+            jnp.where(d > r34, 1.0 - rd_out, 1.0 + rd_out),
+            jnp.where(d < r14, 1.0 + rd_in, 1.0 - rd_in))
+        rad_w = jnp.where(has_rad, jnp.abs(rd), 0.0)
+        rad_vol = jnp.where(has_rad, desc + jnp.where(outer, -2, 2), 0)
+
+        incl_cos = jnp.clip(z_l / d, -1.0, 1.0)
+        incl = jnp.arccos(incl_cos)
+        lower = (incl > _RAD_90) | ((incl == _RAD_90) & (z_l <= 0))
+        id_low = (incl - _RAD_135) / _RAD_90
+        id_up = (incl - _RAD_45) / _RAD_90
+        central_w = central_w + jnp.where(
+            lower,
+            jnp.where(incl > _RAD_135, 1.0 - id_low, 1.0 + id_low),
+            jnp.where(incl < _RAD_45, 1.0 + id_up, 1.0 - id_up))
+        has_incl = jnp.where(lower, incl <= _RAD_135, incl >= _RAD_45)
+        incl_w = jnp.where(has_incl,
+                           jnp.where(lower, jnp.abs(id_low),
+                                     jnp.abs(id_up)), 0.0)
+        incl_vol = jnp.where(has_incl, desc + jnp.where(lower, 1, -1), 0)
+
+        has_az = (x_l != 0.0) | (y_l != 0.0)
+        azimuth = jnp.arctan2(y_l, x_l)
+        sel = desc >> 2
+        az_dist = (azimuth - (-_RAD_PI_7_8 + _RAD_45 * sel.astype(dtype))) \
+            / _RAD_45
+        az_dist = jnp.clip(az_dist, -0.5, 0.5)
+        central_w = central_w + jnp.where(has_az, 1.0 - jnp.abs(az_dist),
+                                          0.0)
+        az_vol = jnp.where(az_dist > 0, (desc + 4) % NR_SECTORS,
+                           (desc - 4 + NR_SECTORS) % NR_SECTORS)
+        az_w = jnp.where(has_az, jnp.abs(az_dist), 0.0)
+
+        usef = use.astype(dtype)
+        central_w = central_w * usef
+        cos_w = cos_w * usef
+        rad_w = rad_w * usef
+        incl_w = incl_w * usef
+        az_w = az_w * usef
+
+        # --- block-diagonal one-hot dots --------------------------------
+        # pltpu.repeat TILES the block (row r = x[r % TK]), so the stacked
+        # operands are VALUE-major: row r of [V*TK, TM] belongs to
+        # keypoint r % TK with value r // TK
+        iota_v = jax.lax.broadcasted_iota(jnp.int32, (NR_SECTORS * TK, TM),
+                                          0) // TK
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (NB * TK, TM),
+                                          0) // TK
+
+        def rep_v(x):
+            return pltpu.repeat(x, NR_SECTORS, 0)
+
+        def rep_b(x):
+            return pltpu.repeat(x, NB, 0)
+
+        # pass A: volume one-hot (desc) x (central + cosine) weighted bins
+        lhs_a = (rep_v(desc) == iota_v).astype(jnp.bfloat16)
+        rhs_a = ((rep_b(step) == iota_b).astype(dtype) * rep_b(central_w)
+                 + (rep_b(cos_bin) == iota_b).astype(dtype) * rep_b(cos_w)
+                 ).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(lhs_a, rhs_a, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+
+        # pass B: (rad + incl + az) weighted volume multi-hot x bin one-hot
+        lhs_b = ((rep_v(rad_vol) == iota_v).astype(dtype) * rep_v(rad_w)
+                 + (rep_v(incl_vol) == iota_v).astype(dtype) * rep_v(incl_w)
+                 + (rep_v(az_vol) == iota_v).astype(dtype) * rep_v(az_w)
+                 ).astype(jnp.bfloat16)
+        rhs_b = (rep_b(step) == iota_b).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(lhs_b, rhs_b,
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        # acc [V*TK, NB*TK]: row v*TK+k, col b*TK+k' -- keypoint k's
+        # histogram lives on the k == k' diagonal.  Split the lane dim and
+        # reduce the k' axis against a row-index mask (pure VPU; the acc
+        # is only [256, 128]).
+        acc3 = acc.reshape(NR_SECTORS * TK, NB, TK)
+        row_k = jax.lax.broadcasted_iota(
+            jnp.int32, (NR_SECTORS * TK, NB, TK), 0) % TK
+        col_k = jax.lax.broadcasted_iota(
+            jnp.int32, (NR_SECTORS * TK, NB, TK), 2)
+        hist = jnp.sum(jnp.where(row_k == col_k, acc3, 0.0),
+                       axis=2)                          # [V*TK, NB]
+
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (TK, 128), 1) == 0
+        counts = jnp.where(lane0, jnp.sum(usef, axis=1)[:, None], 0.0)
+
+        @pl.when(j == 0)
+        def _():
+            hist_ref[:] = hist
+            cnt_ref[:] = counts
+
+        @pl.when(j != 0)
+        def _():
+            hist_ref[:] = hist_ref[:] + hist
+            cnt_ref[:] = cnt_ref[:] + counts
+
+    grid = (bk // TK, mt)
+    kpc = k_per_cloud
+
+    return pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((bk * NR_SECTORS, NB), jnp.float32),
+                   jax.ShapeDtypeStruct((bk, 128), jnp.float32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((16, TK), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TM), lambda i, j: (0, (i * TK // kpc) * mt + j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TK * NR_SECTORS, NB), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(rr, kp_ops, pt_ops)
+
+
+def shot_descriptor_fused(keypoints: jnp.ndarray,    # [B, K, 3]
+                          frames: jnp.ndarray,       # [B, K, 3, 3]
+                          frame_valid: jnp.ndarray,  # [B, K]
+                          points: jnp.ndarray,       # [B, M, 3]
+                          normals: jnp.ndarray,      # [B, M, 3]
+                          mask: jnp.ndarray,         # [B, M]
+                          radius,
+                          min_neighbors: int = 5,
+                          interpret: bool = False):
+    """Batched fused SHOT-352 (parity target: ops/shot.shot_descriptor_dense
+    per cloud).  Returns (descriptors [B, K, 352], valid [B, K])."""
+    b, k, _ = keypoints.shape
+    m = points.shape[1]
+    if k % TK or m % TM:
+        raise ValueError(f"K must divide by {TK} and M by {TM}")
+
+    # pack operands
+    kp_flat = keypoints.reshape(b * k, 3)
+    fr_flat = frames.reshape(b * k, 9)
+    kp_ops = jnp.zeros((16, b * k), jnp.float32)
+    kp_ops = kp_ops.at[0:9, :].set(fr_flat.T)
+    kp_ops = kp_ops.at[9:12, :].set(kp_flat.T)
+    kp_ops = kp_ops.at[12, :].set(frame_valid.reshape(-1).astype(jnp.float32))
+
+    pts = jnp.where(mask[..., None], points, 1e9).reshape(b * m, 3)
+    nrm = jnp.where(mask[..., None], normals, 0.0).reshape(b * m, 3)
+    pt_ops = jnp.zeros((8, b * m), jnp.float32)
+    pt_ops = pt_ops.at[0:3, :].set(pts.T)
+    pt_ops = pt_ops.at[3:6, :].set(nrm.T)
+
+    hist16, counts = _shot_fused_call(kp_ops, pt_ops,
+                                      jnp.asarray(radius, jnp.float32),
+                                      m, k, interpret=interpret)
+    # kernel tile layout: rows (tile, v, k_local) -> (b, k, v)
+    hist = hist16.reshape(b * k // TK, NR_SECTORS, TK, NB)
+    hist = jnp.transpose(hist, (0, 2, 1, 3)).reshape(
+        b, k, NR_SECTORS, NB)[..., :NR_BINS + 1]
+    hist = hist.reshape(b, k, NR_SECTORS * (NR_BINS + 1))
+    n_in = counts[:, 0].reshape(b, k)
+
+    norm = jnp.linalg.norm(hist, axis=-1, keepdims=True)
+    descriptors = hist / jnp.maximum(norm, 1e-30)
+    valid = (frame_valid & (n_in >= min_neighbors)
+             & (norm[..., 0] > 0)
+             & jnp.all(jnp.isfinite(descriptors), axis=-1))
+    return descriptors, valid

@@ -27,6 +27,15 @@ collection-size width accordingly.  Round-tripped against itself in
 tests/test_aux_utils.py; byte-layout assumptions are documented above so a
 mismatch against a particular boost build is diagnosable.
 
+RISK NOTE: no byte stream from a REAL boost build has been read -- the
+environment ships no boost headers, so cross-validation stays blocked;
+treat first contact with reference-produced .ismd files as a compatibility
+test, not a given.  What IS pinned: the failure-mode contract.  Every read
+is bounds-checked and every loop-gating count is validated against the
+remaining byte budget, so truncated / bit-flipped / oversized-count /
+garbage streams raise a typed ValueError fast -- no hangs, no garbage
+output, no struct.error leaks (fuzz suite: tests/test_boost_fuzz.py).
+
 Count-width provenance (verified field-by-field against the reference
 source): every map/list in the iSaveData chain writes its count MANUALLY
 as a 4-byte int/unsigned (e.g. implicit_shape_model.cpp:1146/1165,
@@ -62,11 +71,12 @@ class BoostBinaryReader:
         if sig != SIGNATURE:
             raise ValueError(
                 f"not a boost binary archive (signature {sig[:30]!r})")
-        (version,) = struct.unpack_from("<H", self.data, self.pos)
-        self.pos += 2
+        (version,) = struct.unpack("<H", self.raw(2))
         return version
 
     def raw(self, n: int) -> bytes:
+        if n < 0:
+            raise ValueError(f"archive corrupt (negative byte count {n})")
         b = self.data[self.pos:self.pos + n]
         if len(b) != n:
             raise ValueError("archive truncated")
@@ -74,31 +84,38 @@ class BoostBinaryReader:
         return b
 
     def size_t_raw(self) -> int:
-        (v,) = struct.unpack_from("<Q", self.data, self.pos)
-        self.pos += 8
+        (v,) = struct.unpack("<Q", self.raw(8))
         return v
 
     def collection_size(self) -> int:
         if self.version >= 6:
             return self.size_t_raw()
-        (v,) = struct.unpack_from("<I", self.data, self.pos)
-        self.pos += 4
+        (v,) = struct.unpack("<I", self.raw(4))
         return v
 
     def u32(self) -> int:
-        (v,) = struct.unpack_from("<I", self.data, self.pos)
-        self.pos += 4
+        (v,) = struct.unpack("<I", self.raw(4))
         return v
 
     def i32(self) -> int:
-        (v,) = struct.unpack_from("<i", self.data, self.pos)
-        self.pos += 4
+        (v,) = struct.unpack("<i", self.raw(4))
         return v
 
     def f32(self) -> float:
-        (v,) = struct.unpack_from("<f", self.data, self.pos)
-        self.pos += 4
+        (v,) = struct.unpack("<f", self.raw(4))
         return v
+
+    def count(self, elem_bytes: int = 1, signed: bool = True) -> int:
+        """A 4-byte count that gates a read loop: bounds-checked against
+        the remaining bytes so a corrupt count raises a typed error
+        immediately instead of looping over garbage (fuzz contract,
+        tests/test_boost_fuzz.py)."""
+        n = self.i32() if signed else self.u32()
+        if n < 0 or n * elem_bytes > len(self.data) - self.pos:
+            raise ValueError(
+                f"archive corrupt (count {n} x {elem_bytes}B exceeds the "
+                f"{len(self.data) - self.pos} remaining bytes)")
+        return n
 
     def string(self) -> str:
         n = self.size_t_raw()
@@ -203,13 +220,13 @@ def read_ismd(path: str) -> RefIsmData:
     out = RefIsmData()
 
     # ImplicitShapeModel::iSaveData (implicit_shape_model.cpp:1144-1179)
-    for _ in range(r.u32()):
+    for _ in range(r.count(8, signed=False)):
         inst = r.u32()
         cls = r.u32()
         out.instance_to_class[inst] = cls
 
     # Codebook::iSaveData (codebook.cpp:740-761)
-    for _ in range(r.i32()):
+    for _ in range(r.count(40)):
         e = RefCodewordEntry()
         # Codeword::iSaveData (codeword.cpp:70-83)
         e.cw_id = r.i32()
@@ -218,16 +235,16 @@ def read_ismd(path: str) -> RefIsmData:
         e.descriptor = r.vec_f32()
         e.cw_class_id = r.i32()
         e.keypoint = np.array([r.f32(), r.f32(), r.f32()], np.float32)
-        nv = r.i32()
+        nv = r.count(12)
         e.votes = np.array([[r.f32(), r.f32(), r.f32()] for _ in range(nv)],
                            np.float32).reshape(nv, 3)
         e.weights = r.vec_f32()
         e.class_ids = r.vec_u32()
         e.instance_ids = r.vec_u32()
-        for _ in range(r.i32()):
+        for _ in range(r.count(8)):
             cid = r.i32()
             e.class_weights[cid] = r.f32()
-        nb = r.i32()
+        nb = r.count(28)
         quats, sizes = [], []
         for _ in range(nb):
             quats.append([r.f32(), r.f32(), r.f32(), r.f32()])
@@ -235,7 +252,7 @@ def read_ismd(path: str) -> RefIsmData:
         e.bbox_quats = np.asarray(quats, np.float32).reshape(nb, 4)
         e.bbox_sizes = np.asarray(sizes, np.float32).reshape(nb, 3)
         out.distributions.append(e)
-    for _ in range(r.i32()):
+    for _ in range(r.count(8)):
         cid = r.i32()
         out.class_sigmas[cid] = r.f32()
     # ActivationStrategy::saveData is the base no-op
@@ -243,18 +260,18 @@ def read_ismd(path: str) -> RefIsmData:
     # keypoints / features / global features / clustering: base no-op
 
     # Voting::iSaveData (voting.cpp:559-614)
-    for _ in range(r.u32()):
+    for _ in range(r.count(12, signed=False)):
         cid = r.u32()
         out.dims_map[cid] = (r.f32(), r.f32())
-    for _ in range(r.u32()):
+    for _ in range(r.count(12, signed=False)):
         cid = r.u32()
         out.variance_map[cid] = (r.f32(), r.f32())
-    for _ in range(r.u32()):
+    for _ in range(r.count(8, signed=False)):
         cid = r.u32()
         clouds = []
-        for _ in range(r.u32()):
+        for _ in range(r.count(4, signed=False)):
             feats = []
-            for _ in range(r.u32()):
+            for _ in range(r.count(48, signed=False)):
                 rf = np.array([r.f32() for _ in range(9)], np.float32)
                 desc = r.vec_f32()
                 radius = r.f32()
