@@ -114,3 +114,87 @@ def test_modelnet_cli_generates_lists_and_pcds(tmp_path):
     for fn in fl.filenames + fl_t.filenames:
         assert os.path.exists(fn)
         assert load_cloud(fn).xyz.shape == (128, 3)
+
+
+def _write_box_off(path, a, b, c):
+    """An a x b x c box mesh (aspect survives unit-sphere normalization)."""
+    v = CUBE_VERTS * np.array([a, b, c], np.float32)
+    with open(path, "w") as f:
+        f.write("OFF\n8 6 12\n")
+        for vv in v:
+            f.write(f"{vv[0]} {vv[1]} {vv[2]}\n")
+        for q in CUBE_QUADS:
+            f.write("4 " + " ".join(map(str, q)) + "\n")
+
+
+def _write_tetra_off(path, h=1.0):
+    v = np.array([[0, 0, 0], [1, 0, 0], [0.5, 0.9, 0], [0.5, 0.3, h]],
+                 np.float32)
+    faces = [(0, 2, 1), (0, 1, 3), (1, 2, 3), (2, 0, 3)]
+    with open(path, "w") as f:
+        f.write("OFF\n4 4 6\n")
+        for vv in v:
+            f.write(f"{vv[0]} {vv[1]} {vv[2]}\n")
+        for fa in faces:
+            f.write("3 " + " ".join(map(str, fa)) + "\n")
+
+
+def test_modelnet_dress_rehearsal(tmp_path):
+    """Full ModelNet-shaped chain on generated meshes: .off tree ->
+    cli.modelnet lists -> eval_classification -t (train) -> -d (classify)
+    -> summary.txt accuracy.  This is the exact command sequence a real
+    ModelNet10/40 run uses (README 'ModelNet' section; the datasets
+    themselves are not shipped in this environment)."""
+    import json
+
+    from point_cloud_donkey_tpu.cli import eval_classification as ec
+    from point_cloud_donkey_tpu.cli.modelnet import main as modelnet_main
+
+    root = tmp_path / "ModelNet3"
+    makers = {
+        "cube": lambda p, i: _write_box_off(p, 1.0, 1.0 + 0.03 * i,
+                                            1.0 - 0.02 * i),
+        "plank": lambda p, i: _write_box_off(p, 2.0 + 0.05 * i, 0.9,
+                                             0.18 + 0.01 * i),
+        "tetra": lambda p, i: _write_tetra_off(p, 0.9 + 0.05 * i),
+    }
+    for cls, mk in makers.items():
+        for split, n in (("train", 3), ("test", 2)):
+            d = root / cls / split
+            d.mkdir(parents=True)
+            for i in range(n):
+                mk(str(d / f"{cls}_{i:04d}.off"), i)
+    out = tmp_path / "lists"
+    assert modelnet_main([str(root), str(out), "--n-points", "512",
+                          "--seed", "5"]) == 0
+
+    config = {"ObjectConfig": {"Children": {
+        "Clustering": {"Type": "None"},
+        "Codebook": {"Children": {"ActivationStrategy": {
+            "Parameters": {"K": 1}, "Type": "KNN"}}},
+        "FeatureWeighting": {"Type": "Uniform"},
+        "Features": {"Parameters": {"Radius": 0.4,
+                                    "ReferenceFrameRadius": 0.35},
+                     "Type": "SHOT"},
+        "GlobalFeatures": {"Type": "Dummy"},
+        "Keypoints": {"Parameters": {"LeafSize": 0.25},
+                      "Type": "VoxelGrid"},
+        "Voting": {"Parameters": {
+            "Bandwidth": 0.4, "SingleObjectMode": True,
+            "SingleObjectMaxType": "BandwidthVotes"}, "Type": "MeanShift"}},
+        "Parameters": {"DistanceType": "ChiSquared", "NormalRadius": 0.2,
+                       "ConsistentNormalsMethod": 2,
+                       "BoundingBoxType": "AABB"}}}
+    cfg_path = tmp_path / "mn.ism"
+    cfg_path.write_text(json.dumps(config))
+    model = tmp_path / "mn_model"
+    res = tmp_path / "results"
+    assert ec.main(["-t", str(cfg_path), "-f", str(out / "train.txt"),
+                    "-o", str(model)]) == 0
+    assert ec.main(["-d", str(model) + ".ism", "-f", str(out / "test.txt"),
+                    "-o", str(res)]) == 0
+    summary = (res / "summary.txt").read_text()
+    import re
+    m = re.search(r"Accuracy: (\d+) %", summary)
+    assert m, summary[:400]
+    assert int(m.group(1)) == 100, summary[:800]
