@@ -24,8 +24,10 @@ contract as the fused LRF kernels (tests/test_shot_fused.py).
 Layouts:
   points operand  [8, B*M]: rows 0-2 xyz (centroid-shifted not required;
                   invalid parked at 1e9), rows 3-5 normals.
-  keypoint operand [16, B*K]: rows 0-8 frame (x,y,z axes row-major),
-                  rows 9-11 keypoint xyz, row 12 frame-valid flag.
+  keypoint operand [B*K, 16]: cols 0-8 frame (x,y,z axes row-major),
+                  cols 9-11 keypoint xyz, col 12 frame-valid flag
+                  (keypoints on sublanes -- Mosaic requires lane-dim
+                  blocks of 128 or the full array width).
   outputs: histogram [B*K*32, 16] f32 (volume-major, bins 11-15 zero) and
                   in-radius counts [B*K, 128] f32 (lane 0).
 """
@@ -54,12 +56,12 @@ _RAD_PI_7_8 = np.pi * 7.0 / 8.0
 
 @functools.partial(jax.jit, static_argnames=("m", "k_per_cloud",
                                              "interpret"))
-def _shot_fused_call(kp_ops: jnp.ndarray,   # [16, BK]
+def _shot_fused_call(kp_ops: jnp.ndarray,   # [BK, 16]
                      pt_ops: jnp.ndarray,   # [8, BM]
                      radius: jnp.ndarray,
                      m: int, k_per_cloud: int,
                      interpret: bool = False):
-    bk = kp_ops.shape[1]
+    bk = kp_ops.shape[0]
     rad_s = jnp.asarray(radius, jnp.float32)
     rr = jnp.stack([rad_s, rad_s * rad_s]).reshape(1, 2)
     mt = m // TM
@@ -70,13 +72,13 @@ def _shot_fused_call(kp_ops: jnp.ndarray,   # [16, BK]
         r2 = r_ref[0, 1]
         px, py, pz = p_ref[0, :], p_ref[1, :], p_ref[2, :]
         nx, ny, nz = p_ref[3, :], p_ref[4, :], p_ref[5, :]
-        fxs = [k_ref[i, :] for i in range(9)]                  # frame rows
-        qx, qy, qz = k_ref[9, :], k_ref[10, :], k_ref[11, :]
+        fxs = [k_ref[:, i:i + 1] for i in range(9)]       # [TK, 1] each
+        qx, qy, qz = (k_ref[:, 9:10], k_ref[:, 10:11], k_ref[:, 11:12])
 
         # exact coordinate differences [TK, TM]
-        dx = px[None, :] - qx[:, None]
-        dy = py[None, :] - qy[:, None]
-        dz = pz[None, :] - qz[:, None]
+        dx = px[None, :] - qx
+        dy = py[None, :] - qy
+        dz = pz[None, :] - qz
         d2 = dx * dx + dy * dy + dz * dz
         use = (d2 <= r2) & (d2 > 1e-15)
         use = use & ((nx * 0.0 == 0.0) & (ny * 0.0 == 0.0)
@@ -85,12 +87,11 @@ def _shot_fused_call(kp_ops: jnp.ndarray,   # [16, BK]
         d = jnp.where(use, d, rad * 0.5)
 
         # local-frame coords: (p - q) . axis
-        x_l = dx * fxs[0][:, None] + dy * fxs[1][:, None] + dz * fxs[2][:, None]
-        y_l = dx * fxs[3][:, None] + dy * fxs[4][:, None] + dz * fxs[5][:, None]
-        z_l = dx * fxs[6][:, None] + dy * fxs[7][:, None] + dz * fxs[8][:, None]
-        cos_desc = jnp.clip(nx[None, :] * fxs[6][:, None]
-                            + ny[None, :] * fxs[7][:, None]
-                            + nz[None, :] * fxs[8][:, None], -1.0, 1.0)
+        x_l = dx * fxs[0] + dy * fxs[1] + dz * fxs[2]
+        y_l = dx * fxs[3] + dy * fxs[4] + dz * fxs[5]
+        z_l = dx * fxs[6] + dy * fxs[7] + dz * fxs[8]
+        cos_desc = jnp.clip(nx[None, :] * fxs[6] + ny[None, :] * fxs[7]
+                            + nz[None, :] * fxs[8], -1.0, 1.0)
 
         # --- PCL binning math (port of ops/shot._shot_core_from_coords) ---
         dtype = jnp.float32
@@ -230,7 +231,7 @@ def _shot_fused_call(kp_ops: jnp.ndarray,   # [16, BK]
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((16, TK), lambda i, j: (0, i),
+            pl.BlockSpec((TK, 16), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, TM), lambda i, j: (0, (i * TK // kpc) * mt + j),
                          memory_space=pltpu.VMEM),
@@ -264,10 +265,10 @@ def shot_descriptor_fused(keypoints: jnp.ndarray,    # [B, K, 3]
     # pack operands
     kp_flat = keypoints.reshape(b * k, 3)
     fr_flat = frames.reshape(b * k, 9)
-    kp_ops = jnp.zeros((16, b * k), jnp.float32)
-    kp_ops = kp_ops.at[0:9, :].set(fr_flat.T)
-    kp_ops = kp_ops.at[9:12, :].set(kp_flat.T)
-    kp_ops = kp_ops.at[12, :].set(frame_valid.reshape(-1).astype(jnp.float32))
+    kp_ops = jnp.zeros((b * k, 16), jnp.float32)
+    kp_ops = kp_ops.at[:, 0:9].set(fr_flat)
+    kp_ops = kp_ops.at[:, 9:12].set(kp_flat)
+    kp_ops = kp_ops.at[:, 12].set(frame_valid.reshape(-1).astype(jnp.float32))
 
     pts = jnp.where(mask[..., None], points, 1e9).reshape(b * m, 3)
     nrm = jnp.where(mask[..., None], normals, 0.0).reshape(b * m, 3)
