@@ -466,6 +466,14 @@ class ImplicitShapeModel:
         return fs
 
     def train(self) -> None:
+        # per-stage wall timers, the training analogue of the detect-path
+        # processing_times map (summary/profile consumers read
+        # train_* keys; implicit_shape_model.cpp logs stage walls at :499)
+        _tt = {k: 0.0 for k in ("train_load", "train_features",
+                                "train_global", "train_ranking",
+                                "train_clustering", "train_activation",
+                                "train_rest")}
+        _t_all = time.perf_counter()
         fcfg = self._feature_cfg()
         gcfg = self._global_feature_cfg()
         kp_cfg = self.config.child("Keypoints")
@@ -494,6 +502,7 @@ class ImplicitShapeModel:
 
         for base in range(0, len(self._training), MODEL_CHUNK):
             entries = self._training[base:base + MODEL_CHUNK]
+            _t0 = time.perf_counter()
 
             # pass 1: load / preprocess / crop, boxes and radii
             clouds_xyz: List[np.ndarray] = []
@@ -550,6 +559,8 @@ class ImplicitShapeModel:
                                                   for i in mvbb_idx])):
                     chunk_boxes[i] = b
             boxes_per_model.extend(chunk_boxes)
+            _tt["train_load"] += time.perf_counter() - _t0
+            _t0 = time.perf_counter()
 
             # pass 2: local features -- batched across models when eligible
             # (same cross-cloud batching as detect_batch; one vmapped
@@ -597,6 +608,8 @@ class ImplicitShapeModel:
                 for i, fs in enumerate(chunk_fs):
                     _emit_model(i, fs)
             features_per_model.extend(chunk_fs)
+            _tt["train_features"] += time.perf_counter() - _t0
+            _t0 = time.perf_counter()
 
             # pass 3: global features (whole-cloud ESF/VFH/GRSD/GASD
             # batched across models; other types per model)
@@ -606,8 +619,10 @@ class ImplicitShapeModel:
             for gfs, class_id, instance_id in zip(gfs_list, chunk_classes,
                                                   chunk_instances):
                 global_feats.append((gfs, class_id, instance_id))
+            _tt["train_global"] += time.perf_counter() - _t0
             # raw clouds die here with the chunk's lists
 
+        _t0 = time.perf_counter()
         # feature ranking (redundancy-free codebooks,
         # feature_ranking/feature_ranking.cpp:36-120)
         from .ranking import RankingParams, rank_features
@@ -627,6 +642,7 @@ class ImplicitShapeModel:
             self.config.child("FeatureWeighting"),
             flann_exact=self.root.get("FLANNExactMatch", False))
         keep = rank_features(all_desc, all_cls, all_cdist, rank_params)
+        _tt["train_ranking"] = time.perf_counter() - _t0
 
         # apply the keep mask back to the per-model feature sets
         ranked_models: List[FeatureSet] = []
@@ -644,13 +660,16 @@ class ImplicitShapeModel:
         # clustering -> codewords (None: one codeword per feature,
         # clustering_none.cpp:37-44; KMeans*/Agglomerative per models/clustering.py)
         clu_params = ClusteringParams.from_config(self.config.child("Clustering"))
+        _t0 = time.perf_counter()
         centers, _indices = run_clustering(all_desc_r, clu_params, self.metric)
+        _tt["train_clustering"] = time.perf_counter() - _t0
         # codeword feature positions: the reference takes the i-th feature's
         # position for the i-th cluster center (implicit_shape_model.cpp:465-475)
         cw_pos = all_pos_r[:len(centers)]
 
         cb_params = _codebook_params(self.config.child("Codebook"),
                              flann_exact=self.root.get("FLANNExactMatch", False))
+        _t0 = time.perf_counter()
         mesh = self._training_mesh(cb_params)
         if mesh is not None:
             # multi-chip training from the product path: the device-heavy
@@ -671,6 +690,8 @@ class ImplicitShapeModel:
                 [instance_per_model[i] for i in order],
                 [boxes_per_model[i] for i in order],
                 centers, cw_pos, cb_params, self.metric)
+        _tt["train_activation"] = time.perf_counter() - _t0
+        _t0 = time.perf_counter()
         if self._callbacks:
             self._emit("codebook", codebook=codebook)
 
@@ -720,6 +741,9 @@ class ImplicitShapeModel:
                 param_gamma=self.root.get("SvmParamGamma", 2.96),
                 k_fold=self.root.get("SvmParamKfold", 10))
 
+        _tt["train_rest"] = time.perf_counter() - _t0
+        _tt["train_complete"] = time.perf_counter() - _t_all
+        self.processing_times.update(_tt)
         if self._callbacks:
             self._emit("train_complete", state=self.state)
 

@@ -131,7 +131,9 @@ def _shot_fused_call(kp_ops: jnp.ndarray,   # [BK, 16]
         rad_vol = jnp.where(has_rad, desc + jnp.where(outer, -2, 2), 0)
 
         incl_cos = jnp.clip(z_l / d, -1.0, 1.0)
-        incl = jnp.arccos(incl_cos)
+        # Mosaic has no acos lowering; acos(x) = atan2(sqrt(1-x^2), x)
+        incl = jnp.arctan2(jnp.sqrt(jnp.maximum(1.0 - incl_cos * incl_cos,
+                                                0.0)), incl_cos)
         lower = (incl > _RAD_90) | ((incl == _RAD_90) & (z_l <= 0))
         id_low = (incl - _RAD_135) / _RAD_90
         id_up = (incl - _RAD_45) / _RAD_90
