@@ -43,7 +43,13 @@ def main(argv=None) -> int:
                    help="run the full sharded detection step "
                         "(parallel/sharded.batched_detect) and print each "
                         "cloud's best maximum position per predicted class")
+    p.add_argument("--aot-cache", default="",
+                   help="directory for serialized AOT executables: first "
+                        "run compiles and caches, later runs skip XLA "
+                        "entirely (utils/aot.py; keyed by jax version, "
+                        "device kind, config and shapes)")
     args = p.parse_args(argv)
+    t_start = time.perf_counter()
 
     ism = ImplicitShapeModel.load(args.detect)
     cb = ism.state.codebook
@@ -80,6 +86,7 @@ def main(argv=None) -> int:
         step = batched_detect(mesh, cb_sharded, cfg, cb_params)
     else:
         step = batched_classify(mesh, cb_sharded, cfg, cb_params)
+    compile_src = "jit"
 
     # load + pad/subsample all clouds to a fixed shape
     with_rgb = cfg.descriptor == "CSHOT"
@@ -117,14 +124,32 @@ def main(argv=None) -> int:
         rgbs += [rgbs[0]] * n_pad
         rgb_np = np.stack(rgbs)
 
+    # optional AOT executable cache: skip XLA entirely on repeat starts
+    # (the persistent *compilation* cache is known-slow on this backend;
+    # serialized executables sidestep it, utils/aot.py)
+    if args.aot_cache:
+        from ..utils.aot import load_or_compile
+        example = (jnp.asarray(clouds_np[:B]), jnp.asarray(masks_np[:B]))
+        if with_rgb:
+            example = example + (jnp.asarray(rgb_np[:B]),)
+        key = (f"serve|{args.detect}|{cfg!r}|{cb_params!r}|B{B}|P{P}|"
+               f"dev{n_dev}|maxima{args.maxima}|cw{cb.codewords.shape}")
+        step, compile_src = load_or_compile(step, example, args.aot_cache,
+                                            key)
+
     def call(i):
         a = (jnp.asarray(clouds_np[i:i + B]), jnp.asarray(masks_np[i:i + B]))
         if with_rgb:
             a = a + (jnp.asarray(rgb_np[i:i + B]),)
         return step(*a)
 
-    # warm the jit cache so the reported throughput is steady-state
-    jax.block_until_ready(call(0))
+    # first result: compile (or AOT load) + first batch, fetched -- the
+    # cold-start metric (time-to-first-result)
+    first = call(0)
+    first_np = [np.asarray(x) for x in first] if isinstance(first, tuple) \
+        else np.asarray(first)
+    ttfr = time.perf_counter() - t_start
+    print(f" Time to first result: {ttfr:.1f} s ({compile_src})")
 
     preds = []
     maxima = []

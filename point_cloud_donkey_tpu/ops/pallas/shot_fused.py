@@ -54,6 +54,42 @@ _RAD_135 = 3.0 * np.pi / 4.0
 _RAD_PI_7_8 = np.pi * 7.0 / 8.0
 
 
+def _atan01(z):
+    """atan on [0, 1], float32 Cephes polynomial (~1 ulp): the second
+    range reduction t = (z-1)/(z+1) keeps |t| <= tan(pi/8) where the
+    degree-7 odd minimax polynomial is accurate."""
+    import jax.numpy as jnp
+    big = z > 0.4142135623730951
+    t = jnp.where(big, (z - 1.0) / (z + 1.0), z)
+    s = t * t
+    p = ((((8.05374449538e-2 * s - 1.38776856032e-1) * s
+           + 1.99777106478e-1) * s - 3.33329491539e-1) * s) * t + t
+    return jnp.where(big, 0.7853981633974483 + p, p)
+
+
+def _atan2(y, x):
+    """atan2 built from _atan01 (Mosaic has no atan2/acos lowering):
+    octant reduction via |y|/|x| min-max, then quadrant fixups.  Matches
+    jnp.arctan2 to ~1e-7 including the (0, x<0) -> pi and (0, 0) -> 0
+    conventions (signed zeros of y are not distinguished)."""
+    import jax.numpy as jnp
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    z = jnp.where(hi > 0, lo / jnp.where(hi > 0, hi, 1.0), 0.0)
+    r = _atan01(z)
+    r = jnp.where(ay > ax, 1.5707963267948966 - r, r)
+    r = jnp.where(x < 0, np.pi - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _acos(x):
+    """acos(x) = atan2(sqrt(1 - x^2), x) for x in [-1, 1]."""
+    import jax.numpy as jnp
+    return _atan2(jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)), x)
+
+
 @functools.partial(jax.jit, static_argnames=("m", "k_per_cloud",
                                              "interpret"))
 def _shot_fused_call(kp_ops: jnp.ndarray,   # [BK, 16]
@@ -131,9 +167,7 @@ def _shot_fused_call(kp_ops: jnp.ndarray,   # [BK, 16]
         rad_vol = jnp.where(has_rad, desc + jnp.where(outer, -2, 2), 0)
 
         incl_cos = jnp.clip(z_l / d, -1.0, 1.0)
-        # Mosaic has no acos lowering; acos(x) = atan2(sqrt(1-x^2), x)
-        incl = jnp.arctan2(jnp.sqrt(jnp.maximum(1.0 - incl_cos * incl_cos,
-                                                0.0)), incl_cos)
+        incl = _acos(incl_cos)
         lower = (incl > _RAD_90) | ((incl == _RAD_90) & (z_l <= 0))
         id_low = (incl - _RAD_135) / _RAD_90
         id_up = (incl - _RAD_45) / _RAD_90
@@ -148,7 +182,7 @@ def _shot_fused_call(kp_ops: jnp.ndarray,   # [BK, 16]
         incl_vol = jnp.where(has_incl, desc + jnp.where(lower, 1, -1), 0)
 
         has_az = (x_l != 0.0) | (y_l != 0.0)
-        azimuth = jnp.arctan2(y_l, x_l)
+        azimuth = _atan2(y_l, x_l)
         sel = desc >> 2
         az_dist = (azimuth - (-_RAD_PI_7_8 + _RAD_45 * sel.astype(dtype))) \
             / _RAD_45
