@@ -43,6 +43,20 @@ from .types import FeatureSet, make_feature_set
 MB = 8
 
 
+def _to_dev(x, mesh):
+    """Commit a [MB, ...] chunk array to the device(s): with a mesh, the
+    leading (cloud) axis is sharded over 'data' -- jit propagates committed
+    input shardings, so the SAME cached stage programs run mesh-sharded
+    with unchanged per-example math (bit-identical results; pinned by
+    tests/test_sharded.py).  Without a mesh this is jnp.asarray."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    x = jnp.asarray(x)
+    if mesh is None or x.ndim == 0 or x.shape[0] % mesh.shape["data"]:
+        return x
+    return jax.device_put(x, NamedSharding(mesh, P("data")))
+
+
 def _culling_plain(kp_params: KeypointParams, is_training: bool) -> bool:
     from .keypoints import culling_disabled
     return culling_disabled(kp_params, is_training)
@@ -410,12 +424,15 @@ def extract_local_features_batch(
     consistent_normals_method: int,
     times: Optional[Dict[str, float]] = None,
     is_training: bool = False,
+    mesh=None,
 ) -> List[FeatureSet]:
     """Batched analogue of features.extract_local_features over a list of
     clouds.  Clouds are grouped by padded bucket size; each group is
     processed in MB-wide chunks with one vmapped program per stage.
     is_training only affects eligibility (keypoint culling is disabled in
-    training by default, making VoxelGridCulling behave as plain VoxelGrid)."""
+    training by default, making VoxelGridCulling behave as plain VoxelGrid).
+    With `mesh` the chunk axis is sharded over the mesh's 'data' devices
+    (_to_dev) -- multi-chip training feature extraction."""
     kp_params = KeypointParams.from_config(keypoint_cfg)
     assert batch_supported(fcfg, kp_params, clouds, is_training)
     check_rgb_available(fcfg, rgb_list)
@@ -457,8 +474,8 @@ def extract_local_features_batch(
             for r, ci in enumerate(padded):
                 p, m = pad_cloud(clouds[ci], bucket=n)
                 pts_b[r], mask_b[r] = p, m
-            pts_j = jnp.asarray(pts_b)
-            mask_j = jnp.asarray(mask_b)
+            pts_j = _to_dev(pts_b, mesh)
+            mask_j = _to_dev(mask_b, mesh)
 
             # --- normals (one dispatch for the chunk) ----------------------
             cloud_normals: List[Optional[np.ndarray]] = [None] * MB
@@ -485,7 +502,7 @@ def extract_local_features_batch(
                         extra_b[r, :len(clouds[ci]), off:off + 3] = rgb_list[ci]
                 cents, cmask = _voxel_batch_program(
                     MB, n, e_dim, float(kp_params.leaf_size))(
-                        pts_j, mask_j, jnp.asarray(extra_b))
+                        pts_j, mask_j, _to_dev(extra_b, mesh))
             else:
                 cents, cmask = _voxel_batch_program(
                     MB, n, 0, float(kp_params.leaf_size))(pts_j, mask_j)
@@ -544,10 +561,10 @@ def extract_local_features_batch(
                     MB, n, k_cap, geo_f, col_f,
                     float(kp_params.leaf_size),
                     float(kp_params.max_similar_color_distance))(
-                        jnp.asarray(kpc), jnp.asarray(kpm), jnp.asarray(knc),
-                        jnp.asarray(krc), jnp.asarray(st.pts_b),
-                        jnp.asarray(st.mask_b),
-                        jnp.asarray(nrm_c), jnp.asarray(rgb_c))
+                        _to_dev(kpc, mesh), _to_dev(kpm, mesh),
+                        _to_dev(knc, mesh), _to_dev(krc, mesh),
+                        _to_dev(st.pts_b, mesh), _to_dev(st.mask_b, mesh),
+                        _to_dev(nrm_c, mesh), _to_dev(rgb_c, mesh))
                 g_b, c_b = np.asarray(g_b), np.asarray(c_b)
                 for r in range(real):
                     kk = len(kps[r])
@@ -569,7 +586,7 @@ def extract_local_features_batch(
                        for st in staged for kp in st.kps)
         for st in staged:
             chunk, padded = st.chunk, st.padded
-            pts_j, mask_j = jnp.asarray(st.pts_b), jnp.asarray(st.mask_b)
+            pts_j, mask_j = _to_dev(st.pts_b, mesh), _to_dev(st.mask_b, mesh)
             kps, kp_rgbs, cloud_normals = st.kps, st.kp_rgbs, \
                 st.cloud_normals
             real = len(chunk)
@@ -593,9 +610,9 @@ def extract_local_features_batch(
 
             packed = np.asarray(_descriptor_batch_program(
                 MB, n, k_bucket, fcfg)(
-                    jnp.asarray(kp_b), jnp.asarray(kpm_b), pts_j, mask_j,
-                    jnp.asarray(nrm_bj), jnp.asarray(rgb_bj),
-                    jnp.asarray(kprgb_b),
+                    _to_dev(kp_b, mesh), _to_dev(kpm_b, mesh), pts_j, mask_j,
+                    _to_dev(nrm_bj, mesh), _to_dev(rgb_bj, mesh),
+                    _to_dev(kprgb_b, mesh),
                     jnp.asarray(fcfg.radius, jnp.float32),
                     jnp.asarray(fcfg.ref_frame_radius, jnp.float32)))
 

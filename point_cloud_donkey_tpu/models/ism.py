@@ -500,6 +500,15 @@ class ImplicitShapeModel:
         from .keypoints import KeypointParams
         use_cache = self.root.get("CacheFeatures", False)
 
+        # multi-chip training: the mesh decision is config-only, so resolve
+        # it BEFORE the feature passes -- feature extraction (the actual
+        # training hot loop, SURVEY.md section 3.5) shards its chunk axis
+        # over the mesh's 'data' devices, and the activation stage reuses
+        # the same mesh below
+        cb_params = _codebook_params(self.config.child("Codebook"),
+                             flann_exact=self.root.get("FLANNExactMatch", False))
+        mesh = self._training_mesh(cb_params)
+
         for base in range(0, len(self._training), MODEL_CHUNK):
             entries = self._training[base:base + MODEL_CHUNK]
             _t0 = time.perf_counter()
@@ -596,7 +605,7 @@ class ImplicitShapeModel:
                     [clouds_nrm[i] for i in batch_idx],
                     [clouds_rgb[i] for i in batch_idx],
                     fcfg, kp_cfg, normal_radius, cn_method,
-                    is_training=True)
+                    is_training=True, mesh=mesh)
                 for i, fs in zip(batch_idx, sub):
                     chunk_fs[i] = fs
             for i in range(len(clouds_xyz)):
@@ -667,10 +676,7 @@ class ImplicitShapeModel:
         # position for the i-th cluster center (implicit_shape_model.cpp:465-475)
         cw_pos = all_pos_r[:len(centers)]
 
-        cb_params = _codebook_params(self.config.child("Codebook"),
-                             flann_exact=self.root.get("FLANNExactMatch", False))
         _t0 = time.perf_counter()
-        mesh = self._training_mesh(cb_params)
         if mesh is not None:
             # multi-chip training from the product path: the device-heavy
             # activation stage runs sharded over the data x model mesh,

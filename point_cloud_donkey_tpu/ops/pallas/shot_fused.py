@@ -233,16 +233,20 @@ def _shot_fused_call(kp_ops: jnp.ndarray,   # [BK, 16]
                                         (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)
         # acc [V*TK, NB*TK]: row v*TK+k, col b*TK+k' -- keypoint k's
-        # histogram lives on the k == k' diagonal.  Split the lane dim and
-        # reduce the k' axis against a row-index mask (pure VPU; the acc
-        # is only [256, 128]).
-        acc3 = acc.reshape(NR_SECTORS * TK, NB, TK)
+        # histogram lives on the k == k' diagonal.  Zero the off-diagonal
+        # k' entries with a 2-D index mask, then reduce each TK-lane group
+        # with one tiny [128, NB] summing matmul (keeps everything 2-D --
+        # Mosaic rejects the 3-D reshape formulation).
         row_k = jax.lax.broadcasted_iota(
-            jnp.int32, (NR_SECTORS * TK, NB, TK), 0) % TK
+            jnp.int32, (NR_SECTORS * TK, NB * TK), 0) % TK
         col_k = jax.lax.broadcasted_iota(
-            jnp.int32, (NR_SECTORS * TK, NB, TK), 2)
-        hist = jnp.sum(jnp.where(row_k == col_k, acc3, 0.0),
-                       axis=2)                          # [V*TK, NB]
+            jnp.int32, (NR_SECTORS * TK, NB * TK), 1) % TK
+        masked = jnp.where(row_k == col_k, acc, 0.0)
+        group = (jax.lax.broadcasted_iota(jnp.int32, (NB * TK, NB), 0) // TK
+                 == jax.lax.broadcasted_iota(jnp.int32, (NB * TK, NB), 1)
+                 ).astype(jnp.float32)
+        hist = jax.lax.dot_general(masked, group, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
 
         lane0 = jax.lax.broadcasted_iota(jnp.int32, (TK, 128), 1) == 0
         counts = jnp.where(lane0, jnp.sum(usef, axis=1)[:, None], 0.0)

@@ -248,3 +248,44 @@ def test_batched_detect_matches_single_device(n_data, n_model):
         lambda p, m: classify_scores_mean_shift(p, m, cb_host, cfg, params)))
     ms_scores = np.asarray(ms_step(jnp.asarray(pts), jnp.asarray(mask)))
     np.testing.assert_allclose(dens, ms_scores, rtol=1e-6)
+
+
+def test_feature_extraction_sharded_bit_identical(tmp_path):
+    """Training feature extraction under the mesh (VERDICT r4 next #3):
+    extract_local_features_batch with a data mesh commits its chunk arrays
+    sharded (verified via _to_dev) and produces FeatureSets bit-identical
+    to the unsharded path."""
+    import sys
+    sys.path.insert(0, "tests")
+    import shapes
+    from jax.sharding import NamedSharding
+    from point_cloud_donkey_tpu.models.detect_batch import (
+        _to_dev, extract_local_features_batch)
+    from point_cloud_donkey_tpu.models.features import FeatureConfig
+    from point_cloud_donkey_tpu.utils.config import IsmConfig
+
+    rng = np.random.default_rng(21)
+    clouds = [shapes.make_instance(rng, cid, n=600, rotate=False)
+              for cid in range(4)] * 2
+    fcfg = FeatureConfig(type="SHORT_SHOT", radius=0.6, ref_frame_radius=0.5)
+    kp_cfg = IsmConfig.from_json({"ObjectConfig": {"Children": {
+        "Keypoints": {"Parameters": {"LeafSize": 0.35},
+                      "Type": "VoxelGrid"}}}}).child("Keypoints")
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    # the committed chunk arrays really are sharded over 'data'
+    x = _to_dev(np.zeros((8, 16, 3), np.float32), mesh)
+    assert isinstance(x.sharding, NamedSharding)
+    assert x.sharding.spec == jax.sharding.PartitionSpec("data")
+
+    nrm = [None] * len(clouds)
+    rgb = [None] * len(clouds)
+    host = extract_local_features_batch(clouds, nrm, rgb, fcfg, kp_cfg,
+                                        0.25, 2, is_training=True)
+    shrd = extract_local_features_batch(clouds, nrm, rgb, fcfg, kp_cfg,
+                                        0.25, 2, is_training=True, mesh=mesh)
+    for h, s in zip(host, shrd):
+        for name in h._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(h, name)), np.asarray(getattr(s, name)),
+                err_msg=f"field {name} differs")
