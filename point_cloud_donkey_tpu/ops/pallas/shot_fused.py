@@ -91,12 +91,16 @@ def _acos(x):
 
 
 @functools.partial(jax.jit, static_argnames=("m", "k_per_cloud",
-                                             "interpret"))
+                                             "interpret", "stage"))
 def _shot_fused_call(kp_ops: jnp.ndarray,   # [BK, 16]
                      pt_ops: jnp.ndarray,   # [8, BM]
                      radius: jnp.ndarray,
                      m: int, k_per_cloud: int,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     stage: int = 4):
+    # `stage` gates kernel sections for compiler bisection (4 = full SHOT;
+    # 3 = no azimuth, 2 = no inclination, 1 = no radial, 0 = volume bits
+    # only).  Only stage=4 is a valid descriptor.
     bk = kp_ops.shape[0]
     rad_s = jnp.asarray(radius, jnp.float32)
     rr = jnp.stack([rad_s, rad_s * rad_s]).reshape(1, 2)
@@ -153,45 +157,57 @@ def _shot_fused_call(kp_ops: jnp.ndarray,   # [BK, 16]
                             (step - 1 + NR_BINS) % NR_BINS)
         cos_w = jnp.abs(bd)
 
-        r34, r14 = 3.0 * rad / 4.0, rad / 4.0
-        rd_out = (d - r34) / r_half
-        rd_in = (d - r14) / r_half
-        outer = d > r_half
-        rd = jnp.where(outer, rd_out, rd_in)
-        has_rad = jnp.where(outer, d <= r34, d >= r14)
-        central_w = central_w + jnp.where(
-            outer,
-            jnp.where(d > r34, 1.0 - rd_out, 1.0 + rd_out),
-            jnp.where(d < r14, 1.0 + rd_in, 1.0 - rd_in))
-        rad_w = jnp.where(has_rad, jnp.abs(rd), 0.0)
-        rad_vol = jnp.where(has_rad, desc + jnp.where(outer, -2, 2), 0)
+        zero_i = jnp.zeros_like(desc)
+        zero_f = jnp.zeros_like(central_w)
+        if stage >= 2:
+            r34, r14 = 3.0 * rad / 4.0, rad / 4.0
+            rd_out = (d - r34) / r_half
+            rd_in = (d - r14) / r_half
+            outer = d > r_half
+            rd = jnp.where(outer, rd_out, rd_in)
+            has_rad = jnp.where(outer, d <= r34, d >= r14)
+            central_w = central_w + jnp.where(
+                outer,
+                jnp.where(d > r34, 1.0 - rd_out, 1.0 + rd_out),
+                jnp.where(d < r14, 1.0 + rd_in, 1.0 - rd_in))
+            rad_w = jnp.where(has_rad, jnp.abs(rd), 0.0)
+            rad_vol = jnp.where(has_rad, desc + jnp.where(outer, -2, 2), 0)
+        else:
+            rad_w, rad_vol = zero_f, zero_i
 
-        incl_cos = jnp.clip(z_l / d, -1.0, 1.0)
-        incl = _acos(incl_cos)
-        lower = (incl > _RAD_90) | ((incl == _RAD_90) & (z_l <= 0))
-        id_low = (incl - _RAD_135) / _RAD_90
-        id_up = (incl - _RAD_45) / _RAD_90
-        central_w = central_w + jnp.where(
-            lower,
-            jnp.where(incl > _RAD_135, 1.0 - id_low, 1.0 + id_low),
-            jnp.where(incl < _RAD_45, 1.0 + id_up, 1.0 - id_up))
-        has_incl = jnp.where(lower, incl <= _RAD_135, incl >= _RAD_45)
-        incl_w = jnp.where(has_incl,
-                           jnp.where(lower, jnp.abs(id_low),
-                                     jnp.abs(id_up)), 0.0)
-        incl_vol = jnp.where(has_incl, desc + jnp.where(lower, 1, -1), 0)
+        if stage >= 3:
+            incl_cos = jnp.clip(z_l / d, -1.0, 1.0)
+            incl = _acos(incl_cos)
+            lower = (incl > _RAD_90) | ((incl == _RAD_90) & (z_l <= 0))
+            id_low = (incl - _RAD_135) / _RAD_90
+            id_up = (incl - _RAD_45) / _RAD_90
+            central_w = central_w + jnp.where(
+                lower,
+                jnp.where(incl > _RAD_135, 1.0 - id_low, 1.0 + id_low),
+                jnp.where(incl < _RAD_45, 1.0 + id_up, 1.0 - id_up))
+            has_incl = jnp.where(lower, incl <= _RAD_135, incl >= _RAD_45)
+            incl_w = jnp.where(has_incl,
+                               jnp.where(lower, jnp.abs(id_low),
+                                         jnp.abs(id_up)), 0.0)
+            incl_vol = jnp.where(has_incl, desc + jnp.where(lower, 1, -1), 0)
+        else:
+            incl_w, incl_vol = zero_f, zero_i
 
-        has_az = (x_l != 0.0) | (y_l != 0.0)
-        azimuth = _atan2(y_l, x_l)
-        sel = desc >> 2
-        az_dist = (azimuth - (-_RAD_PI_7_8 + _RAD_45 * sel.astype(dtype))) \
-            / _RAD_45
-        az_dist = jnp.clip(az_dist, -0.5, 0.5)
-        central_w = central_w + jnp.where(has_az, 1.0 - jnp.abs(az_dist),
-                                          0.0)
-        az_vol = jnp.where(az_dist > 0, (desc + 4) % NR_SECTORS,
-                           (desc - 4 + NR_SECTORS) % NR_SECTORS)
-        az_w = jnp.where(has_az, jnp.abs(az_dist), 0.0)
+        if stage >= 4:
+            has_az = (x_l != 0.0) | (y_l != 0.0)
+            azimuth = _atan2(y_l, x_l)
+            sel = desc >> 2
+            az_dist = (azimuth
+                       - (-_RAD_PI_7_8 + _RAD_45 * sel.astype(dtype))) \
+                / _RAD_45
+            az_dist = jnp.clip(az_dist, -0.5, 0.5)
+            central_w = central_w + jnp.where(has_az,
+                                              1.0 - jnp.abs(az_dist), 0.0)
+            az_vol = jnp.where(az_dist > 0, (desc + 4) % NR_SECTORS,
+                               (desc - 4 + NR_SECTORS) % NR_SECTORS)
+            az_w = jnp.where(has_az, jnp.abs(az_dist), 0.0)
+        else:
+            az_w, az_vol = zero_f, zero_i
 
         usef = use.astype(dtype)
         central_w = central_w * usef
@@ -294,7 +310,8 @@ def shot_descriptor_fused(keypoints: jnp.ndarray,    # [B, K, 3]
                           mask: jnp.ndarray,         # [B, M]
                           radius,
                           min_neighbors: int = 5,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          stage: int = 4):
     """Batched fused SHOT-352 (parity target: ops/shot.shot_descriptor_dense
     per cloud).  Returns (descriptors [B, K, 352], valid [B, K])."""
     b, k, _ = keypoints.shape
@@ -318,7 +335,8 @@ def shot_descriptor_fused(keypoints: jnp.ndarray,    # [B, K, 3]
 
     hist16, counts = _shot_fused_call(kp_ops, pt_ops,
                                       jnp.asarray(radius, jnp.float32),
-                                      m, k, interpret=interpret)
+                                      m, k, interpret=interpret,
+                                      stage=stage)
     # kernel tile layout: rows (tile, v, k_local) -> (b, k, v)
     hist = hist16.reshape(b * k // TK, NR_SECTORS, TK, NB)
     hist = jnp.transpose(hist, (0, 2, 1, 3)).reshape(
