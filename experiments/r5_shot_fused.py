@@ -90,19 +90,25 @@ timeit("desc_fused_pallas", jax.jit(lambda a, b, c, d, e, f: jnp.sum(
 d_ref, v_ref = jax.jit(jax.vmap(
     lambda kk, ff, vv, pp, nn, mm: shot_descriptor_dense(
         kk, ff, vv, pp, nn, mm, 0.6)))(kp, fr, fv, pts_j, nrm, mask_j)
-d_new, v_new = jax.jit(
-    lambda a, b, c, d, e, f: shot_descriptor_fused(a, b, c, d, e, f, 0.6))(
-        kp, fr, fv, pts_j, nrm, mask_j)
-d_ref, v_ref, d_new, v_new = map(
-    lambda x: np.asarray(jax.device_get(x)), (d_ref, v_ref, d_new, v_new))
-both = v_ref & v_new
-cos = (d_new[both] * d_ref[both]).sum(-1)
-print(json.dumps({
-    "stage": "fused_parity",
-    "valid_agree": float((v_ref == v_new).mean()),
-    "min_cos": float(cos.min()) if both.any() else None,
-    "frac_cos_999": float((cos > 0.999).mean()) if both.any() else None}),
-    flush=True)
+d_ref, v_ref = (np.asarray(jax.device_get(d_ref)),
+                np.asarray(jax.device_get(v_ref)))
+try:
+    d_new, v_new = jax.jit(
+        lambda a, b, c, d, e, f: shot_descriptor_fused(
+            a, b, c, d, e, f, 0.6))(kp, fr, fv, pts_j, nrm, mask_j)
+    d_new, v_new = (np.asarray(jax.device_get(d_new)),
+                    np.asarray(jax.device_get(v_new)))
+    both = v_ref & v_new
+    cos = (d_new[both] * d_ref[both]).sum(-1)
+    print(json.dumps({
+        "stage": "fused_parity",
+        "valid_agree": float((v_ref == v_new).mean()),
+        "min_cos": float(cos.min()) if both.any() else None,
+        "frac_cos_999": float((cos > 0.999).mean()) if both.any() else None}),
+        flush=True)
+except Exception as e:
+    print(json.dumps({"stage": "fused_parity", "error": str(e)[:200]}),
+          flush=True)
 stamp("parity done")
 
 # --- votes-stage decomposition ----------------------------------------------

@@ -165,7 +165,9 @@ def _shot_fused_call(kp_ops: jnp.ndarray,   # [BK, 16]
             rd_in = (d - r14) / r_half
             outer = d > r_half
             rd = jnp.where(outer, rd_out, rd_in)
-            has_rad = jnp.where(outer, d <= r34, d >= r14)
+            # no bool-valued where: Mosaic's i1 select is the
+            # remote-compiler crasher (bisect stage 2)
+            has_rad = (outer & (d <= r34)) | (~outer & (d >= r14))
             central_w = central_w + jnp.where(
                 outer,
                 jnp.where(d > r34, 1.0 - rd_out, 1.0 + rd_out),
@@ -185,7 +187,8 @@ def _shot_fused_call(kp_ops: jnp.ndarray,   # [BK, 16]
                 lower,
                 jnp.where(incl > _RAD_135, 1.0 - id_low, 1.0 + id_low),
                 jnp.where(incl < _RAD_45, 1.0 + id_up, 1.0 - id_up))
-            has_incl = jnp.where(lower, incl <= _RAD_135, incl >= _RAD_45)
+            has_incl = ((lower & (incl <= _RAD_135))
+                        | (~lower & (incl >= _RAD_45)))
             incl_w = jnp.where(has_incl,
                                jnp.where(lower, jnp.abs(id_low),
                                          jnp.abs(id_up)), 0.0)
