@@ -50,15 +50,19 @@ class JitPipelineConfig(NamedTuple):
     # batched entry (classify_scores_batch) reports an exactness flag and
     # callers fall back to dense when it trips.
     normals_window: int = 0
+    # batched-entry descriptor stage via the fused Pallas SHOT kernel
+    # (ops/pallas/shot_fused.py) instead of the XLA one-hot matmuls;
+    # honored only for descriptor == "SHOT" on a pallas-viable backend
+    # (PCD_FUSED_DESC_INTERPRET=1 forces the interpret-mode kernel for
+    # CPU coverage of the integration glue)
+    fused_descriptor: bool = False
 
 
-def extract_features_jit(points: jnp.ndarray, mask: jnp.ndarray,
-                         cfg: JitPipelineConfig, rgb: jnp.ndarray = None,
-                         normals: jnp.ndarray = None):
-    """points [N,3], mask [N] -> (keypoints [K,3], frames [K,3,3],
-    descriptors [K,D], valid [K]).  rgb [N,3] required for CSHOT.
-    `normals` short-circuits the normal stage (the batched windowed entry
-    computes them once over the whole sorted batch)."""
+def _pre_descriptor(points: jnp.ndarray, mask: jnp.ndarray,
+                    cfg: JitPipelineConfig, rgb: jnp.ndarray = None,
+                    normals: jnp.ndarray = None):
+    """Stages before the descriptor for one cloud: normals, voxel-grid
+    keypoints, SHOT LRFs.  Returns (kp [K,3], kp_rgb, lrf, normals)."""
     needs_normals = not cfg.descriptor.startswith("SHORT_SHOT")
     if normals is not None:
         pass
@@ -83,6 +87,18 @@ def extract_features_jit(points: jnp.ndarray, mask: jnp.ndarray,
     kp = jnp.where(kp_mask[:, None], kp, 1e9)
 
     lrf = shot_lrf(kp, kp_mask, points, mask, cfg.ref_frame_radius)
+    return kp, kp_rgb, lrf, normals
+
+
+def extract_features_jit(points: jnp.ndarray, mask: jnp.ndarray,
+                         cfg: JitPipelineConfig, rgb: jnp.ndarray = None,
+                         normals: jnp.ndarray = None):
+    """points [N,3], mask [N] -> (keypoints [K,3], frames [K,3,3],
+    descriptors [K,D], valid [K]).  rgb [N,3] required for CSHOT.
+    `normals` short-circuits the normal stage (the batched windowed entry
+    computes them once over the whole sorted batch)."""
+    kp, kp_rgb, lrf, normals = _pre_descriptor(points, mask, cfg, rgb,
+                                               normals)
     if cfg.descriptor == "SHOT":
         # dense gather-free SHOT: the serving path never touches a random-
         # access neighbor gather (ops/shot.shot_descriptor_dense)
@@ -152,6 +168,35 @@ def classify_scores(points: jnp.ndarray, mask: jnp.ndarray, cb,
                                   normals).scores
 
 
+def _scores_from_features(points, mask, kp, frames, desc, valid, cb,
+                          cfg: JitPipelineConfig,
+                          cb_params: CodebookParams) -> jnp.ndarray:
+    """Post-descriptor tail of classify_scores (votes + centroid density
+    scores) for one cloud -- shared by the per-cloud path and the batched
+    fused-descriptor entry."""
+    votes = cast_votes(cb, desc, kp, frames, valid, cb_params, cfg.metric)
+    m = mask.astype(points.dtype)
+    centroid = jnp.sum(points * m[:, None], axis=0) / jnp.maximum(m.sum(), 1.0)
+    d2 = jnp.sum((votes.position - centroid[None, :]) ** 2, axis=1)
+    b2 = cfg.bandwidth * cfg.bandwidth
+    in_r = (d2 <= b2) & votes.valid
+    kern = jnp.exp(-0.5 * d2 / b2)
+    w = jnp.where(in_r, kern * votes.weight, 0.0)
+    return jax.ops.segment_sum(w, votes.class_id,
+                               num_segments=cfg.num_classes)
+
+
+def _use_fused_descriptor(cfg: JitPipelineConfig) -> Tuple[bool, bool]:
+    """(enabled, interpret) for the batched fused-SHOT descriptor stage."""
+    import os
+    if not (cfg.fused_descriptor and cfg.descriptor == "SHOT"):
+        return False, False
+    if os.environ.get("PCD_FUSED_DESC_INTERPRET") == "1":
+        return True, True
+    from ..ops.pallas import use_pallas
+    return use_pallas(), False
+
+
 def classify_scores_batch(points: jnp.ndarray,  # [B, N, 3]
                           mask: jnp.ndarray,    # [B, N]
                           cb, cfg: JitPipelineConfig,
@@ -168,23 +213,51 @@ def classify_scores_batch(points: jnp.ndarray,  # [B, N, 3]
     from ..ops.binned import compute_normals_fast_windowed, sort_clouds
 
     needs_normals = not cfg.descriptor.startswith("SHORT_SHOT")
-    if not (cfg.normals_window > 0 and needs_normals
-            and cfg.normals_method == 2):
+    windowed = (cfg.normals_window > 0 and needs_normals
+                and cfg.normals_method == 2)
+    fused, interp = _use_fused_descriptor(cfg)
+
+    if not windowed and not fused:
         scores = jax.vmap(
             lambda p, m, r: classify_scores(p, m, cb, cfg, cb_params, r),
             in_axes=(0, 0, None if rgb is None else 0))(points, mask, rgb)
         return scores, jnp.asarray(True)
 
-    pts_s, mask_s, keys_s, order = sort_clouds(points, mask)
-    rgb_s = None if rgb is None else jnp.take_along_axis(
-        rgb, order[..., None], axis=1)
-    normals, exact = compute_normals_fast_windowed(
-        pts_s, mask_s, keys_s, cfg.normal_radius, cfg.normals_window)
+    exact = jnp.asarray(True)
+    normals = None
+    if windowed:
+        points, mask, keys_s, order = sort_clouds(points, mask)
+        rgb = None if rgb is None else jnp.take_along_axis(
+            rgb, order[..., None], axis=1)
+        normals, exact = compute_normals_fast_windowed(
+            points, mask, keys_s, cfg.normal_radius, cfg.normals_window)
+
+    if not fused:
+        scores = jax.vmap(
+            lambda p, m, r, nr: classify_scores(p, m, cb, cfg, cb_params,
+                                                r, nr),
+            in_axes=(0, 0, None if rgb is None else 0, 0))(
+                points, mask, rgb, normals)
+        return scores, exact
+
+    # fused-descriptor path: per-cloud pre stages, ONE batch-level fused
+    # SHOT kernel, per-cloud votes/scores
+    from ..ops.pallas.shot_fused import shot_descriptor_fused
+
+    def pre(p, m, nr):
+        kp, _, lrf, nr2 = _pre_descriptor(p, m, cfg, None, nr)
+        return kp, lrf.frames, lrf.valid, nr2
+
+    kp, frames, f_valid, nrm = jax.vmap(
+        pre, in_axes=(0, 0, None if normals is None else 0))(
+            points, mask, normals)
+    desc, valid = shot_descriptor_fused(kp, frames, f_valid, points, nrm,
+                                        mask, cfg.radius,
+                                        interpret=interp)
     scores = jax.vmap(
-        lambda p, m, r, nr: classify_scores(p, m, cb, cfg, cb_params, r,
-                                            nr),
-        in_axes=(0, 0, None if rgb_s is None else 0, 0))(
-            pts_s, mask_s, rgb_s, normals)
+        lambda p, m, k, f, d, v: _scores_from_features(
+            p, m, k, f, d, v, cb, cfg, cb_params))(
+            points, mask, kp, frames, desc, valid)
     return scores, exact
 
 

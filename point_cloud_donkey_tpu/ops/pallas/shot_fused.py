@@ -319,8 +319,21 @@ def shot_descriptor_fused(keypoints: jnp.ndarray,    # [B, K, 3]
     per cloud).  Returns (descriptors [B, K, 352], valid [B, K])."""
     b, k, _ = keypoints.shape
     m = points.shape[1]
-    if k % TK or m % TM:
-        raise ValueError(f"K must divide by {TK} and M by {TM}")
+    k0 = k
+    if k % TK:
+        pad = (-k) % TK
+        keypoints = jnp.pad(keypoints, ((0, 0), (0, pad), (0, 0)),
+                            constant_values=1e9)
+        frames = jnp.pad(frames, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        frame_valid = jnp.pad(frame_valid, ((0, 0), (0, pad)))
+        k += pad
+    if m % TM:
+        pad = (-m) % TM
+        points = jnp.pad(points, ((0, 0), (0, pad), (0, 0)),
+                         constant_values=1e9)
+        normals = jnp.pad(normals, ((0, 0), (0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+        m += pad
 
     # pack operands
     kp_flat = keypoints.reshape(b * k, 3)
@@ -352,4 +365,4 @@ def shot_descriptor_fused(keypoints: jnp.ndarray,    # [B, K, 3]
     valid = (frame_valid & (n_in >= min_neighbors)
              & (norm[..., 0] > 0)
              & jnp.all(jnp.isfinite(descriptors), axis=-1))
-    return descriptors, valid
+    return descriptors[:, :k0], valid[:, :k0]

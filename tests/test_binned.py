@@ -220,3 +220,24 @@ def test_classify_scores_batch_dense_fallback_path(small_model):
         lambda p, m: classify_scores(p, m, cb, cfg0, params))(pts, mask)
     np.testing.assert_allclose(np.asarray(batched), np.asarray(dense),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_classify_scores_batch_fused_descriptor(small_model, monkeypatch):
+    """fused_descriptor=True routes the batched entry through the fused
+    SHOT kernel (interpret mode on CPU via PCD_FUSED_DESC_INTERPRET) with
+    decision parity vs the plain path."""
+    cb, cfg0, params = small_model
+    from point_cloud_donkey_tpu.models.pipeline_jit import (
+        classify_scores, classify_scores_batch)
+    monkeypatch.setenv("PCD_FUSED_DESC_INTERPRET", "1")
+    rng = np.random.default_rng(7)
+    pts, mask = _batch(rng, b=4, n=512)
+    cfg_f = cfg0._replace(fused_descriptor=True)
+    fused, exact = classify_scores_batch(pts, mask, cb, cfg_f, params)
+    assert bool(exact)
+    dense = jax.vmap(
+        lambda p, m: classify_scores(p, m, cb, cfg0, params))(pts, mask)
+    d, f = np.asarray(dense), np.asarray(fused)
+    assert (d.argmax(1) == f.argmax(1)).all()
+    top = np.take_along_axis(f, d.argmax(1)[:, None], 1)[:, 0]
+    np.testing.assert_allclose(top, d.max(1), rtol=0.05, atol=1e-3)
