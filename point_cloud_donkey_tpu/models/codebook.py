@@ -143,13 +143,13 @@ def activate_knn_batch(descriptors: np.ndarray, codewords: np.ndarray,
     run = _knn_program(chunk, c_pad, d, k, metric, exact)
     cw_j = jnp.asarray(cw)
     mask_j = jnp.arange(c_pad) < c      # padded entries -> +inf distance
-    outs_d, outs_i = [], []
-    for i0 in range(0, f + pad, chunk):
-        dd, ii = run(jnp.asarray(q[i0:i0 + chunk]), cw_j, mask_j)
-        outs_d.append(np.asarray(dd))
-        outs_i.append(np.asarray(ii))
-    dists = np.concatenate(outs_d)[:f]
-    idx = np.concatenate(outs_i)[:f]
+    # dispatch every chunk, then ONE host fetch for all results (each
+    # np.asarray is a full tunnel round-trip on axon)
+    handles = [run(jnp.asarray(q[i0:i0 + chunk]), cw_j, mask_j)
+               for i0 in range(0, f + pad, chunk)]
+    fetched = jax.device_get(handles)
+    dists = np.concatenate([dd for dd, _ in fetched])[:f]
+    idx = np.concatenate([ii for _, ii in fetched])[:f]
     return dists, idx
 
 
@@ -325,8 +325,19 @@ def train_codebook(
         else:
             class_sigmas[class_id] = 1.0
 
-    for cid, handle in sigma_pending.items():
-        class_sigmas[cid] = _resolve_pair_stats(handle)[1]
+    if sigma_pending:
+        # ONE host fetch for every class's (s, ss) scalars: per-class
+        # float() resolves each paid a full tunnel round-trip (~25 ms on
+        # axon -- 10 fetches dominated the measured 23 ms/cloud
+        # activation stage, experiments/r5_train_profile.py)
+        cids = list(sigma_pending)
+        fetched = jax.device_get([(sigma_pending[c][0],
+                                   sigma_pending[c][1]) for c in cids])
+        for c, (s, ss) in zip(cids, fetched):
+            n = sigma_pending[c][2]
+            mean = float(s) / n
+            var = (float(ss) - n * mean * mean) / max(n - 1, 1)
+            class_sigmas[c] = max(var, 0.0)
 
     V = sum(len(a) for a in rec_cw)
     cw_arr = np.concatenate(rec_cw) if V else np.zeros(0, np.int64)

@@ -425,14 +425,22 @@ def extract_local_features_batch(
     times: Optional[Dict[str, float]] = None,
     is_training: bool = False,
     mesh=None,
+    chunk_width: int = 0,
 ) -> List[FeatureSet]:
     """Batched analogue of features.extract_local_features over a list of
     clouds.  Clouds are grouped by padded bucket size; each group is
-    processed in MB-wide chunks with one vmapped program per stage.
+    processed in mb-wide chunks with one vmapped program per stage.
     is_training only affects eligibility (keypoint culling is disabled in
     training by default, making VoxelGridCulling behave as plain VoxelGrid).
     With `mesh` the chunk axis is sharded over the mesh's 'data' devices
-    (_to_dev) -- multi-chip training feature extraction."""
+    (_to_dev) -- multi-chip training feature extraction.  chunk_width
+    overrides the mb chunk (bucketed to 8/16/32 for program reuse): every
+    chunk pays several device round-trips, which dominate training feature
+    extraction through the axon tunnel, so train() uses wide chunks."""
+    if chunk_width:
+        mb = 8 if chunk_width <= 8 else (16 if chunk_width <= 16 else 32)
+    else:
+        mb = MB
     kp_params = KeypointParams.from_config(keypoint_cfg)
     assert batch_supported(fcfg, kp_params, clouds, is_training)
     check_rgb_available(fcfg, rgb_list)
@@ -465,12 +473,12 @@ def extract_local_features_batch(
         e_parts = (["normals"] if want_normals else []) \
             + (["rgb"] if has_rgb else [])
         staged = []
-        for chunk in _chunk_indices(idxs):
+        for chunk in _chunk_indices(idxs, width=mb):
             real = len(chunk)
-            padded = chunk + [chunk[-1]] * (MB - real)
+            padded = chunk + [chunk[-1]] * (mb - real)
 
-            pts_b = np.zeros((MB, n, 3), np.float32)
-            mask_b = np.zeros((MB, n), bool)
+            pts_b = np.zeros((mb, n, 3), np.float32)
+            mask_b = np.zeros((mb, n), bool)
             for r, ci in enumerate(padded):
                 p, m = pad_cloud(clouds[ci], bucket=n)
                 pts_b[r], mask_b[r] = p, m
@@ -478,7 +486,7 @@ def extract_local_features_batch(
             mask_j = _to_dev(mask_b, mesh)
 
             # --- normals (one dispatch for the chunk) ----------------------
-            cloud_normals: List[Optional[np.ndarray]] = [None] * MB
+            cloud_normals: List[Optional[np.ndarray]] = [None] * mb
             if want_normals:
                 t_n = time.perf_counter()
                 cloud_normals = _batch_normals(
@@ -492,7 +500,7 @@ def extract_local_features_batch(
             t_k = time.perf_counter()
             e_dim = 3 * len(e_parts)
             if e_dim:
-                extra_b = np.zeros((MB, n, e_dim), np.float32)
+                extra_b = np.zeros((mb, n, e_dim), np.float32)
                 for r, ci in enumerate(padded):
                     off = 0
                     if "normals" in e_parts:
@@ -501,15 +509,15 @@ def extract_local_features_batch(
                     if "rgb" in e_parts:
                         extra_b[r, :len(clouds[ci]), off:off + 3] = rgb_list[ci]
                 cents, cmask = _voxel_batch_program(
-                    MB, n, e_dim, float(kp_params.leaf_size))(
+                    mb, n, e_dim, float(kp_params.leaf_size))(
                         pts_j, mask_j, _to_dev(extra_b, mesh))
             else:
                 cents, cmask = _voxel_batch_program(
-                    MB, n, 0, float(kp_params.leaf_size))(pts_j, mask_j)
+                    mb, n, 0, float(kp_params.leaf_size))(pts_j, mask_j)
             cents, cmask = np.asarray(cents), np.asarray(cmask)
 
             kps, kp_rgbs = [], []
-            for r in range(MB):
+            for r in range(mb):
                 full = cents[r][cmask[r]]
                 kps.append(full[:, :3])
                 off = 3 + (3 if "normals" in e_parts else 0)
@@ -540,12 +548,12 @@ def extract_local_features_batch(
                 if col_f == "colordistance" and any(
                         rgb_list[ci] is None for ci in st.chunk):
                     raise ValueError("color culling needs RGB data")
-                kpc = np.full((MB, k_cap, 3), 1e9, np.float32)
-                kpm = np.zeros((MB, k_cap), bool)
-                knc = np.zeros((MB, k_cap, 3), np.float32)
-                krc = np.zeros((MB, k_cap, 3), np.float32)
-                nrm_c = np.zeros((MB, n, 3), np.float32)
-                rgb_c = np.zeros((MB, n, 3), np.float32)
+                kpc = np.full((mb, k_cap, 3), 1e9, np.float32)
+                kpm = np.zeros((mb, k_cap), bool)
+                knc = np.zeros((mb, k_cap, 3), np.float32)
+                krc = np.zeros((mb, k_cap, 3), np.float32)
+                nrm_c = np.zeros((mb, n, 3), np.float32)
+                rgb_c = np.zeros((mb, n, 3), np.float32)
                 for r, ci in enumerate(st.padded):
                     kk = len(kps[r])
                     kpc[r, :kk] = kps[r]
@@ -558,7 +566,7 @@ def extract_local_features_batch(
                     if rgb_list[ci] is not None:
                         rgb_c[r, :len(clouds[ci])] = rgb_list[ci]
                 g_b, c_b = _culling_batch_program(
-                    MB, n, k_cap, geo_f, col_f,
+                    mb, n, k_cap, geo_f, col_f,
                     float(kp_params.leaf_size),
                     float(kp_params.max_similar_color_distance))(
                         _to_dev(kpc, mesh), _to_dev(kpm, mesh),
@@ -573,7 +581,7 @@ def extract_local_features_batch(
                     kps[r], kp_rgbs[r] = apply_culling_host(
                         kps[r], kp_rgbs[r], g_b[r][:kk], c_b[r][:kk],
                         kp_params, return_colors=True)
-                for r in range(real, MB):
+                for r in range(real, mb):
                     # padded rows duplicate the last real cloud; reuse its
                     # culled keypoints instead of re-running the host stage
                     kps[r], kp_rgbs[r] = kps[real - 1], kp_rgbs[real - 1]
@@ -590,11 +598,11 @@ def extract_local_features_batch(
             kps, kp_rgbs, cloud_normals = st.kps, st.kp_rgbs, \
                 st.cloud_normals
             real = len(chunk)
-            kp_b = np.full((MB, k_bucket, 3), 1e9, np.float32)
-            kpm_b = np.zeros((MB, k_bucket), bool)
-            kprgb_b = np.zeros((MB, k_bucket, 3), np.float32)
-            nrm_bj = np.zeros((MB, n, 3), np.float32)
-            rgb_bj = np.zeros((MB, n, 3), np.float32)
+            kp_b = np.full((mb, k_bucket, 3), 1e9, np.float32)
+            kpm_b = np.zeros((mb, k_bucket), bool)
+            kprgb_b = np.zeros((mb, k_bucket, 3), np.float32)
+            nrm_bj = np.zeros((mb, n, 3), np.float32)
+            rgb_bj = np.zeros((mb, n, 3), np.float32)
             for r, ci in enumerate(padded):
                 kp_b[r, :len(kps[r])] = kps[r]
                 kpm_b[r, :len(kps[r])] = True
@@ -609,7 +617,7 @@ def extract_local_features_batch(
                     nrm_bj[r, :len(clouds[ci])] = cloud_normals[r]
 
             packed = np.asarray(_descriptor_batch_program(
-                MB, n, k_bucket, fcfg)(
+                mb, n, k_bucket, fcfg)(
                     _to_dev(kp_b, mesh), _to_dev(kpm_b, mesh), pts_j, mask_j,
                     _to_dev(nrm_bj, mesh), _to_dev(rgb_bj, mesh),
                     _to_dev(kprgb_b, mesh),

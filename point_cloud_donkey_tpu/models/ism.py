@@ -605,7 +605,8 @@ class ImplicitShapeModel:
                     [clouds_nrm[i] for i in batch_idx],
                     [clouds_rgb[i] for i in batch_idx],
                     fcfg, kp_cfg, normal_radius, cn_method,
-                    is_training=True, mesh=mesh)
+                    is_training=True, mesh=mesh,
+                    chunk_width=len(batch_idx))
                 for i, fs in zip(batch_idx, sub):
                     chunk_fs[i] = fs
             for i in range(len(clouds_xyz)):

@@ -199,16 +199,27 @@ def chi2_feature_map(x: jnp.ndarray, n: int = CHI2_MAP_N,
     (the additive chi-square kernel), Vedaldi & Zisserman PAMI 2012:
     Psi_0 = sqrt(L x), Psi_{2j-1,2j} = sqrt(2 L x sech(pi j L)) *
     (cos, sin)(j L log x).  x must be non-negative (histograms); x=0 maps
-    to 0 exactly.  [..., D] -> [..., D*(2n+1)]."""
+    to 0 exactly.  [..., D] -> [..., D*(2n+1)].
+
+    cos/sin(j L log x) for j = 2..n come from the angle-addition
+    recurrence off (cos, sin)(L log x) -- 2 transcendentals per element
+    instead of 2n (the map build was 4.5 ms of the serving batch's votes
+    stage on v5e; the recurrence is algebraically exact, fp drift ~1e-7
+    over n=5 steps, far below the map's own truncation error)."""
     import math
     x = jnp.maximum(x, 0.0)
     lg = jnp.where(x > 0, jnp.log(jnp.maximum(x, 1e-30)), 0.0)
-    comps = [jnp.sqrt(x * L)]
+    sx = jnp.sqrt(x)
+    comps = [sx * math.sqrt(L)]
+    theta = L * lg
+    c1, s1 = jnp.cos(theta), jnp.sin(theta)
+    cj, sj = c1, s1
     for j in range(1, n + 1):
-        kj = 1.0 / math.cosh(math.pi * j * L)
-        r = jnp.sqrt(2.0 * L * kj * x)
-        comps.append(r * jnp.cos(j * L * lg))
-        comps.append(r * jnp.sin(j * L * lg))
+        if j > 1:
+            cj, sj = cj * c1 - sj * s1, sj * c1 + cj * s1
+        r = sx * math.sqrt(2.0 * L / math.cosh(math.pi * j * L))
+        comps.append(r * cj)
+        comps.append(r * sj)
     return jnp.concatenate(comps, axis=-1)
 
 
