@@ -220,10 +220,21 @@ def main():
         descriptor="SHOT", radius=0.6, ref_frame_radius=0.5, leaf_size=0.35,
         normal_radius=0.25, normals_method=2, metric="chisq", knn_k=1,
         keypoint_capacity=192, neighbor_capacity=896, bandwidth=0.5,
-        num_classes=NUM_CLASSES)
+        num_classes=NUM_CLASSES,
+        # headline runs the fused Pallas SHOT descriptor when the backend
+        # supports pallas (self-gating inside classify_scores_batch;
+        # measured 1.7x end-to-end vs the XLA one-hot path on v5e,
+        # experiments/r5_roundup.py, decision parity 1.0)
+        fused_descriptor=True)
     params = CodebookParams(knn_k=1)
 
-    step = jax.jit(jax.vmap(lambda p, m: classify_scores(p, m, cb, cfg, params)))
+    from point_cloud_donkey_tpu.models.pipeline_jit import (
+        classify_scores_batch)
+    from point_cloud_donkey_tpu.models.pipeline_jit import (
+        _use_fused_descriptor)
+    fused_active = bool(_use_fused_descriptor(cfg)[0])
+    step = jax.jit(
+        lambda p, m: classify_scores_batch(p, m, cb, cfg, params)[0])
 
     # --- benchmark data ------------------------------------------------------
     clouds = np.stack([
@@ -556,6 +567,7 @@ def main():
                   "hough_scene_pts_per_sec": hough_pts_per_sec,
                   "hough_scene_recall": hough_recall,
                   "pallas": pallas,
+                  "fused_descriptor": fused_active,
                   "bench_wall_s": round(time.perf_counter() - bench_t0, 1),
                   "device": str(jax.devices()[0])},
     }))
