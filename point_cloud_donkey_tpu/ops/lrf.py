@@ -102,11 +102,16 @@ def shot_lrf(
     mask: jnp.ndarray,       # [N]
     radius: float,
     min_neighbors: int = 5,
+    z_only: bool = False,
 ) -> LRFResult:
+    """z_only skips the x-axis sign disambiguation (valid only when the
+    caller consumes just the z axis, e.g. compute_normals_fast; the z
+    votes are identical either way)."""
     if _use_pallas():
         from .pallas.lrf_moments import shot_lrf_pallas
         frames, valid = shot_lrf_pallas(queries, q_mask, points, mask,
-                                        radius, min_neighbors)
+                                        radius, min_neighbors,
+                                        z_only=z_only)
         return LRFResult(frames=frames, valid=valid)
 
     pts_s, q_s, in_r, n_in, s0, v1, v3 = _fused_lrf_moments(
@@ -120,7 +125,7 @@ def shot_lrf(
         flip = plus < minus  # majority-vote sign; ties keep eigh's convention
         return jnp.where(flip[:, None], -v, v)
 
-    x_axis = flip_sign(v1)
+    x_axis = v1 if z_only else flip_sign(v1)
     z_axis = flip_sign(v3)
     y_axis = jnp.cross(z_axis, x_axis)
 

@@ -87,8 +87,10 @@ def compute_normals_fast(
     normal (no curvature/eigenvalues), skipping the whole PCA pass -- one
     [N, N] sweep instead of two.  Points with invalid LRFs (< 5 in-radius
     neighbors; rare in dense clouds) fall back to +z instead of the PCA
-    normal (parity path: compute_normals)."""
-    lrf = shot_lrf(points, mask, points, mask, radius)
+    normal (parity path: compute_normals).  Only the z axis is consumed,
+    so the sign-vote pass skips the x-axis dot (z_only; exact -- the z
+    votes are unchanged)."""
+    lrf = shot_lrf(points, mask, points, mask, radius, z_only=True)
     z = -lrf.frames[:, 2, :]
     up = jnp.zeros_like(z).at[:, 2].set(1.0)
     return jnp.where(lrf.valid[:, None], z, up)

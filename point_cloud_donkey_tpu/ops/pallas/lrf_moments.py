@@ -302,18 +302,20 @@ def _moments_dispatch(qt, pt, radius, weighting):
     return _moments_call(qt, pt, radius, weighting)
 
 
-def _sign_votes_dispatch(qt, pt, axes, radius):
-    if _kernel_version() >= 2:
+def _sign_votes_dispatch(qt, pt, axes, radius, z_only: bool = False):
+    if _kernel_version() >= 2 and not z_only:
         return _sign_votes_call_v2(qt, pt, axes, radius)
-    return _sign_votes_call(qt, pt, axes, radius)
+    return _sign_votes_call(qt, pt, axes, radius, z_only=z_only)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("z_only",))
 def _sign_votes_call(qt: jnp.ndarray, pt: jnp.ndarray, axes: jnp.ndarray,
-                     radius: jnp.ndarray) -> jnp.ndarray:
+                     radius: jnp.ndarray, z_only: bool = False) -> jnp.ndarray:
     """axes: [8, Qpad] rows 0..2 = candidate x-axis, 3..5 = candidate z-axis.
     Returns [8, Qpad]: row 0 = #(offset . x_axis >= 0, in radius),
-    row 1 = same for the z-axis.  radius may be traced (SMEM scalar)."""
+    row 1 = same for the z-axis.  radius may be traced (SMEM scalar).
+    z_only skips the x-axis dot (the normals consumer reads only z;
+    row 0 is then zero)."""
     qpad = qt.shape[1]
     npad = pt.shape[1]
     rad_s = jnp.asarray(radius, jnp.float32)
@@ -329,12 +331,16 @@ def _sign_votes_call(qt: jnp.ndarray, pt: jnp.ndarray, axes: jnp.ndarray,
         dz = pz[None, :] - qz[:, None]
         d2 = dx * dx + dy * dy + dz * dz
         in_r = d2 <= r2
-        vx, vy, vz = a_ref[0, :], a_ref[1, :], a_ref[2, :]
         ux, uy, uz = a_ref[3, :], a_ref[4, :], a_ref[5, :]
-        dot_x = dx * vx[:, None] + dy * vy[:, None] + dz * vz[:, None]
         dot_z = dx * ux[:, None] + dy * uy[:, None] + dz * uz[:, None]
-        plus_x = jnp.sum((in_r & (dot_x >= 0)).astype(jnp.float32), axis=1)
         plus_z = jnp.sum((in_r & (dot_z >= 0)).astype(jnp.float32), axis=1)
+        if z_only:
+            plus_x = jnp.zeros_like(plus_z)
+        else:
+            vx, vy, vz = a_ref[0, :], a_ref[1, :], a_ref[2, :]
+            dot_x = dx * vx[:, None] + dy * vy[:, None] + dz * vz[:, None]
+            plus_x = jnp.sum((in_r & (dot_x >= 0)).astype(jnp.float32),
+                             axis=1)
         zero = jnp.zeros_like(plus_x)
         block = jnp.stack([plus_x, plus_z] + [zero] * 6)        # [8, TQ]
 
@@ -630,9 +636,11 @@ def shot_lrf_pallas_windowed(points_sorted: jnp.ndarray,  # [B, N, 3]
 
 def shot_lrf_pallas(queries: jnp.ndarray, q_mask: jnp.ndarray,
                     points: jnp.ndarray, mask: jnp.ndarray, radius: float,
-                    min_neighbors: int = 5):
+                    min_neighbors: int = 5, z_only: bool = False):
     """SHOT LRF via the fused kernels (parity target: ops/lrf.shot_lrf).
-    Returns (frames [Q,3,3] rows = x,y,z axes, valid [Q])."""
+    Returns (frames [Q,3,3] rows = x,y,z axes, valid [Q]).  z_only skips
+    the x-axis sign vote (x/y rows then carry eigh's sign convention --
+    only valid when the caller consumes just the z axis)."""
     from ..eigh3 import eigh3x3
 
     # shared prep for the two fused passes (moments + sign votes)
@@ -660,14 +668,19 @@ def shot_lrf_pallas(queries: jnp.ndarray, q_mask: jnp.ndarray,
     v3 = vecs[:, :, 0]
 
     axes = jnp.zeros((8, qpad), jnp.float32)
-    axes = axes.at[:3, :queries.shape[0]].set(v1.T)
+    if not z_only:
+        axes = axes.at[:3, :queries.shape[0]].set(v1.T)
     axes = axes.at[3:6, :queries.shape[0]].set(v3.T)
-    votes = _sign_votes_dispatch(q_lanes, p_lanes, axes, jnp.asarray(radius))
-    plus_x = votes[0, :queries.shape[0]]
+    votes = _sign_votes_dispatch(q_lanes, p_lanes, axes, jnp.asarray(radius),
+                                 z_only=z_only)
     plus_z = votes[1, :queries.shape[0]]
     n_in = count.astype(jnp.float32)
 
-    x_axis = jnp.where((plus_x < n_in - plus_x)[:, None], -v1, v1)
+    if z_only:
+        x_axis = v1
+    else:
+        plus_x = votes[0, :queries.shape[0]]
+        x_axis = jnp.where((plus_x < n_in - plus_x)[:, None], -v1, v1)
     z_axis = jnp.where((plus_z < n_in - plus_z)[:, None], -v3, v3)
     y_axis = jnp.cross(z_axis, x_axis)
     frames = jnp.stack([x_axis, y_axis, z_axis], axis=1)
