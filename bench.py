@@ -233,8 +233,6 @@ def main():
     from point_cloud_donkey_tpu.models.pipeline_jit import (
         _use_fused_descriptor)
     fused_active = bool(_use_fused_descriptor(cfg)[0])
-    step = jax.jit(
-        lambda p, m: classify_scores_batch(p, m, cb, cfg, params)[0])
 
     # --- benchmark data ------------------------------------------------------
     clouds = np.stack([
@@ -245,13 +243,58 @@ def main():
 
     pts_j, mask_j = jnp.asarray(clouds), jnp.asarray(mask)
 
+    # --- headline config: calibrated sorted-axis normals window +
+    # tile-compacted fused descriptors (round-6 structural levers; both
+    # carry exactness flags, so the warmup FALLS BACK to the dense fused
+    # path if a calibration cannot cover this batch).  Calibration is part
+    # of serving setup (like keypoint_capacity sizing), not the timed loop;
+    # the sort/compaction overheads themselves ARE in the timed program.
+    nwin = tcap = 0
+    if fused_active:
+        from point_cloud_donkey_tpu.ops import binned
+        from point_cloud_donkey_tpu.ops.pallas.shot_fused import (
+            required_tile_capacity)
+        from point_cloud_donkey_tpu.ops.voxel_grid import voxel_grid
+        try:
+            nwin = binned.required_window(pts_j, mask_j, cfg.normal_radius,
+                                          tile_q=256, align=128)
+            kres = jax.jit(jax.vmap(lambda p, m: voxel_grid(
+                p, m, cfg.leaf_size, capacity=cfg.keypoint_capacity)))(
+                    pts_j, mask_j)
+            tcap = required_tile_capacity(np.asarray(kres.mask))
+        except Exception:
+            nwin = tcap = 0
+        if nwin and nwin >= N:
+            nwin = 0  # window cannot prune; keep the dense normals
+        cfg = cfg._replace(normals_window=int(nwin),
+                           descriptor_tile_capacity=int(tcap))
+    stamp(f"calibrated nwin={nwin} tcap={tcap}")
+
+    def make_step(c):
+        return jax.jit(lambda p, m: classify_scores_batch(p, m, cb, c,
+                                                          params))
+
+    step2 = make_step(cfg)
+
     # warmup / compile.  Timing sync is a HOST FETCH of the tiny [B, C]
     # scores (np.asarray), NOT block_until_ready: on the axon tunnel
     # block_until_ready returns immediately without waiting for execution
     # (measured 0.03 ms/batch "timings" with it), while a fetch genuinely
     # drains the dispatch queue.
-    scores = step(pts_j, mask_j)
+    scores, exact_flag = step2(pts_j, mask_j)
     np.asarray(scores)
+    if (nwin or tcap) and not bool(np.asarray(exact_flag)):
+        # calibration missed this batch: results would be approximate --
+        # fall back to the dense fused path (still one program)
+        cfg = cfg._replace(normals_window=0, descriptor_tile_capacity=0)
+        nwin = tcap = 0
+        step2 = make_step(cfg)
+        scores, _ = step2(pts_j, mask_j)
+        np.asarray(scores)
+        stamp("exactness flag tripped -> dense fallback")
+
+    def step(p, m):
+        return step2(p, m)[0]
     stamp("headline compiled + warm")
 
     t0 = time.perf_counter()
@@ -494,7 +537,7 @@ def main():
     # --- Hough3D voting variant on the SAME scene + trained state -----------
     # the discrete voting alternative (voting_hough_3d.cpp:19-23), measured
     # on-chip with decision parity vs mean-shift (VERDICT r4 next #5)
-    hough_pts_per_sec = hough_recall = None
+    hough_pts_per_sec = hough_recall = hough_ap = None
     if scene_pts_per_sec is not None and left() > 180:
         hcfg = json.loads(json.dumps(scfg))
         hcfg["ObjectConfig"]["Children"]["Voting"] = {
@@ -518,6 +561,11 @@ def main():
                    for m in maxima_h):
                 found_h += 1
         hough_recall = found_h / len(gts)
+        det_h = rearrange_objects(
+            [_dobj(m.class_id, m.position, m.weight) for m in maxima_h])
+        aps_h = [compute_all_metrics(gt_objs[lbl], det_h.get(lbl, []),
+                                     0.8)[2] for lbl in sorted(gt_objs)]
+        hough_ap = round(float(np.mean(aps_h)), 4) if aps_h else None
 
     stamp("hough variant done")
     # --- pallas viability (VERDICT r2 #9: re-probe each round) ---------------
@@ -566,6 +614,9 @@ def main():
                   "scene_n_objects": 4,
                   "hough_scene_pts_per_sec": hough_pts_per_sec,
                   "hough_scene_recall": hough_recall,
+                  "hough_scene_ap": hough_ap,
+                  "normals_window": nwin,
+                  "descriptor_tile_capacity": tcap,
                   "pallas": pallas,
                   "fused_descriptor": fused_active,
                   "bench_wall_s": round(time.perf_counter() - bench_t0, 1),

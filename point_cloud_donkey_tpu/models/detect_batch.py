@@ -264,6 +264,173 @@ def _chunk_indices(order: List[int], width: int = MB) -> List[List[int]]:
     return [order[i:i + width] for i in range(0, len(order), width)]
 
 
+# ---------------------------------------------------------------------------
+# Fused training feature extraction: the staged path costs 3 dispatches +
+# 3 multi-MB fetches per chunk AND routes descriptors through the
+# gather/top_k formulation (measured 19 ms/cloud of pure device time at the
+# training geometry, experiments/r6_train_micro.py -- lax.top_k over
+# [K, N] dominates).  Training on accelerator backends instead runs ONE
+# vmapped program per chunk (normals -> voxel keypoints -> SHOT LRF ->
+# DENSE descriptors, the serving formulation) and fetches one packed
+# array.  CPU keeps the staged path so golden-pinned trained states stay
+# bit-stable; on accelerators training and serving now share the same
+# dense descriptor math (the reference also uses one code path for both,
+# implicit_shape_model.cpp:733-927).  PCD_TRAIN_FUSED=0/1 overrides.
+# ---------------------------------------------------------------------------
+
+
+def train_fused_eligible(fcfg: FeatureConfig, kp_params: KeypointParams,
+                         normals_list, consistent_normals_method: int
+                         ) -> bool:
+    import os
+    v = os.environ.get("PCD_TRAIN_FUSED")
+    if v == "0":
+        return False
+    if v != "1" and jax.default_backend() == "cpu":
+        return False
+    if fcfg.type not in ("SHOT", "CSHOT", "SHORT_SHOT"):
+        return False
+    if fcfg.ref_frame_type != "SHOT":
+        return False
+    if not _culling_plain(kp_params, is_training=True):
+        return False
+    if any(nl is not None for nl in normals_list):
+        return False
+    if fcfg.needs_normals() and consistent_normals_method == 3:
+        return False
+    return True
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_extract_dense_program(mb: int, n: int, k_cap: int,
+                                 fcfg: FeatureConfig, leaf: float,
+                                 normal_radius: float, n_method: int,
+                                 has_rgb: bool):
+    """jit(vmap) of the one-dispatch training extraction body.  Returns
+    run(pts [mb,n,3], mask [mb,n], rgb [mb,n,3], radius, frame_radius) ->
+    packed [mb, k_cap, D+13] (desc | kp(3) | frames(9) | keep(1)) with
+    keypoints compacted valid-first in linearized voxel order (the staged
+    path's host-boolean-indexing order)."""
+    from ..ops.lrf import shot_lrf
+    from ..ops.shot import cshot_descriptor_dense, shot_descriptor_dense
+    from ..ops.short_shot import resolve_bins, short_shot_descriptor_dense
+
+    needs_n = fcfg.needs_normals()
+    if fcfg.type == "SHORT_SHOT":
+        min_radius = 0.0
+        if fcfg.use_min_radius:
+            min_radius = fcfg.radius * fcfg.short_shot_min_radius
+        elif fcfg.short_shot_log_radius:
+            min_radius = fcfg.radius * 0.1
+        _, rb, eb, ab = resolve_bins(
+            fcfg.short_shot_dims, fcfg.short_shot_bin_type,
+            fcfg.short_shot_r_bins, fcfg.short_shot_e_bins,
+            fcfg.short_shot_a_bins)
+
+    def one(pts, mask, rgb, radius, frame_radius):
+        if needs_n:
+            nrm = compute_normals(pts, mask, normal_radius, n_method).normals
+            nrm = jnp.where(mask[:, None], nrm, 0.0)
+        else:
+            nrm = jnp.zeros_like(pts)
+        parts = []
+        if needs_n:
+            parts.append(nrm)
+        if has_rgb:
+            parts.append(rgb)
+        extra = jnp.concatenate(parts, axis=1) if parts else None
+        res = voxel_grid(pts, mask, leaf, features=extra)
+        order = jnp.argsort(jnp.logical_not(res.mask))
+        sel = order[:k_cap]
+        cent = res.centroids[sel]
+        kpm = res.mask[sel]
+        kp = jnp.where(kpm[:, None], cent[:, :3], 1e9)
+        off = 3 + (3 if needs_n else 0)
+        kp_rgb = cent[:, off:off + 3] if has_rgb \
+            else jnp.zeros((k_cap, 3), jnp.float32)
+        lrf = shot_lrf(kp, kpm, pts, mask, frame_radius)
+        if fcfg.type == "SHOT":
+            dres = shot_descriptor_dense(kp, lrf.frames, lrf.valid, pts,
+                                         nrm, mask, radius)
+        elif fcfg.type == "CSHOT":
+            dres = cshot_descriptor_dense(kp, kp_rgb, lrf.frames, lrf.valid,
+                                          pts, nrm, rgb, mask, radius)
+        else:
+            dres = short_shot_descriptor_dense(
+                kp, lrf.frames, lrf.valid, pts, mask, radius, rb, eb, ab,
+                min_radius, fcfg.short_shot_log_radius)
+        desc = dres.descriptors
+        keep = dres.valid & jnp.all(jnp.isfinite(desc), axis=1) & kpm
+        desc = jnp.where(keep[:, None], desc, 0.0)
+        frames = jnp.where(keep[:, None, None], lrf.frames,
+                           jnp.eye(3, dtype=lrf.frames.dtype))
+        kp = jnp.where(keep[:, None], kp, 0.0)
+        return jnp.concatenate(
+            [desc, kp, frames.reshape(k_cap, 9),
+             keep[:, None].astype(desc.dtype)], axis=1)
+
+    @jax.jit
+    def run(pts, mask, rgb, radius, frame_radius):
+        return jax.vmap(
+            lambda p, m, r: one(p, m, r, radius, frame_radius)
+        )(pts, mask, rgb)
+
+    return run
+
+
+def _extract_local_features_fused_train(
+        clouds, rgb_list, fcfg: FeatureConfig, kp_params: KeypointParams,
+        normal_radius: float, consistent_normals_method: int, mesh,
+        chunk_width: int) -> List[FeatureSet]:
+    """One-dispatch-per-chunk training extraction (see module-note above)."""
+    mb = 8 if chunk_width <= 8 else (16 if chunk_width <= 16 else 32)
+    has_rgb = fcfg.needs_rgb()
+    out: List[Optional[FeatureSet]] = [None] * len(clouds)
+
+    groups: Dict[int, List[int]] = {}
+    for i, xyz in enumerate(clouds):
+        groups.setdefault(bucket_size(len(xyz)), []).append(i)
+
+    for n, idxs in groups.items():
+        # keypoint capacity: exact host voxel counts, bucketed group-wide
+        # so every chunk shares one compiled program variant
+        k_cap = bucket_size(
+            max(host_voxel_count(clouds[i], kp_params.leaf_size)
+                for i in idxs), minimum=64)
+        prog = _fused_extract_dense_program(
+            mb, n, k_cap, fcfg, float(kp_params.leaf_size),
+            float(normal_radius), int(consistent_normals_method), has_rgb)
+        for chunk in _chunk_indices(idxs, width=mb):
+            real = len(chunk)
+            padded = chunk + [chunk[-1]] * (mb - real)
+            pts_b = np.zeros((mb, n, 3), np.float32)
+            mask_b = np.zeros((mb, n), bool)
+            rgb_b = np.zeros((mb, n, 3), np.float32)
+            for r, ci in enumerate(padded):
+                p, m = pad_cloud(clouds[ci], bucket=n)
+                pts_b[r], mask_b[r] = p, m
+                if has_rgb:
+                    rgb_b[r, :len(clouds[ci])] = rgb_list[ci]
+            packed = np.asarray(prog(
+                _to_dev(pts_b, mesh), _to_dev(mask_b, mesh),
+                _to_dev(rgb_b, mesh),
+                jnp.asarray(fcfg.radius, jnp.float32),
+                jnp.asarray(fcfg.ref_frame_radius, jnp.float32)))
+            d = packed.shape[-1] - 13
+            for r in range(real):
+                ci = chunk[r]
+                desc = packed[r][:, :d]
+                kp = packed[r][:, d:d + 3]
+                frames = packed[r][:, d + 3:d + 12].reshape(-1, 3, 3)
+                keep = packed[r][:, d + 12] > 0
+                centroid = clouds[ci].mean(axis=0)
+                center_dist = np.linalg.norm(kp - centroid, axis=1)
+                out[ci] = make_feature_set(desc, kp, frames, keep,
+                                           center_dist).compact()
+
+    return [fs for fs in out]  # type: ignore[misc]
+
+
 class _ChunkState(NamedTuple):
     """Front-stage results for one MB-wide chunk, held between the
     keypoint and descriptor passes so capacities can be group-wide."""
@@ -444,6 +611,12 @@ def extract_local_features_batch(
     kp_params = KeypointParams.from_config(keypoint_cfg)
     assert batch_supported(fcfg, kp_params, clouds, is_training)
     check_rgb_available(fcfg, rgb_list)
+
+    if is_training and train_fused_eligible(fcfg, kp_params, normals_list,
+                                            consistent_normals_method):
+        return _extract_local_features_fused_train(
+            clouds, rgb_list, fcfg, kp_params, normal_radius,
+            consistent_normals_method, mesh, chunk_width or MB)
 
     out: List[Optional[FeatureSet]] = [None] * len(clouds)
 

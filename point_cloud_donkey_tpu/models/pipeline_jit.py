@@ -56,6 +56,26 @@ class JitPipelineConfig(NamedTuple):
     # (PCD_FUSED_DESC_INTERPRET=1 forces the interpret-mode kernel for
     # CPU coverage of the integration glue)
     fused_descriptor: bool = False
+    # sorted-axis window capacity for the fused descriptor stage (points
+    # swept per 8-keypoint tile); 0 = all N columns.  Calibrate with
+    # ops.binned.required_window(..., tile_q=8, q_points=keypoints); the
+    # batched entry's exactness flag covers this window too, so callers
+    # fall back to the dense sweep when it trips.  Requires
+    # fused_descriptor.  NOTE: at the bench geometry (descriptor radius
+    # 0.6 vs ~2 principal extents) the calibrated window is the full N --
+    # axis pruning only pays at larger N or smaller radii
+    # (experiments/r6_headline.py).
+    descriptor_window: int = 0
+    # global keypoint-TILE capacity for the tile-compacted fused
+    # descriptor stage (ops/pallas/shot_fused.shot_descriptor_fused_
+    # compact); 0 = off.  Valid keypoints are packed tile-aligned across
+    # the batch (~55% row occupancy at the bench geometry means ~45% of
+    # the padded keypoint tiles are pure waste), and the votes/scores
+    # tail runs on the flat compacted layout.  Calibrate with
+    # shot_fused.required_tile_capacity on a representative batch; the
+    # exactness flag trips on overflow.  Requires fused_descriptor;
+    # takes precedence over descriptor_window.
+    descriptor_tile_capacity: int = 0
 
 
 def _pre_descriptor(points: jnp.ndarray, mask: jnp.ndarray,
@@ -186,6 +206,33 @@ def _scores_from_features(points, mask, kp, frames, desc, valid, cb,
                                num_segments=cfg.num_classes)
 
 
+def _scores_from_features_flat(points, mask, kp_flat, frames_flat,
+                               desc_flat, valid_flat, cloud_id, b,
+                               cb, cfg: JitPipelineConfig,
+                               cb_params: CodebookParams) -> jnp.ndarray:
+    """_scores_from_features over the FLAT tile-compacted keypoint layout:
+    cast_votes is per-row, so it runs once over all clouds' compacted rows;
+    scores come from one segment_sum keyed by cloud * C + class."""
+    votes = cast_votes(cb, desc_flat, kp_flat, frames_flat, valid_flat,
+                       cb_params, cfg.metric)
+    m = mask.astype(points.dtype)
+    centroid = jnp.sum(points * m[..., None], axis=1) \
+        / jnp.maximum(m.sum(axis=1), 1.0)[:, None]          # [B, 3]
+    t = votes.position.shape[0]
+    rep = t // desc_flat.shape[0]
+    vcloud = jnp.repeat(cloud_id, rep)
+    cent = centroid[vcloud]
+    d2 = jnp.sum((votes.position - cent) ** 2, axis=1)
+    b2 = cfg.bandwidth * cfg.bandwidth
+    in_r = (d2 <= b2) & votes.valid
+    kern = jnp.exp(-0.5 * d2 / b2)
+    w = jnp.where(in_r, kern * votes.weight, 0.0)
+    seg = vcloud * cfg.num_classes + votes.class_id
+    return jax.ops.segment_sum(
+        w, seg, num_segments=b * cfg.num_classes
+    ).reshape(b, cfg.num_classes)
+
+
 def _use_fused_descriptor(cfg: JitPipelineConfig) -> Tuple[bool, bool]:
     """(enabled, interpret) for the batched fused-SHOT descriptor stage."""
     import os
@@ -210,12 +257,14 @@ def classify_scores_batch(points: jnp.ndarray,  # [B, N, 3]
     (scores are point-order invariant).  Returns (scores [B, C], exact []):
     `exact` False means some tile's candidate range overflowed the window
     capacity; the caller must rerun with the dense path (bench.py does)."""
-    from ..ops.binned import compute_normals_fast_windowed, sort_clouds
+    from ..ops.binned import (PARK, compute_normals_fast_windowed,
+                              sort_clouds_ex)
 
     needs_normals = not cfg.descriptor.startswith("SHORT_SHOT")
     windowed = (cfg.normals_window > 0 and needs_normals
                 and cfg.normals_method == 2)
     fused, interp = _use_fused_descriptor(cfg)
+    windowed_desc = fused and cfg.descriptor_window > 0
 
     if not windowed and not fused:
         scores = jax.vmap(
@@ -225,12 +274,15 @@ def classify_scores_batch(points: jnp.ndarray,  # [B, N, 3]
 
     exact = jnp.asarray(True)
     normals = None
-    if windowed:
-        points, mask, keys_s, order = sort_clouds(points, mask)
+    keys_s = axis = None
+    if windowed or windowed_desc:
+        points, mask, keys_s, order, axis = sort_clouds_ex(points, mask)
         rgb = None if rgb is None else jnp.take_along_axis(
             rgb, order[..., None], axis=1)
-        normals, exact = compute_normals_fast_windowed(
+    if windowed:
+        normals, n_exact = compute_normals_fast_windowed(
             points, mask, keys_s, cfg.normal_radius, cfg.normals_window)
+        exact = exact & n_exact
 
     if not fused:
         scores = jax.vmap(
@@ -242,7 +294,9 @@ def classify_scores_batch(points: jnp.ndarray,  # [B, N, 3]
 
     # fused-descriptor path: per-cloud pre stages, ONE batch-level fused
     # SHOT kernel, per-cloud votes/scores
-    from ..ops.pallas.shot_fused import shot_descriptor_fused
+    from ..ops.pallas.shot_fused import (TK, shot_descriptor_fused,
+                                         shot_descriptor_fused_compact,
+                                         shot_descriptor_fused_windowed)
 
     def pre(p, m, nr):
         kp, _, lrf, nr2 = _pre_descriptor(p, m, cfg, None, nr)
@@ -251,9 +305,53 @@ def classify_scores_batch(points: jnp.ndarray,  # [B, N, 3]
     kp, frames, f_valid, nrm = jax.vmap(
         pre, in_axes=(0, 0, None if normals is None else 0))(
             points, mask, normals)
-    desc, valid = shot_descriptor_fused(kp, frames, f_valid, points, nrm,
-                                        mask, cfg.radius,
-                                        interpret=interp)
+    if cfg.descriptor_tile_capacity > 0:
+        # tile-compacted layout: valid keypoints packed TK-aligned across
+        # the batch; votes/scores run flat (no [B, K] padding downstream)
+        kp_m = kp[..., 0] < 1e9          # voxel output is valid-first
+        if kp.shape[1] % TK:
+            pad = (-kp.shape[1]) % TK
+            kp = jnp.pad(kp, ((0, 0), (0, pad), (0, 0)),
+                         constant_values=1e9)
+            kp_m = jnp.pad(kp_m, ((0, 0), (0, pad)))
+            frames = jnp.pad(frames, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            f_valid = jnp.pad(f_valid, ((0, 0), (0, pad)))
+        desc, valid, kp_f, fr_f, cloud_id, c_exact = \
+            shot_descriptor_fused_compact(
+                kp, frames, f_valid, kp_m, points, nrm, mask, cfg.radius,
+                cfg.descriptor_tile_capacity, interpret=interp)
+        exact = exact & c_exact
+        scores = _scores_from_features_flat(
+            points, mask, kp_f, fr_f, desc, valid, cloud_id,
+            points.shape[0], cb, cfg, cb_params)
+        return scores, exact
+    if windowed_desc:
+        # co-sort keypoints by the clouds' principal-axis key so each
+        # TK-keypoint tile sweeps only a contiguous sorted-point window
+        kp_m = kp[..., 0] < 1e9            # _pre_descriptor parks invalid
+        kp_keys = jnp.where(kp_m, jnp.einsum("bkd,bd->bk", kp, axis), PARK)
+        kp_order = jnp.argsort(kp_keys, axis=1)
+        kp_keys = jnp.take_along_axis(kp_keys, kp_order, axis=1)
+        kp = jnp.take_along_axis(kp, kp_order[..., None], axis=1)
+        frames = jnp.take_along_axis(
+            frames, kp_order[..., None, None], axis=1)
+        f_valid = jnp.take_along_axis(f_valid, kp_order, axis=1)
+        if kp.shape[1] % TK:
+            pad = (-kp.shape[1]) % TK
+            kp = jnp.pad(kp, ((0, 0), (0, pad), (0, 0)),
+                         constant_values=1e9)
+            kp_keys = jnp.pad(kp_keys, ((0, 0), (0, pad)),
+                              constant_values=PARK)
+            frames = jnp.pad(frames, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            f_valid = jnp.pad(f_valid, ((0, 0), (0, pad)))
+        desc, valid, d_exact = shot_descriptor_fused_windowed(
+            kp, kp_keys, frames, f_valid, points, keys_s, nrm, mask,
+            cfg.radius, cfg.descriptor_window, interpret=interp)
+        exact = exact & d_exact
+    else:
+        desc, valid = shot_descriptor_fused(kp, frames, f_valid, points,
+                                            nrm, mask, cfg.radius,
+                                            interpret=interp)
     scores = jax.vmap(
         lambda p, m, k, f, d, v: _scores_from_features(
             p, m, k, f, d, v, cb, cfg, cb_params))(

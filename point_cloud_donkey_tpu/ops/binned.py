@@ -40,18 +40,23 @@ from .eigh3 import eigh3x3
 PARK = 1e9  # where invalid/padded points are parked (all gates fail)
 
 
-def principal_axis_keys(points: jnp.ndarray, mask: jnp.ndarray
-                        ) -> jnp.ndarray:
-    """Per-cloud sort keys: projection onto the principal (largest-spread)
-    axis of the cloud.  points [B, N, 3], mask [B, N] -> keys [B, N];
-    invalid points key to +PARK so they sort last."""
+def principal_axes(points: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-cloud principal (largest-spread) axis [B, 3]."""
     m = mask.astype(points.dtype)
     cnt = jnp.maximum(m.sum(axis=1), 1.0)                       # [B]
     mean = jnp.sum(points * m[..., None], axis=1) / cnt[:, None]
     d = jnp.where(mask[..., None], points - mean[:, None, :], 0.0)
     cov = jnp.einsum("bnd,bne->bde", d, d) / cnt[:, None, None]
     _, vecs = eigh3x3(cov)
-    axis = vecs[:, :, 2]                                        # largest
+    return vecs[:, :, 2]                                        # largest
+
+
+def principal_axis_keys(points: jnp.ndarray, mask: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """Per-cloud sort keys: projection onto the principal (largest-spread)
+    axis of the cloud.  points [B, N, 3], mask [B, N] -> keys [B, N];
+    invalid points key to +PARK so they sort last."""
+    axis = principal_axes(points, mask)
     keys = jnp.einsum("bnd,bd->bn", points, axis)
     return jnp.where(mask, keys, PARK)
 
@@ -62,13 +67,37 @@ def sort_clouds(points: jnp.ndarray, mask: jnp.ndarray
     """Sort each cloud by its principal-axis key.  Returns
     (points_sorted [B, N, 3], mask_sorted [B, N], keys_sorted [B, N],
     order [B, N]) -- `order` lets callers co-sort extra per-point arrays
-    (colors) with take_along_axis."""
+    (colors) with take_along_axis.
+
+    The payload (coordinates, mask, original index) rides THROUGH one
+    stable lax.sort instead of argsort + take_along_axis gathers: on v5e
+    the three random-access gathers cost more than the sort itself
+    (experiments/r6_sort.py: 6.4 ms for argsort + ONE gather vs 3.6 ms for
+    the whole payload sort at the serving batch).  Stability makes the row
+    order identical to stable argsort, so results are bit-equal."""
     keys = principal_axis_keys(points, mask)
-    order = jnp.argsort(keys, axis=1)
-    pts_s = jnp.take_along_axis(points, order[..., None], axis=1)
-    mask_s = jnp.take_along_axis(mask, order, axis=1)
-    keys_s = jnp.take_along_axis(keys, order, axis=1)
-    return pts_s, mask_s, keys_s, order
+    n = points.shape[1]
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
+                            keys.shape)
+    cols = [keys, points[..., 0], points[..., 1], points[..., 2],
+            mask, iota]
+    out = jax.lax.sort(cols, dimension=1, num_keys=1, is_stable=True)
+    pts_s = jnp.stack(out[1:4], axis=-1)
+    return pts_s, out[4], out[0], out[5]
+
+
+def sort_clouds_ex(points: jnp.ndarray, mask: jnp.ndarray):
+    """sort_clouds plus the per-cloud principal axis [B, 3] (for projecting
+    OTHER query sets -- e.g. keypoints -- onto the same sort key)."""
+    axis = principal_axes(points, mask)
+    keys = jnp.where(mask, jnp.einsum("bnd,bd->bn", points, axis), PARK)
+    n = points.shape[1]
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), keys.shape)
+    cols = [keys, points[..., 0], points[..., 1], points[..., 2],
+            mask, iota]
+    out = jax.lax.sort(cols, dimension=1, num_keys=1, is_stable=True)
+    pts_s = jnp.stack(out[1:4], axis=-1)
+    return pts_s, out[4], out[0], out[5], axis
 
 
 class WindowPlan(NamedTuple):
@@ -129,12 +158,17 @@ def required_window(points: jnp.ndarray, mask: jnp.ndarray, radius: float,
     `align`.  Host-side convenience (one tiny jitted reduction); use it
     once per serving workload like keypoint_capacity sizing.  q_points
     defaults to the points themselves (self-LRF)."""
-    pts_s, mask_s, keys_s, _ = sort_clouds(points, mask)
+    pts_s, mask_s, keys_s, _, axis = sort_clouds_ex(points, mask)
     if q_points is None:
         q_keys, q_m = keys_s, mask_s
     else:
-        raise NotImplementedError("query-side calibration lands with the "
-                                  "windowed descriptor path")
+        # project the query set (e.g. keypoints) onto the same per-cloud
+        # principal axis and sort it, exactly as the windowed descriptor
+        # path does
+        qk = jnp.where(q_mask, jnp.einsum("bqd,bd->bq", q_points, axis),
+                       PARK)
+        q_keys = jnp.sort(qk, axis=1)
+        q_m = q_keys < PARK
 
     def one(qk, qm, pk):
         plan = window_starts(qk, qm, pk, radius, tile_q,

@@ -241,3 +241,63 @@ def test_classify_scores_batch_fused_descriptor(small_model, monkeypatch):
     assert (d.argmax(1) == f.argmax(1)).all()
     top = np.take_along_axis(f, d.argmax(1)[:, None], 1)[:, 0]
     np.testing.assert_allclose(top, d.max(1), rtol=0.05, atol=1e-3)
+
+
+def test_classify_scores_batch_windowed_descriptor(small_model, monkeypatch):
+    """descriptor_window routes the fused entry through the windowed SHOT
+    kernel (interpret mode on CPU): decision parity vs the plain path and
+    a working exactness flag."""
+    cb, cfg0, params = small_model
+    from point_cloud_donkey_tpu.models.pipeline_jit import (
+        classify_scores, classify_scores_batch)
+    monkeypatch.setenv("PCD_FUSED_DESC_INTERPRET", "1")
+    rng = np.random.default_rng(8)
+    pts, mask = _batch(rng, b=4, n=512)
+    nw = binned.required_window(pts, mask, radius=cfg0.normal_radius,
+                                tile_q=256, align=128)
+    from point_cloud_donkey_tpu.ops.voxel_grid import voxel_grid
+    kres = jax.vmap(lambda p, m: voxel_grid(p, m, cfg0.leaf_size,
+                                            capacity=128))(pts, mask)
+    kp = jnp.where(kres.mask[..., None], kres.centroids[..., :3], 1e9)
+    dw = binned.required_window(pts, mask, radius=cfg0.radius, tile_q=8,
+                                align=128, q_points=kp, q_mask=kres.mask)
+    cfg_w = cfg0._replace(fused_descriptor=True, normals_window=nw,
+                          descriptor_window=dw)
+    got, exact = classify_scores_batch(pts, mask, cb, cfg_w, params)
+    assert bool(exact)
+    dense = jax.vmap(
+        lambda p, m: classify_scores(p, m, cb, cfg0, params))(pts, mask)
+    d, g = np.asarray(dense), np.asarray(got)
+    assert (d.argmax(1) == g.argmax(1)).all()
+    top = np.take_along_axis(g, d.argmax(1)[:, None], 1)[:, 0]
+    np.testing.assert_allclose(top, d.max(1), rtol=0.15, atol=1e-3)
+    # an absurdly small window must trip the exactness flag
+    cfg_bad = cfg_w._replace(descriptor_window=128)
+    _, exact_bad = classify_scores_batch(pts, mask, cb, cfg_bad, params)
+    assert not bool(exact_bad)
+
+
+def test_classify_scores_batch_compact_tiles(small_model, monkeypatch):
+    """descriptor_tile_capacity routes the fused entry through the
+    tile-compacted kernel + flat votes/scores: decision parity vs the
+    plain path, scores allclose to the fused dense path."""
+    cb, cfg0, params = small_model
+    from point_cloud_donkey_tpu.models.pipeline_jit import (
+        classify_scores, classify_scores_batch)
+    monkeypatch.setenv("PCD_FUSED_DESC_INTERPRET", "1")
+    rng = np.random.default_rng(9)
+    pts, mask = _batch(rng, b=4, n=512)
+    cfg_f = cfg0._replace(fused_descriptor=True)
+    fused, _ = classify_scores_batch(pts, mask, cb, cfg_f, params)
+    cfg_c = cfg_f._replace(descriptor_tile_capacity=4 * 128 // 8)
+    got, exact = classify_scores_batch(pts, mask, cb, cfg_c, params)
+    assert bool(exact)
+    f, g = np.asarray(fused), np.asarray(got)
+    np.testing.assert_allclose(g, f, rtol=1e-4, atol=1e-5)
+    dense = jax.vmap(
+        lambda p, m: classify_scores(p, m, cb, cfg0, params))(pts, mask)
+    assert (np.asarray(dense).argmax(1) == g.argmax(1)).all()
+    # overflow trips the flag
+    cfg_bad = cfg_f._replace(descriptor_tile_capacity=8)
+    _, exact_bad = classify_scores_batch(pts, mask, cb, cfg_bad, params)
+    assert not bool(exact_bad)

@@ -94,3 +94,99 @@ def test_fused_kernel_padding_and_masks_interpret():
                                    interpret=True)
     np.testing.assert_array_equal(np.asarray(v2), np.asarray(vnew))
     np.testing.assert_allclose(np.asarray(d2), np.asarray(dnew), atol=1e-6)
+
+
+def test_fused_windowed_matches_dense_interpret():
+    """Windowed (sorted-axis pruned) fused SHOT == dense fused SHOT on the
+    same sorted inputs when the calibrated window fits (exact=True)."""
+    from point_cloud_donkey_tpu.ops import binned
+    from point_cloud_donkey_tpu.ops.pallas.shot_fused import (
+        shot_descriptor_fused_windowed)
+
+    rng = np.random.default_rng(3)
+    B, N, K = 2, 2048, 64
+    pts = np.stack([shapes.make_instance(rng, i % 5, n=N, rotate=True)
+                    for i in range(B)]).astype(np.float32)
+    mask = np.ones((B, N), bool)
+    pts_j, mask_j = jnp.asarray(pts), jnp.asarray(mask)
+    pts_s, mask_s, keys_s, _, axis = binned.sort_clouds_ex(pts_j, mask_j)
+
+    kp, fr, fv, nrm, _, _ = _upstream(pts_s, mask_s, K)
+    kp_m = kp[..., 0] < 1e9
+    kp_keys = jnp.where(kp_m, jnp.einsum("bkd,bd->bk", kp, axis),
+                        binned.PARK)
+    order = jnp.argsort(kp_keys, axis=1)
+    kp_keys = jnp.take_along_axis(kp_keys, order, axis=1)
+    kp_s = jnp.take_along_axis(kp, order[..., None], axis=1)
+    fr_s = jnp.take_along_axis(fr, order[..., None, None], axis=1)
+    fv_s = jnp.take_along_axis(fv, order, axis=1)
+
+    window = binned.required_window(pts_j, mask_j, 0.6, tile_q=8,
+                                    align=128, q_points=kp[..., :3],
+                                    q_mask=kp_m)
+    dref, vref = shot_descriptor_fused(kp_s, fr_s, fv_s, pts_s, nrm,
+                                       mask_s, 0.6, interpret=True)
+    dnew, vnew, exact = shot_descriptor_fused_windowed(
+        kp_s, kp_keys, fr_s, fv_s, pts_s, keys_s, nrm, mask_s, 0.6,
+        window, interpret=True)
+    assert bool(exact)
+    np.testing.assert_array_equal(np.asarray(vnew), np.asarray(vref))
+    both = np.asarray(vref & vnew)
+    np.testing.assert_allclose(np.asarray(dnew)[both],
+                               np.asarray(dref)[both], atol=2e-6)
+    # a too-small window must trip the exactness flag
+    _, _, exact_small = shot_descriptor_fused_windowed(
+        kp_s, kp_keys, fr_s, fv_s, pts_s, keys_s, nrm, mask_s, 0.6,
+        128, interpret=True)
+    assert not bool(exact_small)
+
+
+
+def test_fused_compact_matches_dense_interpret():
+    """Tile-compacted fused SHOT == dense fused SHOT row-for-row (the flat
+    layout maps back by (cloud, row)); overflow trips the exactness flag."""
+    from point_cloud_donkey_tpu.ops.pallas.shot_fused import (
+        TK, required_tile_capacity, shot_descriptor_fused_compact)
+
+    rng = np.random.default_rng(5)
+    B, N, K = 2, 2048, 64
+    pts = np.stack([shapes.make_instance(rng, i % 5, n=N, rotate=True)
+                    for i in range(B)]).astype(np.float32)
+    mask = np.ones((B, N), bool)
+    pts_j, mask_j = jnp.asarray(pts), jnp.asarray(mask)
+    kp, fr, fv, nrm, dref, vref = _upstream(pts_j, mask_j, K)
+    kp_m = np.asarray(kp[..., 0] < 1e9)
+    # voxel output is valid-first: check the precondition holds
+    for b in range(B):
+        c = kp_m[b].sum()
+        assert kp_m[b, :c].all() and not kp_m[b, c:].any()
+    t_cap = required_tile_capacity(kp_m)
+    desc, valid, kp_f, fr_f, cloud_id, exact = shot_descriptor_fused_compact(
+        kp, fr, fv, jnp.asarray(kp_m), pts_j, nrm, mask_j, 0.6, t_cap,
+        interpret=True)
+    assert bool(exact)
+    desc, valid, kp_f, cloud_id = map(np.asarray,
+                                      (desc, valid, kp_f, cloud_id))
+    dref, vref, kp_h = map(np.asarray, (dref, vref, kp))
+    # rebuild the flat index map and compare against the dense reference
+    c = kp_m.sum(1)
+    tiles = -(-c // TK)
+    toff = np.concatenate([[0], np.cumsum(tiles)[:-1]])
+    n_checked = 0
+    for b in range(B):
+        for r in range(int(c[b])):
+            flat = (toff[b] + r // TK) * TK + r % TK
+            assert cloud_id[flat] == b
+            assert valid[flat] == vref[b, r]
+            if vref[b, r]:
+                cos = (desc[flat] * dref[b, r]).sum()
+                assert cos > 0.9999
+                n_checked += 1
+    assert n_checked > 50
+    # rows past each cloud's tile range are invalid
+    assert valid.sum() == vref.sum()
+    # capacity one tile short must trip the flag
+    _, _, _, _, _, ex2 = shot_descriptor_fused_compact(
+        kp, fr, fv, jnp.asarray(kp_m), pts_j, nrm, mask_j, 0.6,
+        int(tiles.sum()) - 1, interpret=True)
+    assert not bool(ex2)
