@@ -110,6 +110,20 @@ def _knn_program(qn: int, c: int, d: int, k: int, metric: str, exact: bool):
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _knn_program_padded(q_real: int, qn: int, c: int, d: int, k: int,
+                        metric: str, exact: bool):
+    """_knn_program that pads the query block ON DEVICE: the host uploads
+    only q_real rows (bucketed to 256) instead of a pow2-padded chunk --
+    uploading an 8192-row pad for a 2.5k-feature training set tripled the
+    activation stage's H2D bytes through the tunnel."""
+    @jax.jit
+    def run(q, db, db_mask):
+        qp = jnp.pad(q, ((0, qn - q_real), (0, 0)))
+        return knn(qp, db, db_mask, k=k, metric=metric, exact=exact)
+    return run
+
+
 def activate_knn_batch(descriptors: np.ndarray, codewords: np.ndarray,
                        k: int, metric: str, exact: bool = True
                        ) -> Tuple[np.ndarray, np.ndarray]:
@@ -135,22 +149,114 @@ def activate_knn_batch(descriptors: np.ndarray, codewords: np.ndarray,
     while b < chunk:
         b *= 2
     chunk = b
-    pad = (-f) % chunk
-    q = np.zeros((f + pad, d), np.float32)
-    q[:f] = descriptors
     cw = np.zeros((c_pad, d), np.float32)
     cw[:c] = codewords
     run = _knn_program(chunk, c_pad, d, k, metric, exact)
     cw_j = jnp.asarray(cw)
     mask_j = jnp.arange(c_pad) < c      # padded entries -> +inf distance
     # dispatch every chunk, then ONE host fetch for all results (each
-    # np.asarray is a full tunnel round-trip on axon)
-    handles = [run(jnp.asarray(q[i0:i0 + chunk]), cw_j, mask_j)
-               for i0 in range(0, f + pad, chunk)]
+    # np.asarray is a full tunnel round-trip on axon).  Full chunks upload
+    # as-is; the final partial chunk uploads only its real rows (bucketed
+    # to 256) and pads ON DEVICE -- H2D bytes through the tunnel are the
+    # stage cost, not the padded FLOPs.
+    handles = []
+    for i0 in range(0, f, chunk):
+        qi = np.ascontiguousarray(descriptors[i0:i0 + chunk], np.float32)
+        if len(qi) == chunk:
+            handles.append(run(jnp.asarray(qi), cw_j, mask_j))
+        else:
+            q_real = -(-len(qi) // 256) * 256
+            qpad = np.zeros((q_real, d), np.float32)
+            qpad[:len(qi)] = qi
+            runp = _knn_program_padded(q_real, chunk, c_pad, d, k, metric,
+                                       exact)
+            handles.append(runp(jnp.asarray(qpad), cw_j, mask_j))
     fetched = jax.device_get(handles)
     dists = np.concatenate([dd for dd, _ in fetched])[:f]
     idx = np.concatenate([ii for _, ii in fetched])[:f]
     return dists, idx
+
+
+def build_device_activation(cache_entries, model_order: List[int],
+                            params: "CodebookParams", metric: str):
+    """Activation over DEVICE-RESIDENT training descriptors: when
+    Clustering=None and ranking keeps every feature, the codewords ARE the
+    features, and the packed per-chunk descriptor blocks from the fused
+    training extraction (detect_batch.FusedChunkCache) are still on the
+    device -- so activation needs ZERO descriptor upload.  The class-major
+    row order of the host path is reproduced by a device gather, so kNN
+    indices and tie-breaks are identical to training_activation on the
+    same rows.  Returns activation_fn(all_desc) -> (dists, idx) for
+    train_codebook, or None when the cache cannot serve this config
+    (KNN/KNNRule only)."""
+    if params.activation_type not in ("KNN", "KNNRule"):
+        return None
+    k = params.knn_k if params.activation_type == "KNN" else 1
+
+    # flat packed row index of every kept feature, in class-major model
+    # order (the order train() concatenates all_desc in)
+    by_cloud = {}
+    for e_id, e in enumerate(cache_entries):
+        for r, ci in enumerate(e.chunk):
+            by_cloud[ci] = (e_id, r)
+    offs = np.cumsum([0] + [e.dev.shape[0] * e.k_cap
+                            for e in cache_entries])
+    perm_parts = []
+    for ci in model_order:
+        if ci not in by_cloud:
+            return None
+        e_id, r = by_cloud[ci]
+        e = cache_entries[e_id]
+        rows = np.nonzero(e.keep[r])[0]
+        perm_parts.append(offs[e_id] + r * e.k_cap + rows)
+    perm = np.concatenate(perm_parts) if perm_parts else np.zeros(0, np.int64)
+    c = len(perm)
+    # tiny sets keep the trivial host path; huge sets keep the chunked
+    # upload path (the [C, C] block must stay device-memory bounded)
+    if c <= k or c > 16384:
+        return None
+    d = cache_entries[0].d
+
+    def activation_fn(all_desc: np.ndarray):
+        assert all_desc.shape == (c, d), (all_desc.shape, c, d)
+        # ONE bucketed jitted program does the gather + self-kNN: every
+        # device op outside jit has run-dependent shapes (c varies per
+        # training set), and each fresh small-op compile costs seconds
+        # through the axon remote compiler (measured 166 ms/cloud from
+        # exactly that; experiments/r5_train_profile.py).  The permutation
+        # is padded to the 256 bucket and the valid count rides as a
+        # traced scalar, so one compile serves every set in the bucket.
+        c_pad = -(-c // 256) * 256
+        perm_padded = np.zeros(c_pad, np.int32)
+        perm_padded[:c] = perm
+        shapes_key = tuple((tuple(e.dev.shape),) for e in cache_entries)
+        run = _self_knn_program(shapes_key, c_pad, d, k, metric,
+                                params.flann_exact)
+        dd, ii = jax.device_get(run(jnp.asarray(perm_padded),
+                                    jnp.asarray(c, jnp.int32),
+                                    *[e.dev for e in cache_entries]))
+        return dd[:c], ii[:c]
+
+    return activation_fn
+
+
+@functools.lru_cache(maxsize=None)
+def _self_knn_program(shapes_key, c_pad: int, d: int, k: int, metric: str,
+                      exact: bool):
+    """Self-kNN (queries == database) over device-resident packed
+    descriptor blocks: gathers the class-major rows via a padded
+    permutation, masks the padded tail, and runs kNN -- one fused program,
+    one compile per (entry-shapes, bucket).  Masked rows get +inf
+    distance, so distances and tie-breaks equal an unpadded kNN over the
+    first c rows."""
+    @jax.jit
+    def run(perm_padded, c_real, *entries):
+        flat = jnp.concatenate(
+            [e.reshape(-1, e.shape[-1])[:, :d] for e in entries], axis=0)
+        dbp = flat[perm_padded]
+        mask = jnp.arange(c_pad) < c_real
+        return knn(dbp, dbp, mask, k=k, metric=metric, exact=exact)
+    return run
 
 
 def inn_refine_queries(descriptors: jnp.ndarray, codewords: jnp.ndarray,

@@ -378,12 +378,27 @@ def _fused_extract_dense_program(mb: int, n: int, k_cap: int,
     return run
 
 
+class FusedChunkCache(NamedTuple):
+    """Device-resident packed descriptor block of one fused training chunk
+    (models/codebook.build_device_activation consumes these so activation
+    never re-uploads descriptors that were computed on device)."""
+    dev: object          # device array [mb, k_cap, d+13]
+    chunk: List[int]     # real cloud indices of the chunk rows
+    k_cap: int
+    d: int
+    keep: np.ndarray     # [len(chunk), k_cap] host keep masks
+
+
 def _extract_local_features_fused_train(
         clouds, rgb_list, fcfg: FeatureConfig, kp_params: KeypointParams,
         normal_radius: float, consistent_normals_method: int, mesh,
-        chunk_width: int) -> List[FeatureSet]:
+        chunk_width: int, device_cache: Optional[list] = None
+        ) -> List[FeatureSet]:
     """One-dispatch-per-chunk training extraction (see module-note above)."""
-    mb = 8 if chunk_width <= 8 else (16 if chunk_width <= 16 else 32)
+    # multiple-of-8 chunk width (NOT pow2): the dominant cost is the packed
+    # result fetch through the tunnel, and padding a 24-cloud training set
+    # to a 32-wide chunk pays 33% more transfer + compute for nothing
+    mb = min(32, max(8, -(-chunk_width // 8) * 8))
     has_rgb = fcfg.needs_rgb()
     out: List[Optional[FeatureSet]] = [None] * len(clouds)
 
@@ -393,10 +408,12 @@ def _extract_local_features_fused_train(
 
     for n, idxs in groups.items():
         # keypoint capacity: exact host voxel counts, bucketed group-wide
-        # so every chunk shares one compiled program variant
-        k_cap = bucket_size(
-            max(host_voxel_count(clouds[i], kp_params.leaf_size)
-                for i in idxs), minimum=64)
+        # (multiple of 64 -- pow2 rounding cost 256 rows for a 157-voxel
+        # workload, +33% on the fetch) so every chunk shares one compiled
+        # program variant
+        k_cap = max(64, -(-max(
+            host_voxel_count(clouds[i], kp_params.leaf_size)
+            for i in idxs) // 64) * 64)
         prog = _fused_extract_dense_program(
             mb, n, k_cap, fcfg, float(kp_params.leaf_size),
             float(normal_radius), int(consistent_normals_method), has_rgb)
@@ -411,22 +428,29 @@ def _extract_local_features_fused_train(
                 pts_b[r], mask_b[r] = p, m
                 if has_rgb:
                     rgb_b[r, :len(clouds[ci])] = rgb_list[ci]
-            packed = np.asarray(prog(
+            handle = prog(
                 _to_dev(pts_b, mesh), _to_dev(mask_b, mesh),
                 _to_dev(rgb_b, mesh),
                 jnp.asarray(fcfg.radius, jnp.float32),
-                jnp.asarray(fcfg.ref_frame_radius, jnp.float32)))
+                jnp.asarray(fcfg.ref_frame_radius, jnp.float32))
+            packed = np.asarray(handle)
             d = packed.shape[-1] - 13
+            keeps = np.zeros((real, k_cap), bool)
             for r in range(real):
                 ci = chunk[r]
                 desc = packed[r][:, :d]
                 kp = packed[r][:, d:d + 3]
                 frames = packed[r][:, d + 3:d + 12].reshape(-1, 3, 3)
                 keep = packed[r][:, d + 12] > 0
+                keeps[r] = keep
                 centroid = clouds[ci].mean(axis=0)
                 center_dist = np.linalg.norm(kp - centroid, axis=1)
                 out[ci] = make_feature_set(desc, kp, frames, keep,
                                            center_dist).compact()
+            if device_cache is not None:
+                device_cache.append(FusedChunkCache(
+                    dev=handle, chunk=list(chunk), k_cap=k_cap, d=d,
+                    keep=keeps))
 
     return [fs for fs in out]  # type: ignore[misc]
 
@@ -593,6 +617,7 @@ def extract_local_features_batch(
     is_training: bool = False,
     mesh=None,
     chunk_width: int = 0,
+    device_cache: Optional[list] = None,
 ) -> List[FeatureSet]:
     """Batched analogue of features.extract_local_features over a list of
     clouds.  Clouds are grouped by padded bucket size; each group is
@@ -616,7 +641,8 @@ def extract_local_features_batch(
                                             consistent_normals_method):
         return _extract_local_features_fused_train(
             clouds, rgb_list, fcfg, kp_params, normal_radius,
-            consistent_normals_method, mesh, chunk_width or MB)
+            consistent_normals_method, mesh, chunk_width or MB,
+            device_cache=device_cache)
 
     out: List[Optional[FeatureSet]] = [None] * len(clouds)
 

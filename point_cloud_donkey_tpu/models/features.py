@@ -264,6 +264,55 @@ def _descriptor_fn(n: int, fcfg: FeatureConfig):
                             frame_radius)
         else:  # SHOT
             lrf = shot_lrf(keypoints, kp_mask, points, mask, frame_radius)
+
+        # Dense [K, N] masked-reduction formulation for the SHOT family on
+        # accelerator backends: the gathered-block path below is floored by
+        # lax.top_k over [K, N] (~19 ms/cloud of device time at the
+        # training geometry, experiments/r6_train_micro.py) while the dense
+        # sweeps are the serving formulation (~0.2 ms/cloud).  CPU keeps
+        # the gathered path so golden-pinned results stay bit-stable;
+        # PCD_DENSE_DESC=0/1 overrides (read at trace time).  Numerics:
+        # same statistical contract as the serving dense path (matmul-
+        # identity distances can gate radius-boundary pairs differently;
+        # no neighbor-capacity truncation).
+        env_dense = os.environ.get("PCD_DENSE_DESC")
+        use_dense = (env_dense == "1"
+                     or (env_dense != "0"
+                         and jax.default_backend() != "cpu")) \
+            and fcfg.type in ("SHOT", "SHOT_GLOBAL", "SHORT_SHOT_PCL",
+                              "CSHOT", "CSHOT_GLOBAL", "BSHOT",
+                              "SHORT_SHOT", "SHORT_SHOT_GLOBAL")
+        if use_dense:
+            from ..ops.shot import (cshot_descriptor_dense,
+                                    shot_descriptor_dense)
+            from ..ops.short_shot import short_shot_descriptor_dense
+            if fcfg.type in ("SHOT", "SHOT_GLOBAL"):
+                res = shot_descriptor_dense(keypoints, lrf.frames,
+                                            lrf.valid, points, normals,
+                                            mask, radius)
+            elif fcfg.type == "SHORT_SHOT_PCL":
+                res = shot_descriptor_dense(keypoints, lrf.frames,
+                                            lrf.valid, points,
+                                            jnp.zeros_like(points), mask,
+                                            radius)
+            elif fcfg.type in ("CSHOT", "CSHOT_GLOBAL"):
+                res = cshot_descriptor_dense(keypoints, kp_rgb, lrf.frames,
+                                             lrf.valid, points, normals,
+                                             rgb, mask, radius)
+            elif fcfg.type == "BSHOT":
+                from ..ops.descriptors_misc import bshot_binarize
+                res = shot_descriptor_dense(keypoints, lrf.frames,
+                                            lrf.valid, points, normals,
+                                            mask, radius)
+                res = res._replace(
+                    descriptors=bshot_binarize(res.descriptors))
+            else:
+                res = short_shot_descriptor_dense(
+                    keypoints, lrf.frames, lrf.valid, points, mask,
+                    radius, rb, eb, ab, min_radius,
+                    fcfg.short_shot_log_radius)
+            return res.descriptors, res.valid, lrf.frames, lrf.valid
+
         nbr = gather_radius_neighbors(keypoints, points, mask, radius, cap)
         if fcfg.type in ("SHOT", "SHOT_GLOBAL"):
             res = shot_descriptor(keypoints, lrf.frames, lrf.valid,

@@ -509,6 +509,13 @@ class ImplicitShapeModel:
                              flann_exact=self.root.get("FLANNExactMatch", False))
         mesh = self._training_mesh(cb_params)
 
+        # device-resident packed descriptor blocks from the fused training
+        # extraction: when clustering is None and ranking keeps everything,
+        # the activation stage runs directly on these (zero descriptor
+        # re-upload -- codebook.build_device_activation)
+        dev_cache: List = []
+        dev_cache_seen = 0
+
         for base in range(0, len(self._training), MODEL_CHUNK):
             entries = self._training[base:base + MODEL_CHUNK]
             _t0 = time.perf_counter()
@@ -606,9 +613,19 @@ class ImplicitShapeModel:
                     [clouds_rgb[i] for i in batch_idx],
                     fcfg, kp_cfg, normal_radius, cn_method,
                     is_training=True, mesh=mesh,
-                    chunk_width=len(batch_idx))
+                    chunk_width=len(batch_idx),
+                    device_cache=dev_cache if mesh is None else None)
                 for i, fs in zip(batch_idx, sub):
                     chunk_fs[i] = fs
+                # remap cache rows from extract-call-local cloud indices to
+                # GLOBAL model indices (the slice extends features_per_model
+                # below; new entries are the tail of dev_cache)
+                gbase = len(features_per_model)
+                for e_i in range(dev_cache_seen, len(dev_cache)):
+                    e = dev_cache[e_i]
+                    dev_cache[e_i] = e._replace(
+                        chunk=[gbase + batch_idx[j] for j in e.chunk])
+                dev_cache_seen = len(dev_cache)
             for i in range(len(clouds_xyz)):
                 if chunk_fs[i] is None:
                     chunk_fs[i] = self._cached_local_features(
@@ -691,12 +708,24 @@ class ImplicitShapeModel:
                 [boxes_per_model[i] for i in order],
                 centers, cw_pos, cb_params, self.metric)
         else:
+            # activation over the device-resident descriptor blocks (no
+            # re-upload) when the codewords ARE the features: clustering
+            # produced one center per (all-kept) feature and every model
+            # went through the fused extraction
+            activation_fn = None
+            if (dev_cache and bool(keep.all())
+                    and len(centers) == len(all_desc_r)
+                    and np.array_equal(centers, all_desc_r)):
+                from .codebook import build_device_activation
+                activation_fn = build_device_activation(
+                    dev_cache, list(order), cb_params, self.metric)
             codebook = train_codebook(
                 ranked_models,
                 [class_per_model[i] for i in order],
                 [instance_per_model[i] for i in order],
                 [boxes_per_model[i] for i in order],
-                centers, cw_pos, cb_params, self.metric)
+                centers, cw_pos, cb_params, self.metric,
+                activation_fn=activation_fn)
         _tt["train_activation"] = time.perf_counter() - _t0
         _t0 = time.perf_counter()
         if self._callbacks:

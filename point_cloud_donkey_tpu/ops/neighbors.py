@@ -233,8 +233,20 @@ def chi_square_distance_matrix_approx(a: jnp.ndarray,
     HIGH (3-pass bf16): measured identical top-1/relative error to HIGHEST
     here -- the feature-map truncation (n=5) dominates the error, not the
     matmul -- at ~1.5x the speed.  Clamped at 0 (the approximation can dip
-    epsilon-negative for near-identical inputs; downstream takes sqrt)."""
-    hi = jax.lax.Precision.HIGH
+    epsilon-negative for near-identical inputs; downstream takes sqrt).
+
+    PCD_CHI2_PREC=default|high|highest overrides the matmul precision
+    (read at trace time).  DEFAULT (1 bf16 pass) measured on real SHOT
+    descriptors vs the 458-codeword bench codebook: top-1 agreement with
+    EXACT chi2 0.9972 vs 0.9987 at HIGH (experiments/r6_votes.py) --
+    within the reference's own approximate-FLANN regime, but kept opt-in
+    because HIGH's cost is no longer the stage bottleneck after the
+    tile-compaction (votes stage ~2.5 ms/batch)."""
+    import os
+    hi = {"default": jax.lax.Precision.DEFAULT,
+          "high": jax.lax.Precision.HIGH,
+          "highest": jax.lax.Precision.HIGHEST}[
+              os.environ.get("PCD_CHI2_PREC", "high").lower()]
     fa = chi2_feature_map(a)
     fb = chi2_feature_map(b)
     k2 = jax.lax.dot_general(fa, fb, (((1,), (1,)), ((), ())), precision=hi)
