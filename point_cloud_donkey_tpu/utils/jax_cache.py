@@ -10,6 +10,16 @@ The reference has no analogous machinery (single C++ process, no JIT); this
 is pure TPU-runtime infrastructure.  Controls:
   PCD_XLA_CACHE=0           disable
   PCD_XLA_CACHE_DIR=<path>  override the cache directory
+  PCD_XLA_CACHE_READONLY=1  read entries but never write: XLA's
+                            LoadedExecutable.serialize() segfaults in
+                            long-lived CPU processes (reproduced twice
+                            ~19-28 min into the full test suite; crash
+                            frame compilation_cache.put_executable_and_
+                            time -> executable.serialize()).  The write
+                            path is skipped by raising the min-compile-
+                            time threshold, which jax checks BEFORE
+                            serializing.  tests/conftest.py sets this
+                            for large sessions.
 """
 
 from __future__ import annotations
@@ -32,7 +42,9 @@ def enable_persistent_cache() -> bool:
         os.makedirs(path, exist_ok=True)
         import jax
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        read_only = os.environ.get("PCD_XLA_CACHE_READONLY") == "1"
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          99999.0 if read_only else 0.5)
         _enabled = True
     except Exception:
         # an old jax without the knobs or an unwritable home must never

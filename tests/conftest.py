@@ -40,6 +40,26 @@ import numpy as np
 import pytest
 
 
+def pytest_collection_modifyitems(session, config, items):
+    # Large sessions run the compilation cache READ-ONLY: XLA's
+    # LoadedExecutable.serialize() segfaults in long-lived CPU processes
+    # (reproduced twice at ~19-28 min into the full suite, crash frame
+    # jax/_src/compilation_cache.py put_executable_and_time ->
+    # executable.serialize(); short processes write the same entries
+    # fine).  Raising the min-compile-time threshold skips the write path
+    # entirely (compiler.py checks it BEFORE serializing), so full-suite
+    # runs only read; targeted runs (< 100 tests) keep populating the
+    # cache.
+    if len(items) > 100 and os.environ.get("PCD_TPU_SMOKE") != "1":
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          99999.0)
+        # tests that import the CLIs trigger utils/jax_cache.
+        # enable_persistent_cache(), which would reset the threshold (and
+        # the cache dir) mid-suite -- the env flag makes it honor
+        # read-only mode too
+        os.environ["PCD_XLA_CACHE_READONLY"] = "1"
+
+
 @pytest.fixture()
 def rng():
     # function-scoped: every test sees the same fresh stream it would see

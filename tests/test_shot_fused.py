@@ -190,3 +190,35 @@ def test_fused_compact_matches_dense_interpret():
         kp, fr, fv, jnp.asarray(kp_m), pts_j, nrm, mask_j, 0.6,
         int(tiles.sum()) - 1, interpret=True)
     assert not bool(ex2)
+
+
+def test_fused_compact_masked_and_empty_clouds():
+    """Compact path with uneven keypoint counts including a nearly-empty
+    cloud: rows map correctly, empty clouds contribute zero tiles."""
+    from point_cloud_donkey_tpu.ops.pallas.shot_fused import (
+        TK, required_tile_capacity, shot_descriptor_fused_compact)
+
+    rng = np.random.default_rng(6)
+    B, N, K = 3, 2048, 64
+    pts = np.stack([shapes.make_instance(rng, i % 5, n=N, rotate=True)
+                    for i in range(B)]).astype(np.float32)
+    mask = np.ones((B, N), bool)
+    # cloud 1: only 3 valid points -> voxel yields almost no keypoints and
+    # every descriptor is invalid (min_neighbors)
+    mask[1, 3:] = False
+    pts[1, 3:] = 777.0
+    pts_j, mask_j = jnp.asarray(pts), jnp.asarray(mask)
+    kp, fr, fv, nrm, dref, vref = _upstream(pts_j, mask_j, K)
+    kp_m = np.asarray(kp[..., 0] < 1e9)
+    t_cap = required_tile_capacity(kp_m)
+    desc, valid, kp_f, fr_f, cloud_id, exact = shot_descriptor_fused_compact(
+        kp, fr, fv, jnp.asarray(kp_m), pts_j, nrm, mask_j, 0.6, t_cap,
+        interpret=True)
+    assert bool(exact)
+    valid = np.asarray(valid)
+    vref = np.asarray(vref)
+    assert valid.sum() == vref.sum()
+    # per-cloud valid counts match the dense reference
+    cid = np.asarray(cloud_id)
+    for b in range(B):
+        assert valid[cid == b].sum() == vref[b].sum()
