@@ -104,7 +104,7 @@ def test_fused_windowed_matches_dense_interpret():
         shot_descriptor_fused_windowed)
 
     rng = np.random.default_rng(3)
-    B, N, K = 2, 2048, 64
+    B, N, K = 2, 1024, 32
     pts = np.stack([shapes.make_instance(rng, i % 5, n=N, rotate=True)
                     for i in range(B)]).astype(np.float32)
     mask = np.ones((B, N), bool)
@@ -149,7 +149,7 @@ def test_fused_compact_matches_dense_interpret():
         TK, required_tile_capacity, shot_descriptor_fused_compact)
 
     rng = np.random.default_rng(5)
-    B, N, K = 2, 2048, 64
+    B, N, K = 2, 1024, 32
     pts = np.stack([shapes.make_instance(rng, i % 5, n=N, rotate=True)
                     for i in range(B)]).astype(np.float32)
     mask = np.ones((B, N), bool)
@@ -182,7 +182,7 @@ def test_fused_compact_matches_dense_interpret():
                 cos = (desc[flat] * dref[b, r]).sum()
                 assert cos > 0.9999
                 n_checked += 1
-    assert n_checked > 50
+    assert n_checked > 30
     # rows past each cloud's tile range are invalid
     assert valid.sum() == vref.sum()
     # capacity one tile short must trip the flag
@@ -199,7 +199,7 @@ def test_fused_compact_masked_and_empty_clouds():
         TK, required_tile_capacity, shot_descriptor_fused_compact)
 
     rng = np.random.default_rng(6)
-    B, N, K = 3, 2048, 64
+    B, N, K = 3, 1024, 32
     pts = np.stack([shapes.make_instance(rng, i % 5, n=N, rotate=True)
                     for i in range(B)]).astype(np.float32)
     mask = np.ones((B, N), bool)
